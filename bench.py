@@ -1,0 +1,91 @@
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query is forced end-to-end with the noop sink (full execution, no
+driver collect skew). The flagship extraction throughput (turns/sec) is
+reported alongside; the N-vs-4N scaling evidence lives in
+scripts/scaling_bench.py -> BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def force(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from janet_spark.derive import derived_transcripts
+    from janet_spark.pipeline import extract_only
+    from janet_spark.queries_relational import RELATIONAL_QUERIES
+    from janet_spark.queries_text import TEXT_QUERIES
+    from janet_spark.reassemble import reassemble_conversations
+    from janet_spark.session import build_session
+
+    spark = build_session(
+        "janet-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    # flagship: full extraction + reassembly; also yields turns/sec
+    t0 = time.time()
+    transcripts = derived_transcripts(spark, sf_dir)
+    extracted = extract_only(transcripts, skew_threshold=5000, detect_skew=True)
+    force(reassemble_conversations(extracted))
+    timings["extract_pipeline"] = round(time.time() - t0, 3)
+    n_turns = transcripts.count()
+
+    registry = {**RELATIONAL_QUERIES, **TEXT_QUERIES}
+    headline = [
+        "pricing_summary",
+        "revenue_by_region",
+        "resume_anti_join",
+        "ordered_concat",
+        "sessionize_events",
+        "clean_canonicalize",
+        "html_strip",
+        "exact_dedup",
+        "minhash_lsh_pairs",
+        "ann_cosine_topk",
+        "embed_neardup_blocked",
+        "doc_fingerprint",
+        "token_counts",
+    ]
+    for name in headline:
+        fn, _ = registry[name]
+        t0 = time.time()
+        force(fn(spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "extraction_turns": n_turns,
+        "extraction_turns_per_sec": round(n_turns / timings["extract_pipeline"], 1),
+        "cpus": int(cpus),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,168 @@
+"""Checkpoint / lineage / resume (operators F2, K1-K4 in SURVEY.md §2).
+
+Mirrors the reference's resumability model, translated to Spark:
+
+* lineage rows modeled on ``RenameMapping``/``ProcessResult``
+  (``apps/legacy/src/types.ts:1-8``, ``fileProcessor.ts:9-16``) — one row
+  per (run_id, part_bucket) with status + counts + timings,
+* resume = anti-join of the input against successful lineage
+  (``apps/legacy/rename.ts:61-64`` keeps only files without a successful
+  mapping),
+* two-phase commit: data lands in a staging dir, then moves bucket-by-bucket
+  into the final layout and the bucket's lineage row is appended
+  immediately after its move (``rename.ts:29-34`` temp-then-rename),
+* manifest backup before mutation (``rename.ts:6-16``) → a timestamped
+  manifest JSON per run.
+
+The bucket id is content-based (pmod(xxhash64(conv_id), n_buckets)) so
+resume is invariant to physical parallelism. On a real deployment this
+whole module is one Iceberg ``MERGE INTO`` + snapshot; the filesystem
+implementation keeps the same commit ordering so the resume guarantee
+("a bucket is either fully present with a lineage row, or not present")
+holds on plain parquet too.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LINEAGE_SCHEMA = (
+    "run_id string, part_bucket int, status string, error string, "
+    "n_turns long, n_ok long, started_at timestamp, finished_at timestamp"
+)
+
+
+def lineage_dir(output_path: str) -> str:
+    return os.path.join(output_path, "_lineage")
+
+
+def manifest_dir(output_path: str) -> str:
+    return os.path.join(output_path, "_manifests")
+
+
+def data_dir(output_path: str) -> str:
+    return os.path.join(output_path, "data")
+
+
+def completed_buckets(spark: SparkSession, output_path: str) -> set[int]:
+    """Buckets with a successful lineage row (the resume set)."""
+    ldir = lineage_dir(output_path)
+    if not os.path.isdir(ldir) or not any(
+        f.endswith(".parquet") for f in os.listdir(ldir)
+    ):
+        return set()
+    rows = (
+        spark.read.parquet(ldir)
+        .filter(F.col("status") == "success")
+        .select("part_bucket")
+        .distinct()
+        .collect()
+    )
+    return {r[0] for r in rows}
+
+
+def resume_filter(df: DataFrame, done: set[int], bucket_col: str = "part_bucket") -> DataFrame:
+    """Anti-join the work list against completed buckets (F2/J1). The done
+    set is tiny (≤ n_buckets), so this folds to a broadcast NOT-IN filter
+    rather than a shuffle join."""
+    if not done:
+        return df
+    return df.filter(~F.col(bucket_col).isin(sorted(done)))
+
+
+def backup_manifest(output_path: str, run_id: str, payload: dict) -> str:
+    """Timestamped manifest write (K3; reference timestamps with
+    toISOString().replace(/[:.]/g,'-'), rename.ts:7)."""
+    mdir = manifest_dir(output_path)
+    os.makedirs(mdir, exist_ok=True)
+    stamp = datetime.now(timezone.utc).strftime("%Y-%m-%dT%H-%M-%S-%f")
+    path = os.path.join(mdir, f"checkpoint-manifest-{stamp}-{run_id}.json")
+    with open(path, "w") as f:
+        json.dump(payload, f, indent=2, sort_keys=True, default=str)
+    return path
+
+
+def write_lineage(spark: SparkSession, output_path: str, rows: list[dict]) -> None:
+    ldir = lineage_dir(output_path)
+    df = spark.createDataFrame(
+        [
+            (
+                r["run_id"],
+                int(r["part_bucket"]),
+                r["status"],
+                r.get("error"),
+                int(r.get("n_turns", 0)),
+                int(r.get("n_ok", 0)),
+                r.get("started_at"),
+                r.get("finished_at"),
+            )
+            for r in rows
+        ],
+        schema=LINEAGE_SCHEMA,
+    )
+    df.coalesce(1).write.mode("append").parquet(ldir)
+
+
+def commit_staged(
+    spark: SparkSession,
+    output_path: str,
+    staging_path: str,
+    run_id: str,
+    bucket_stats: dict[int, dict],
+    fail_after_n_buckets: int | None = None,
+) -> list[int]:
+    """Two-phase commit: move each staged bucket dir into the final data
+    layout, appending that bucket's lineage row immediately after the move.
+
+    `fail_after_n_buckets` injects a crash after that many buckets have
+    committed (the pytest kill-and-restart scenario). Returns committed
+    bucket ids.
+    """
+    ddir = data_dir(output_path)
+    os.makedirs(ddir, exist_ok=True)
+    committed: list[int] = []
+    for name in sorted(os.listdir(staging_path)):
+        if not name.startswith("part_bucket="):
+            continue
+        bucket = int(name.split("=", 1)[1])
+        src = os.path.join(staging_path, name)
+        dst = os.path.join(ddir, name)
+        if os.path.exists(dst):
+            shutil.rmtree(dst)  # idempotent re-commit of an uncheckpointed bucket
+        shutil.move(src, dst)
+        stats = bucket_stats.get(bucket, {})
+        write_lineage(
+            spark,
+            output_path,
+            [
+                {
+                    "run_id": run_id,
+                    "part_bucket": bucket,
+                    "status": "success",
+                    "error": None,
+                    "n_turns": stats.get("n_turns", 0),
+                    "n_ok": stats.get("n_ok", 0),
+                    "started_at": stats.get("started_at"),
+                    "finished_at": datetime.now(timezone.utc),
+                }
+            ],
+        )
+        committed.append(bucket)
+        if fail_after_n_buckets is not None and len(committed) >= fail_after_n_buckets:
+            raise RuntimeError(
+                f"injected failure after {len(committed)} committed buckets"
+            )
+    shutil.rmtree(staging_path, ignore_errors=True)
+    return committed
+
+
+def new_run_id() -> str:
+    return f"run-{int(time.time())}-{uuid.uuid4().hex[:8]}"

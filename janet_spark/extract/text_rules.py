@@ -1,0 +1,166 @@
+"""Deterministic OCR-text canonicalization rules (the T8 operator).
+
+The reference canonicalizes extracted text ad hoc at every stage: ``trim()``
+after page joins (reference ``apps/legacy/src/services/pdf.ts:153-158``),
+``join(' ')`` + global trim (``apps/ocr/src/lib/pdf-parse.ts:24-26``),
+``'\\n\\n'`` page joins in the OCR path (``apps/legacy/src/services/ocr.ts:60``).
+This module pins ONE explicit, ordered contract and derives every
+implementation from the same rule table, so the Spark engine, the pure-pandas
+reference used in tests, and the DuckDB oracle SQL can never drift apart:
+
+1. newline normalization (CRLF/CR -> LF)
+2. NBSP / tab -> space
+3. typographic-ligature expansion (fi fl ff ffi ffl ft st)
+4. OCR dehyphenation: ``letter '-' LF letter`` -> joined word
+5. collapse runs of spaces
+6. trim spaces around newlines
+7. collapse 3+ newlines to a blank line
+8. strip leading/trailing whitespace
+
+Rules 1-3 are literal replaces; 4-8 are regexes kept inside the common
+subset of Python ``re``, Java ``java.util.regex`` (Spark ``regexp_replace``)
+and RE2 (DuckDB ``regexp_replace(..., 'g')``) so the same table compiles to
+all three dialects.
+"""
+
+from __future__ import annotations
+
+import re
+from functools import lru_cache
+
+import pandas as pd
+
+# (find, replace) literal substitutions, applied in order.
+LITERAL_REPLACES: list[tuple[str, str]] = [
+    ("\r\n", "\n"),
+    ("\r", "\n"),
+    ("\u00a0", " "),
+    ("\t", " "),
+    ("\ufb01", "fi"),
+    ("\ufb02", "fl"),
+    ("\ufb00", "ff"),
+    ("\ufb03", "ffi"),
+    ("\ufb04", "ffl"),
+    ("\ufb05", "ft"),
+    ("\ufb06", "st"),
+]
+
+# (pattern, replacement) regex substitutions, applied in order after the
+# literal replaces. Replacement backrefs use \1 notation (translated to $1
+# for Spark). Patterns must stay in the re/Java/RE2 common subset.
+REGEX_RULES: list[tuple[str, str]] = [
+    (r"([A-Za-z])-\n([A-Za-z])", r"\1\2"),  # OCR line-break dehyphenation
+    (r" {2,}", " "),
+    (r" *\n *", "\n"),
+    (r"\n{3,}", "\n\n"),
+    (r"^[ \n]+", ""),
+    (r"[ \n]+$", ""),
+]
+
+
+@lru_cache(maxsize=1)
+def _compiled_rules() -> list[tuple[re.Pattern, str]]:
+    return [(re.compile(p), r) for p, r in REGEX_RULES]
+
+
+def canonicalize_str(s: str | None) -> str:
+    """Pure-Python single-string canonicalizer (test oracle / fallback)."""
+    if s is None:
+        return ""
+    for find, repl in LITERAL_REPLACES:
+        s = s.replace(find, repl)
+    for pat, repl in _compiled_rules():
+        s = pat.sub(repl, s)
+    return s
+
+
+def canonicalize_series(s: pd.Series) -> pd.Series:
+    """Vectorized canonicalizer over a pandas string Series (the hot path
+    inside Arrow-batched UDFs — one C-level pass per rule, no per-row
+    Python)."""
+    s = s.fillna("")
+    for find, repl in LITERAL_REPLACES:
+        s = s.str.replace(find, repl, regex=False)
+    for pat, repl in _compiled_rules():
+        s = s.str.replace(pat, repl, regex=True)
+    return s
+
+
+# ---------------------------------------------------------------------------
+# SQL emission — the same rule table rendered for each SQL dialect.
+# ---------------------------------------------------------------------------
+
+_CONTROL = {"\n": "chr(10)", "\r": "chr(13)", "\t": "chr(9)", "\u00a0": "chr(160)"}
+
+
+def _sql_string(value: str, *, escape_backslash: bool) -> str:
+    """Render a string as a SQL expression, splicing control chars via chr()
+    so no literal-escaping rules of either dialect are relied upon."""
+    parts: list[str] = []
+    buf = ""
+
+    def flush() -> None:
+        nonlocal buf
+        if buf:
+            lit = buf.replace("'", "''")
+            if escape_backslash:
+                lit = lit.replace("\\", "\\\\")
+            parts.append(f"'{lit}'")
+            buf = ""
+
+    for ch in value:
+        if ch in _CONTROL:
+            flush()
+            parts.append(_CONTROL[ch])
+        else:
+            buf += ch
+    flush()
+    if not parts:
+        return "''"
+    return " || ".join(parts)
+
+
+def duckdb_canonicalize_sql(col: str) -> str:
+    """Render the full canonicalizer as a DuckDB SQL expression over `col`.
+
+    Used to build the independent oracle for the driver's correctness gate —
+    generated from the same rule table as the engine itself.
+    """
+    expr = f"coalesce({col}, '')"
+    for find, repl in LITERAL_REPLACES:
+        expr = (
+            f"replace({expr}, {_sql_string(find, escape_backslash=False)}, "
+            f"{_sql_string(repl, escape_backslash=False)})"
+        )
+    for pat, repl in REGEX_RULES:
+        # DuckDB (RE2): pattern is a plain string literal (standard SQL does
+        # not interpret backslash escapes, so \n reaches RE2 verbatim);
+        # replacement backrefs use \1; 'g' for global.
+        pat_sql = "'" + pat.replace("'", "''") + "'"
+        repl_sql = _sql_string(repl, escape_backslash=False)
+        expr = f"regexp_replace({expr}, {pat_sql}, {repl_sql}, 'g')"
+    return expr
+
+
+def spark_canonicalize_sql(col: str) -> str:
+    """Render the canonicalizer as a Spark SQL expression over `col`.
+
+    This is the JVM-side fast path: a chain of built-in regexp_replace calls
+    stays inside whole-stage codegen — no Python round-trip — so bulk
+    canonicalization of 100 TB of text never leaves the executor JVM.
+    """
+    expr = f"coalesce({col}, '')"
+    for find, repl in LITERAL_REPLACES:
+        expr = (
+            f"replace({expr}, {_sql_string(find, escape_backslash=True)}, "
+            f"{_sql_string(repl, escape_backslash=True)})"
+        )
+    for pat, repl in REGEX_RULES:
+        # Spark SQL string literals interpret backslash escapes, so double
+        # them to deliver the pattern to java.util.regex intact; replacement
+        # backrefs use $1.
+        pat_sql = "'" + pat.replace("\\", "\\\\").replace("'", "''") + "'"
+        repl_java = re.sub(r"\\(\d)", r"$\1", repl)
+        repl_sql = _sql_string(repl_java, escape_backslash=True)
+        expr = f"regexp_replace({expr}, {pat_sql}, {repl_sql})"
+    return expr

@@ -1,0 +1,136 @@
+"""Arrow-batched extraction UDFs — the engine's hot path.
+
+``extract_turns`` is the Spark-facing mapInPandas stage reproducing the
+reference's per-document driver (``processFile`` /
+``extractTextFromPDF`` fallback chain, ``apps/legacy/src/services/pdf.ts:131-206``
+and ``apps/ocr/src/controllers/ocr-controller.ts:33-208``) as a vectorized
+batch transform:
+
+1. HTML payloads -> tag-stack main-content strip (html_strip)
+2. else non-empty text -> canonicalize (text_rules), span = trimmed extent
+3. else -> fallback to the ``tool`` payload: tolerant JSON parse, take
+   ``output``, OCR-normalize (the reference's empty-text OCR fallback,
+   pdf.ts:158-164); both empty -> ok=false lineage signal
+   (fileProcessor.ts:63-77)
+
+No per-row Python on the dominant plain-text path: classification, trimming
+offsets and canonicalization are pandas/C vectorized; only HTML rows and
+fallback rows (rare by construction) take the per-string parser.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from janet_spark.extract.html_strip import looks_like_html, strip_html
+from janet_spark.extract.metadata import tolerant_json_parse
+from janet_spark.extract.text_rules import canonicalize_series, canonicalize_str
+
+# Spark-side schema of the extraction output (DDL string for mapInPandas).
+EXTRACT_OUTPUT_DDL = (
+    "conv_id string, turn_idx int, role string, ts timestamp, "
+    "extracted_text string, "
+    "spans array<struct<start:int,end:int,kind:string>>, "
+    "blocks_kept int, blocks_dropped int, span_count int, ok boolean"
+)
+
+_PASSTHROUGH = ["conv_id", "turn_idx", "role", "ts"]
+
+
+def extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Extract one Arrow batch. Input columns: conv_id, turn_idx, role,
+    text, tool, ts. Output: EXTRACT_OUTPUT_DDL."""
+    n = len(pdf)
+    positions = {ix: i for i, ix in enumerate(pdf.index)}
+    text = pdf["text"].fillna("").astype(str)
+    tool = pdf["tool"].fillna("").astype(str) if "tool" in pdf else pd.Series([""] * n)
+
+    extracted = pd.Series([""] * n, index=pdf.index, dtype=object)
+    spans: list[list[dict]] = [[] for _ in range(n)]
+    kept = pd.Series(0, index=pdf.index, dtype="int32")
+    dropped = pd.Series(0, index=pdf.index, dtype="int32")
+    ok = pd.Series(False, index=pdf.index)
+
+    # cheap vectorized prefilter, exact per-row check only where '<' occurs
+    maybe_html = text.str.contains("<", regex=False)
+    html_mask = pd.Series(False, index=pdf.index)
+    if maybe_html.any():
+        html_mask.loc[maybe_html] = (
+            text[maybe_html].map(looks_like_html).astype(bool)
+        )
+    html_mask = html_mask.astype(bool)
+
+    # --- plain path (vectorized) ---
+    plain_idx = pdf.index[(~html_mask).to_numpy()]
+    if len(plain_idx):
+        raw = text[plain_idx]
+        canon = canonicalize_series(raw)
+        nonempty = (canon.str.len() > 0).to_numpy()
+        pe = plain_idx[nonempty]
+        if len(pe):
+            extracted[pe] = canon[nonempty]
+            ok[pe] = True
+            kept[pe] = 1
+            starts = (raw[nonempty].str.len() - raw[nonempty].str.lstrip().str.len()).astype(int)
+            ends = raw[nonempty].str.rstrip().str.len().astype(int)
+            s_arr, e_arr = starts.to_numpy(), ends.to_numpy()
+            for j, ix in enumerate(pe):
+                spans[positions[ix]] = [
+                    {"start": int(s_arr[j]), "end": int(e_arr[j]), "kind": "plain"}
+                ]
+        # --- fallback path: empty text -> tool payload (rare) ---
+        for ix in plain_idx[~nonempty]:
+            raw_tool = tool[ix]
+            obj = tolerant_json_parse(raw_tool)
+            out = obj.get("output") if isinstance(obj, dict) else None
+            if isinstance(out, str):
+                out_clean = canonicalize_str(out)
+            else:
+                out_clean = ""
+            pos = positions[ix]
+            if out_clean:
+                extracted[ix] = out_clean
+                ok[ix] = True
+                kept[ix] = 1
+                blob_start = raw_tool.find("{")
+                blob_end = raw_tool.rfind("}") + 1
+                spans[pos] = [
+                    {"start": int(blob_start), "end": int(blob_end), "kind": "ocr"}
+                ]
+            # else: ok stays False, empty output — failed-extraction row
+
+    # --- html path (per-row parser) ---
+    for ix in pdf.index[html_mask.to_numpy()]:
+        t, sp, k, d = strip_html(text[ix])
+        pos = positions[ix]
+        extracted[ix] = t
+        spans[pos] = [{"start": s, "end": e, "kind": kind} for s, e, kind in sp]
+        kept[ix] = k
+        dropped[ix] = d
+        ok[ix] = bool(t)
+
+    out = pd.DataFrame(
+        {
+            "conv_id": pdf["conv_id"],
+            "turn_idx": pdf["turn_idx"].astype("int32"),
+            "role": pdf.get("role", pd.Series([""] * n)),
+            "ts": pdf.get("ts"),
+            "extracted_text": extracted,
+            "spans": spans,
+            "blocks_kept": kept,
+            "blocks_dropped": dropped,
+            "span_count": pd.Series([len(s) for s in spans], index=pdf.index, dtype="int32"),
+            "ok": ok,
+        }
+    )
+    return out
+
+
+def extract_turns_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas entrypoint (iterator form keeps memory bounded at wide
+    text payloads — SURVEY.md §7 hard part #6)."""
+    for pdf in batches:
+        if len(pdf):
+            yield extract_batch(pdf)

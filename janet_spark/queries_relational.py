@@ -1,0 +1,506 @@
+"""Relational operator queries (SURVEY.md §2 scans/filters/joins/aggs/
+windows/set-ops) with DuckDB oracle SQL.
+
+Each Spark query is written with the DataFrame API (declarative, Catalyst-
+optimized: predicate pushdown, column pruning, broadcast selection) and each
+oracle is independent ANSI SQL over the same parquet views. Every computed
+column is aliased identically on both sides (driver hashes by column name).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- A2-style aggregation showcase (pricing summary over lineitem) ---------
+
+
+def q_pricing_summary(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+ORACLE_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --- W6 top-k --------------------------------------------------------------
+
+
+def q_top_orders(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "orders")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 4).alias("total_price"))
+        .limit(10)
+    )
+
+
+ORACLE_TOP_ORDERS = """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS total_price
+FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+# --- S4 point lookup (predicate pushdown) ----------------------------------
+
+
+def q_point_lookup(spark, sf_dir):
+    orders = t(spark, sf_dir, "orders")
+    min_key = orders.agg(F.min("o_orderkey")).collect()[0][0]
+    return orders.filter(F.col("o_orderkey") == F.lit(min_key)).select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+
+
+ORACLE_POINT_LOOKUP = """
+SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders)
+"""
+
+
+# --- F2/J1 resume anti-join (the reference's incremental filter,
+#     apps/legacy/rename.ts:61-64) -----------------------------------------
+
+
+def q_resume_anti_join(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    manifest = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    remaining = li.join(manifest, "l_orderkey", "left_anti")
+    return (
+        remaining.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_remaining"),
+            F.round(F.sum("l_quantity"), 4).alias("qty_remaining"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_RESUME_ANTI_JOIN = """
+SELECT l_returnflag, count(*) AS n_remaining,
+       round(sum(l_quantity), 4) AS qty_remaining
+FROM lineitem
+WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+# --- F3/J2 semi join (search-results filter, apps/web/lib/store.ts:197-201) -
+
+
+def q_semi_join_search(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer")
+    hits = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return (
+        cust.join(hits, "c_custkey", "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+ORACLE_SEMI_JOIN_SEARCH = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+ORDER BY c_custkey
+"""
+
+
+# --- W2 per-group match ordinal (row_number over ordered window) ------------
+
+
+def q_match_ordinal(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 100)
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.row_number().over(w).alias("match_idx"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+ORACLE_MATCH_ORDINAL = """
+SELECT l_orderkey, l_linenumber,
+       row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS match_idx
+FROM lineitem WHERE l_orderkey <= 100
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+# --- A1/W1 ordered concat (stable page-order reassembly on relational data) -
+
+
+def q_ordered_concat(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.withColumn("flag", F.concat("l_returnflag", "l_linestatus"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("l_linenumber"), F.col("flag").alias("f")))
+                    ),
+                    lambda s: s.getField("f"),
+                ),
+                "",
+            ).alias("flags_concat"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+ORACLE_ORDERED_CONCAT = """
+SELECT l_orderkey,
+       string_agg(l_returnflag || l_linestatus, ''
+                  ORDER BY l_linenumber, l_returnflag || l_linestatus) AS flags_concat,
+       count(*) AS n_lines
+FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey
+"""
+
+
+# --- U1 dedup last-writer-wins (manifest upsert semantics,
+#     apps/legacy/src/utils/file.ts:41-49) ----------------------------------
+
+
+def q_latest_event_per_user(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+        .orderBy("user_id")
+    )
+
+
+ORACLE_LATEST_EVENT_PER_USER = """
+SELECT user_id, event_id, event_type FROM (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1 ORDER BY user_id
+"""
+
+
+# --- J4 broadcast dimension join -------------------------------------------
+
+
+def q_broadcast_brand_revenue(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+ORACLE_BROADCAST_BRAND_REVENUE = """
+SELECT p_brand,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+# --- multi-join aggregate (region -> nation -> customer -> orders -> li) ----
+
+
+def q_revenue_by_region(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("r_name")
+    )
+
+
+ORACLE_REVENUE_BY_REGION = """
+SELECT r_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+"""
+
+
+# --- tumbling window over events (batch analog of streaming windows) --------
+
+
+def q_tumbling_hourly_events(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("hour_start", "event_type")
+    )
+
+
+ORACLE_TUMBLING_HOURLY_EVENTS = """
+SELECT date_trunc('hour', ts) AS hour_start, event_type,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type
+"""
+
+
+# --- sessionization (gap > 30 min) — lag + cumulative window ----------------
+
+
+def q_sessionize_events(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # full microsecond precision on both sides (session TZ is UTC, so the
+    # NTZ->LTZ cast is identity; DuckDB's epoch(ts) is fractional seconds)
+    epoch = F.expr("cast(cast(ts as timestamp_ltz) as double)")
+    gapped = ev.withColumn(
+        "new_session",
+        F.when(
+            epoch - F.lag(epoch, 1, 0).over(w) > 1800,
+            1,
+        )
+        .otherwise(0)
+        .cast("int"),
+    ).withColumn(
+        "session_seq",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        gapped.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+ORACLE_SESSIONIZE_EVENTS = """
+WITH g AS (
+  SELECT user_id, event_id, value, ts,
+         CASE WHEN epoch(ts) - lag(epoch(ts), 1, 0.0)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), s AS (
+  SELECT user_id, value,
+         cast(sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+  FROM g
+)
+SELECT user_id, session_seq, count(*) AS n_events,
+       round(sum(value), 4) AS session_value
+FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq
+"""
+
+
+# --- T12 tolerant JSON field extraction over events.props -------------------
+
+
+def q_json_props_histogram(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k_val", F.get_json_object("props", "$.k").cast("int"))
+        .withColumn("k_bucket", F.floor(F.col("k_val") / 10).cast("int"))
+        .groupBy("k_bucket")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("k_bucket")
+    )
+
+
+ORACLE_JSON_PROPS_HISTOGRAM = """
+SELECT cast(floor(cast(json_extract_string(props, '$.k') AS INT) / 10) AS INT) AS k_bucket,
+       count(*) AS n_events
+FROM events GROUP BY 1 ORDER BY k_bucket
+"""
+
+
+# --- T9 filename sanitization / T15 fs-safe timestamp / T11 canonical name --
+
+
+def q_sanitized_filenames(spark, sf_dir):
+    cust = t(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.regexp_replace(F.col("c_name"), "[^a-zA-Z0-9._-]+", "_").alias("safe_name"),
+    ).orderBy("c_custkey")
+
+
+ORACLE_SANITIZED_FILENAMES = """
+SELECT c_custkey, regexp_replace(c_name, '[^a-zA-Z0-9._-]+', '_', 'g') AS safe_name
+FROM customer ORDER BY c_custkey
+"""
+
+
+def q_canonical_rename_sql(spark, sf_dir):
+    """T11 target-format filename composed relationally:
+    'YYYY-MM-DD Company - Description.pdf' (openai.ts:28-67 format)."""
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+    cust = t(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "o_orderkey",
+            F.concat(
+                F.date_format("o_orderdate", "yyyy-MM-dd"),
+                F.lit(" "),
+                F.col("c_name"),
+                F.lit(" - Order "),
+                F.col("o_orderkey"),
+                F.lit(".pdf"),
+            ).alias("canonical_name"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+ORACLE_CANONICAL_RENAME_SQL = """
+SELECT o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') || ' ' || c_name || ' - Order ' ||
+       o_orderkey || '.pdf' AS canonical_name
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderkey <= 500 ORDER BY o_orderkey
+"""
+
+
+def q_fs_safe_timestamp(spark, sf_dir):
+    """T15: toISOString().replace(/[:.]/g,'-') — filesystem-safe stamps."""
+    ev = t(spark, sf_dir, "events").filter(F.col("event_id") <= 200)
+    return ev.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd'T'HH-mm-ss").alias("fs_stamp"),
+    ).orderBy("event_id")
+
+
+ORACLE_FS_SAFE_TIMESTAMP = """
+SELECT event_id, strftime(ts, '%Y-%m-%dT%H-%M-%S') AS fs_stamp
+FROM events WHERE event_id <= 200 ORDER BY event_id
+"""
+
+
+def q_ordinal_dates(spark, sf_dir):
+    """T14 formatDate with English ordinals ('March 3rd, 2024',
+    apps/web/lib/utils.ts:8-33) — pure relational expression."""
+    orders = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 300)
+    day = F.dayofmonth("o_orderdate")
+    suffix = (
+        F.when((day % 100).isin(11, 12, 13), "th")
+        .when(day % 10 == 1, "st")
+        .when(day % 10 == 2, "nd")
+        .when(day % 10 == 3, "rd")
+        .otherwise("th")
+    )
+    return orders.select(
+        "o_orderkey",
+        F.concat(
+            F.date_format("o_orderdate", "MMMM"),
+            F.lit(" "),
+            day.cast("string"),
+            suffix,
+            F.lit(", "),
+            F.year("o_orderdate").cast("string"),
+        ).alias("pretty_date"),
+    ).orderBy("o_orderkey")
+
+
+ORACLE_ORDINAL_DATES = """
+SELECT o_orderkey,
+       monthname(o_orderdate) || ' ' || cast(day(o_orderdate) AS varchar) ||
+       (CASE WHEN day(o_orderdate) % 100 IN (11,12,13) THEN 'th'
+             WHEN day(o_orderdate) % 10 = 1 THEN 'st'
+             WHEN day(o_orderdate) % 10 = 2 THEN 'nd'
+             WHEN day(o_orderdate) % 10 = 3 THEN 'rd'
+             ELSE 'th' END) || ', ' || cast(year(o_orderdate) AS varchar)
+       AS pretty_date
+FROM orders WHERE o_orderkey <= 300 ORDER BY o_orderkey
+"""
+
+
+RELATIONAL_QUERIES = {
+    "pricing_summary": (q_pricing_summary, ORACLE_PRICING_SUMMARY),
+    "top_orders": (q_top_orders, ORACLE_TOP_ORDERS),
+    "point_lookup": (q_point_lookup, ORACLE_POINT_LOOKUP),
+    "resume_anti_join": (q_resume_anti_join, ORACLE_RESUME_ANTI_JOIN),
+    "semi_join_search": (q_semi_join_search, ORACLE_SEMI_JOIN_SEARCH),
+    "match_ordinal": (q_match_ordinal, ORACLE_MATCH_ORDINAL),
+    "ordered_concat": (q_ordered_concat, ORACLE_ORDERED_CONCAT),
+    "latest_event_per_user": (q_latest_event_per_user, ORACLE_LATEST_EVENT_PER_USER),
+    "broadcast_brand_revenue": (q_broadcast_brand_revenue, ORACLE_BROADCAST_BRAND_REVENUE),
+    "revenue_by_region": (q_revenue_by_region, ORACLE_REVENUE_BY_REGION),
+    "tumbling_hourly_events": (q_tumbling_hourly_events, ORACLE_TUMBLING_HOURLY_EVENTS),
+    "sessionize_events": (q_sessionize_events, ORACLE_SESSIONIZE_EVENTS),
+    "json_props_histogram": (q_json_props_histogram, ORACLE_JSON_PROPS_HISTOGRAM),
+    "sanitized_filenames": (q_sanitized_filenames, ORACLE_SANITIZED_FILENAMES),
+    "canonical_rename_sql": (q_canonical_rename_sql, ORACLE_CANONICAL_RENAME_SQL),
+    "fs_safe_timestamp": (q_fs_safe_timestamp, ORACLE_FS_SAFE_TIMESTAMP),
+    "ordinal_dates": (q_ordinal_dates, ORACLE_ORDINAL_DATES),
+}

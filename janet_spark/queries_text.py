@@ -1,0 +1,742 @@
+"""Text-extraction, dedup, similarity and text-analysis queries over the
+driver's `documents` / `embeddings` tables and the SQL-derived transcripts.
+
+These are (a) the flagship extraction pipeline registered for the
+correctness gate, and (b) the training-data-pipeline operators (exact dedup,
+MinHash-LSH near-dup, n-gram Jaccard, SimHash, embedding near-dup, ANN
+top-k, token counting, quality scoring, fingerprinting). Spark side =
+DataFrame API + Arrow-vectorized UDFs; oracle side = independent DuckDB SQL
+(same rounding, same aliases). Where the operator is not SQL-expressible
+(SimHash bits, language-ID heuristic, char-span arrays) the oracle is
+omitted and pytest carries the semantics.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from janet_spark.derive import DUCKDB_TRANSCRIPTS_SQL, derived_transcripts
+from janet_spark.extract.rename import suggest_name
+from janet_spark.extract.spans import find_matches, normalize_keyword
+from janet_spark.extract.text_rules import (
+    canonicalize_series,
+    duckdb_canonicalize_sql,
+)
+from janet_spark.pipeline import extract_only
+from janet_spark.queries_relational import t
+from janet_spark.reassemble import reassemble_conversations
+
+_TRANSCRIPTS_CTE = f"WITH transcripts AS ({DUCKDB_TRANSCRIPTS_SQL})"
+
+
+# ---------------------------------------------------------------------------
+# flagship: extraction pipeline over derived transcripts
+# ---------------------------------------------------------------------------
+
+
+def q_extract_turns(spark, sf_dir):
+    tr = derived_transcripts(spark, sf_dir)
+    out = extract_only(tr, skew_threshold=10_000, detect_skew=True)
+    return out.select("conv_id", "turn_idx", "extracted_text").orderBy(
+        "conv_id", "turn_idx"
+    )
+
+
+ORACLE_EXTRACT_TURNS = f"""
+{_TRANSCRIPTS_CTE}
+SELECT conv_id, turn_idx, {duckdb_canonicalize_sql('text')} AS extracted_text
+FROM transcripts ORDER BY conv_id, turn_idx
+"""
+
+
+def q_reassemble_convs(spark, sf_dir):
+    tr = derived_transcripts(spark, sf_dir)
+    out = extract_only(tr, detect_skew=False)
+    return (
+        reassemble_conversations(out)
+        .select("conv_id", "conv_text", "n_turns")
+        .orderBy("conv_id")
+    )
+
+
+ORACLE_REASSEMBLE_CONVS = f"""
+{_TRANSCRIPTS_CTE}
+SELECT conv_id,
+       string_agg({duckdb_canonicalize_sql('text')}, chr(10) ORDER BY turn_idx) AS conv_text,
+       count(*) AS n_turns
+FROM transcripts GROUP BY conv_id ORDER BY conv_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# canonicalizer on synthetically dirtied text (rules do real work)
+# ---------------------------------------------------------------------------
+
+# the same "dirt" is applied in both dialects: padding, an OCR line-break
+# hyphen inside every 'data', a ligature word, and tab runs
+_SPARK_DIRTY = (
+    "concat('  ', replace(replace(text, 'data', concat('da-', chr(10), 'ta')), "
+    "'fast', 'ﬁnancial ﬂow'), chr(9), chr(9), ' ')"
+)
+_DUCK_DIRTY = (
+    "'  ' || replace(replace(text, 'data', 'da-' || chr(10) || 'ta'), "
+    "'fast', 'ﬁnancial ﬂow') || chr(9) || chr(9) || ' '"
+)
+
+
+def q_clean_canonicalize(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents").withColumn("dirty", F.expr(_SPARK_DIRTY))
+
+    @F.pandas_udf("string")
+    def canon(s: pd.Series) -> pd.Series:
+        return canonicalize_series(s)
+
+    return docs.select("doc_id", canon("dirty").alias("clean_text")).orderBy("doc_id")
+
+
+ORACLE_CLEAN_CANONICALIZE = f"""
+SELECT doc_id, {duckdb_canonicalize_sql(f'({_DUCK_DIRTY})')} AS clean_text
+FROM documents ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# HTML boilerplate strip round-trip
+# ---------------------------------------------------------------------------
+
+_WRAP_SPARK = (
+    "concat('<html><head><title>t</title></head><body>',"
+    "'<nav><a href=\"#\">Home</a> <a href=\"#\">About</a></nav>',"
+    "'<div><p>', text, '</p></div>',"
+    "'<footer><a href=\"#\">Contact</a> (c) corp</footer></body></html>')"
+)
+
+
+def q_html_strip(spark, sf_dir):
+    from janet_spark.extract.html_strip import strip_html
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_WRAP_SPARK).alias("html")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            res = [strip_html(h) for h in pdf["html"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "extracted_text": [r[0] for r in res],
+                    "blocks_kept": pd.Series([r[2] for r in res], dtype="int32"),
+                    "blocks_dropped": pd.Series([r[3] for r in res], dtype="int32"),
+                }
+            )
+
+    return docs.mapInPandas(
+        run,
+        schema="doc_id long, extracted_text string, blocks_kept int, blocks_dropped int",
+    ).orderBy("doc_id")
+
+
+# the wrapper's main <p> is the document text; title/nav/footer are dropped
+ORACLE_HTML_STRIP = f"""
+SELECT doc_id, {duckdb_canonicalize_sql('text')} AS extracted_text,
+       1 AS blocks_kept, 3 AS blocks_dropped
+FROM documents ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis: token counts, quality scoring
+# ---------------------------------------------------------------------------
+
+
+def q_token_counts(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.expr(r"regexp_extract_all(text, '[^ ]+', 0)")).alias("ws_tokens"),
+        F.size(
+            F.expr(r"regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)")
+        ).alias("bpe_ish_tokens"),
+    ).orderBy("doc_id")
+
+
+ORACLE_TOKEN_COUNTS = """
+SELECT doc_id,
+       len(regexp_extract_all(text, '[^ ]+')) AS ws_tokens,
+       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS bpe_ish_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_quality_scores(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words)
+    n_stop = F.size(F.filter(words, lambda w: w.isin("the", "a")))
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(n_stop / n_words, 4).alias("stopword_ratio"),
+        F.round(
+            F.length(F.regexp_replace("text", "[^a-z]", "")) / F.length("text"), 4
+        ).alias("alpha_ratio"),
+    ).orderBy("doc_id")
+
+
+ORACLE_QUALITY_SCORES = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_words,
+       round(len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a')))
+             / len(string_split(text, ' '))::double, 4) AS stopword_ratio,
+       round(len(regexp_replace(text, '[^a-z]', '', 'g'))::double / len(text), 4)
+         AS alpha_ratio
+FROM documents ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+
+def q_exact_dedup(spark, sf_dir):
+    """Exact dedup by hash key (U3; hash-groupBy — the map-side-combinable
+    scale path). Key = md5 of the 24-char prefix fingerprint."""
+    docs = t(spark, sf_dir, "documents")
+    key = F.md5(F.substring("text", 1, 24))
+    return (
+        docs.select(key.alias("dup_key"), "doc_id")
+        .groupBy("dup_key")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("keeper_doc_id"))
+        .filter(F.col("n_dups") > 1)
+        .orderBy("dup_key")
+    )
+
+
+ORACLE_EXACT_DEDUP = """
+SELECT md5(substr(text, 1, 24)) AS dup_key, count(*) AS n_dups,
+       min(doc_id) AS keeper_doc_id
+FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY dup_key
+"""
+
+_JACCARD_THRESHOLD = 0.8
+_SHINGLE_WORDS = 5
+
+
+def _shingle_df(docs: DataFrame) -> DataFrame:
+    words = F.split(F.col("text"), " ")
+    n = F.greatest(F.size(words) - (_SHINGLE_WORDS - 1), F.lit(1))
+    shingles = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(words, i, _SHINGLE_WORDS), " "),
+    )
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(shingles)).alias("sh")
+    )
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """Near-dup pairs by exact n-gram Jaccard (explode -> equi-join on
+    shingle -> count). This is the exact baseline; the LSH query below is
+    the scale path (this one is quadratic in shingle-frequency)."""
+    docs = t(spark, sf_dir, "documents")
+    sh = _shingle_df(docs)
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    c1 = counts.select(F.col("doc_id").alias("d1"), F.col("n_sh").alias("n1"))
+    c2 = counts.select(F.col("doc_id").alias("d2"), F.col("n_sh").alias("n2"))
+    jac = F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))
+    return (
+        inter.join(c1, "d1")
+        .join(c2, "d2")
+        .withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+        .select("d1", "d2", "jaccard")
+        .orderBy("d1", "d2")
+    )
+
+
+ORACLE_NGRAM_JACCARD_PAIRS = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+d AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(1, greatest(len(words) - {_SHINGLE_WORDS - 1}, 1) + 1),
+             i -> array_to_string(list_slice(words, i, i + {_SHINGLE_WORDS - 1}), ' ')
+           )) AS sh
+    FROM w)
+),
+cnt AS (SELECT doc_id, count(*) AS n FROM d GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+  FROM d a JOIN d b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT d1, d2,
+       round(inter::double / (c1.n + c2.n - inter), 4) AS jaccard
+FROM pairs JOIN cnt c1 ON c1.doc_id = d1 JOIN cnt c2 ON c2.doc_id = d2
+WHERE round(inter::double / (c1.n + c2.n - inter), 4) >= {_JACCARD_THRESHOLD}
+ORDER BY d1, d2
+"""
+
+# MinHash parameters: 64 permutations in 16 bands x 4 rows. At
+# jaccard >= 0.8 the miss probability per pair is (1 - 0.8^4)^16 ~ 2e-4,
+# so candidate recall is effectively exact and the verified output equals
+# the exact-Jaccard result — which is exactly what the oracle checks.
+_MH_PERMS = 64
+_MH_BANDS = 16
+_MH_ROWS = _MH_PERMS // _MH_BANDS
+_MH_PRIME = (1 << 61) - 1
+_rng = np.random.RandomState(42)
+_MH_A = _rng.randint(1, _MH_PRIME, size=_MH_PERMS, dtype=np.int64)
+_MH_B = _rng.randint(0, _MH_PRIME, size=_MH_PERMS, dtype=np.int64)
+
+
+def _minhash_signature(shingles: list[str]) -> np.ndarray:
+    if not shingles:
+        return np.zeros(_MH_PERMS, dtype=np.int64)
+    h = np.array(
+        [zlib.crc32(s.encode("utf-8")) for s in shingles], dtype=np.int64
+    )  # (n,)
+    # (perms, n) affine hashes mod Mersenne prime, min over shingles
+    vals = (h[None, :] * _MH_A[:, None] + _MH_B[:, None]) % _MH_PRIME
+    return vals.min(axis=1)
+
+
+def _doc_shingles(text: str) -> list[str]:
+    words = text.split(" ")
+    k = _SHINGLE_WORDS
+    if len(words) < k:
+        return [" ".join(words)]
+    return list({" ".join(words[i : i + k]) for i in range(len(words) - k + 1)})
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash + LSH banding near-dup pairs (the 100 TB-scale dedup path):
+    signature per doc (vectorized numpy inside mapInPandas), band keys
+    exploded, bucket equi-join produces candidates, exact Jaccard verifies.
+    Output is identical to the exact-Jaccard query, which serves as oracle.
+    """
+    docs = t(spark, sf_dir, "documents")
+
+    def sig_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"].fillna("")):
+                sig = _minhash_signature(_doc_shingles(text))
+                for band in range(_MH_BANDS):
+                    chunk = sig[band * _MH_ROWS : (band + 1) * _MH_ROWS]
+                    key = f"{band}:" + ",".join(str(int(v)) for v in chunk)
+                    rows.append((int(doc_id), key))
+            yield pd.DataFrame(rows, columns=["doc_id", "band_key"])
+
+    bands = docs.mapInPandas(sig_batches, schema="doc_id long, band_key string")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+
+    # exact-Jaccard verification of candidates only
+    sh = _shingle_df(docs)
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    s1 = sh.select(F.col("doc_id").alias("d1"), F.col("sh").alias("sh1"))
+    s2 = sh.select(F.col("doc_id").alias("d2_r"), F.col("sh").alias("sh2"))
+    inter = (
+        candidates.join(s1, "d1")
+        .join(s2, (F.col("d2") == F.col("d2_r")) & (F.col("sh1") == F.col("sh2")))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    c1 = counts.select(F.col("doc_id").alias("d1"), F.col("n_sh").alias("n1"))
+    c2 = counts.select(F.col("doc_id").alias("d2"), F.col("n_sh").alias("n2"))
+    jac = F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))
+    return (
+        inter.join(c1, "d1")
+        .join(c2, "d2")
+        .withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+        .select("d1", "d2", "jaccard")
+        .orderBy("d1", "d2")
+    )
+
+
+def q_simhash(spark, sf_dir):
+    """64-bit SimHash per document (no SQL oracle — bit semantics pinned by
+    pytest: near-dup docs must land within small Hamming distance)."""
+    docs = t(spark, sf_dir, "documents")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"].fillna("")):
+                acc = np.zeros(64, dtype=np.int64)
+                for w in set(text.split(" ")):
+                    h = zlib.crc32(w.encode()) | (zlib.crc32(w[::-1].encode()) << 32)
+                    bits = np.unpackbits(
+                        np.frombuffer(np.uint64(h).tobytes(), dtype=np.uint8)
+                    ).astype(np.int64)
+                    acc += bits * 2 - 1
+                sim = np.packbits((acc > 0).astype(np.uint8)).tobytes()
+                out.append((int(doc_id), int.from_bytes(sim, "big", signed=True)))
+            yield pd.DataFrame(out, columns=["doc_id", "simhash"])
+
+    return docs.mapInPandas(run, schema="doc_id long, simhash long").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for query vectors (vec_id < 10): broadcast
+    query matrix into a mapInPandas numpy GEMM, then a global top-k window.
+    At cluster scale the GEMM is per-partition and only (q, k) survivors
+    shuffle."""
+    emb = t(spark, sf_dir, "embeddings")
+    q_rows = emb.filter(F.col("vec_id") < 10).select("vec_id", "embedding").collect()
+    q_ids = np.array([r["vec_id"] for r in q_rows])
+    q_mat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((q_ids, q_norm))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, qn = bc.value
+        for pdf in batches:
+            m = np.array(list(pdf["embedding"]), dtype=np.float64)
+            mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+            sims = mn @ qn.T  # (n, q)
+            n, q = sims.shape
+            yield pd.DataFrame(
+                {
+                    "q_id": np.repeat(ids, n),
+                    "vec_id": np.tile(pdf["vec_id"].to_numpy(), q),
+                    "sim": np.round(sims.T.reshape(-1), 4),
+                }
+            )
+
+    sims = emb.mapInPandas(run, schema="q_id long, vec_id long, sim double")
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        sims.filter(F.col("q_id") != F.col("vec_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("q_id", "vec_id", "sim", "rank")
+        .orderBy("q_id", "rank")
+    )
+
+
+ORACLE_ANN_COSINE_TOPK = """
+WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 10),
+sims AS (
+  SELECT q.q_id, e.vec_id,
+         round(list_cosine_similarity(q.qe, e.embedding::DOUBLE[]), 4) AS sim
+  FROM q JOIN embeddings e ON e.vec_id != q.q_id
+),
+ranked AS (
+  SELECT q_id, vec_id, sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM sims
+)
+SELECT q_id, vec_id, sim, rank FROM ranked WHERE rank <= 5 ORDER BY q_id, rank
+"""
+
+
+def q_embed_neardup_blocked(spark, sf_dir):
+    """Embedding-cosine near-dup pairs with IVF-style blocking on `label`
+    (the coarse cell): pairwise numpy GEMM *within* each block via
+    applyInPandas — no global cross join ever materializes."""
+    emb = t(spark, sf_dir, "embeddings").select("label", "vec_id", "embedding")
+
+    def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = np.array(list(pdf["embedding"]), dtype=np.float64)
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = mn @ mn.T
+        ids = pdf["vec_id"].to_numpy()
+        iu = np.triu_indices(len(ids), k=1)
+        s = np.round(sims[iu], 4)
+        keep = s >= 0.4
+        d1 = np.minimum(ids[iu[0]][keep], ids[iu[1]][keep])
+        d2 = np.maximum(ids[iu[0]][keep], ids[iu[1]][keep])
+        return pd.DataFrame(
+            {
+                "label": pdf["label"].iloc[0],
+                "v1": d1,
+                "v2": d2,
+                "sim": s[keep],
+            }
+        )
+
+    return (
+        emb.groupBy("label")
+        .applyInPandas(pairs, schema="label int, v1 long, v2 long, sim double")
+        .orderBy("label", "v1", "v2")
+    )
+
+
+ORACLE_EMBED_NEARDUP_BLOCKED = """
+SELECT a.label AS label, least(a.vec_id, b.vec_id) AS v1,
+       greatest(a.vec_id, b.vec_id) AS v2,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.4
+ORDER BY label, v1, v2
+"""
+
+
+# ---------------------------------------------------------------------------
+# fingerprinting / keyword matching
+# ---------------------------------------------------------------------------
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Winnowing-style document fingerprint: min hash over the document's
+    word shingles — one expression, no explode, fully JVM-side."""
+    docs = t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n = F.greatest(F.size(words) - (_SHINGLE_WORDS - 1), F.lit(1))
+    fp = F.array_min(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.md5(F.array_join(F.slice(words, i, _SHINGLE_WORDS), " ")),
+        )
+    )
+    return docs.select("doc_id", fp.alias("fingerprint")).orderBy("doc_id")
+
+
+ORACLE_DOC_FINGERPRINT = f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+SELECT doc_id,
+       list_min(list_transform(
+         range(1, greatest(len(words) - {_SHINGLE_WORDS - 1}, 1) + 1),
+         i -> md5(array_to_string(list_slice(words, i, i + {_SHINGLE_WORDS - 1}), ' '))
+       )) AS fingerprint
+FROM w ORDER BY doc_id
+"""
+
+
+def q_keyword_match_count(spark, sf_dir):
+    """T3 global scan, SQL-expressible projection: per-doc match count and
+    first-match position for the literal keyword 'merge sort'."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.expr("regexp_extract_all(text, 'merge sort', 0)")).alias("n_matches"),
+        F.locate("merge sort", F.col("text")).alias("first_pos"),
+    ).orderBy("doc_id")
+
+
+ORACLE_KEYWORD_MATCH_COUNT = """
+SELECT doc_id, len(regexp_extract_all(text, 'merge sort')) AS n_matches,
+       strpos(text, 'merge sort') AS first_pos
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_keyword_spans(spark, sf_dir):
+    """Full char-offset matches over derived transcripts (T3-T5 + W2).
+    Offsets are not SQL-expressible in DuckDB -> rows-only check; span
+    semantics (escape, whole-words quirk, ordinals) are pinned by pytest."""
+    tr = derived_transcripts(spark, sf_dir)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pattern = normalize_keyword("data", match_case=False, whole_words=False)
+        for pdf in batches:
+            rows = []
+            for conv_id, turn_idx, text in zip(
+                pdf["conv_id"], pdf["turn_idx"], pdf["text"].fillna("")
+            ):
+                for idx, s, e in find_matches(text, pattern, False):
+                    rows.append((conv_id, int(turn_idx), idx, s, e))
+            yield pd.DataFrame(
+                rows, columns=["conv_id", "turn_idx", "match_idx", "start", "end_off"]
+            )
+
+    return tr.mapInPandas(
+        run,
+        schema="conv_id string, turn_idx int, match_idx int, start int, end_off int",
+    ).orderBy("conv_id", "turn_idx", "match_idx")
+
+
+# ---------------------------------------------------------------------------
+# rename + metadata UDFs with injected golden content
+# ---------------------------------------------------------------------------
+
+_INJECT = " FEBRUARY 25, 2024 TRAVELERS Notice of Cancellation 612266004"
+_SPARK_CONTENT = (
+    f"CASE WHEN doc_id % 3 = 0 THEN concat(text, '{_INJECT}') ELSE text END"
+)
+_DUCK_EXPECTED_NAME = (
+    "CASE WHEN doc_id % 3 = 0 "
+    "THEN '2024-02-25 Travelers - Notice of Cancellation 612266004.pdf' "
+    "ELSE 'doc-' || doc_id || '.pdf' END"
+)
+
+
+def q_rename_suggest(spark, sf_dir):
+    """T11/X1 rename rules as a total-function UDF: docs with recognizable
+    (date, org) content get the canonical name; others keep their original
+    name. The oracle encodes the expected rule outcome independently."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("doc-"), F.col("doc_id"), F.lit(".pdf")).alias("orig"),
+        F.expr(_SPARK_CONTENT).alias("content"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "suggested_name": [
+                        suggest_name(o, c) for o, c in zip(pdf["orig"], pdf["content"])
+                    ],
+                }
+            )
+
+    return docs.mapInPandas(run, schema="doc_id long, suggested_name string").orderBy(
+        "doc_id"
+    )
+
+
+ORACLE_RENAME_SUGGEST = f"""
+SELECT doc_id, {_DUCK_EXPECTED_NAME} AS suggested_name
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_metadata_extract(spark, sf_dir):
+    """X7 metadata extraction as deterministic rules; oracle encodes the
+    expected struct fields per the injection rule."""
+    from janet_spark.extract.metadata import extract_metadata
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_SPARK_CONTENT).alias("content")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mds = [extract_metadata(c) for c in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "issuing_org": [m["issuingOrganization"] for m in mds],
+                    "primary_date": [m["primaryDate"] for m in mds],
+                    "doc_type": [m["documentType"] for m in mds],
+                    "n_amounts": pd.Series(
+                        [len(m["monetaryAmounts"]) for m in mds], dtype="int32"
+                    ),
+                }
+            )
+
+    return docs.mapInPandas(
+        run,
+        schema="doc_id long, issuing_org string, primary_date string, doc_type string, n_amounts int",
+    ).orderBy("doc_id")
+
+
+ORACLE_METADATA_EXTRACT = """
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'Travelers' END AS issuing_org,
+       CASE WHEN doc_id % 3 = 0 THEN '2024-02-25' END AS primary_date,
+       CASE WHEN doc_id % 3 = 0 THEN 'Notice of Cancellation' END AS doc_type,
+       0 AS n_amounts
+FROM documents ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# language ID + multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+def q_lang_id(spark, sf_dir):
+    """Heuristic language identification (stopword/CJK profiles) — not
+    SQL-expressible; semantics pinned by pytest on real multilingual text."""
+    from janet_spark.textops import lang_id_iter
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(
+        lang_id_iter, schema="doc_id long, detected_lang string"
+    ).orderBy("doc_id")
+
+
+def q_multimodal_probe(spark, sf_dir):
+    """Binary-column plumbing: opaque payload + typed metadata; byte length
+    survives the Arrow round trip (decode itself is stubbed; see
+    janet_spark/multimodal.py)."""
+    from janet_spark.multimodal import extract_features, synth_assets
+
+    assets = synth_assets(spark, sf_dir)
+    return extract_features(assets).select("asset_id", "kind", "n_bytes").orderBy(
+        "asset_id"
+    )
+
+
+ORACLE_MULTIMODAL_PROBE = """
+SELECT doc_id AS asset_id,
+       (['image','audio','video'])[cast(doc_id % 3 AS int) + 1] AS kind,
+       octet_length(encode(text)) AS n_bytes
+FROM documents ORDER BY asset_id
+"""
+
+
+def q_multimodal_features(spark, sf_dir):
+    from janet_spark.multimodal import extract_features, synth_assets
+
+    assets = synth_assets(spark, sf_dir)
+    return extract_features(assets).select("asset_id", "feat_norm").orderBy("asset_id")
+
+
+def q_frame_sample(spark, sf_dir):
+    from janet_spark.multimodal import sample_frames, synth_assets
+
+    assets = synth_assets(spark, sf_dir)
+    return sample_frames(assets).orderBy("asset_id", "frame_idx")
+
+
+TEXT_QUERIES = {
+    "extract_turns": (q_extract_turns, ORACLE_EXTRACT_TURNS),
+    "reassemble_convs": (q_reassemble_convs, ORACLE_REASSEMBLE_CONVS),
+    "clean_canonicalize": (q_clean_canonicalize, ORACLE_CLEAN_CANONICALIZE),
+    "html_strip": (q_html_strip, ORACLE_HTML_STRIP),
+    "token_counts": (q_token_counts, ORACLE_TOKEN_COUNTS),
+    "quality_scores": (q_quality_scores, ORACLE_QUALITY_SCORES),
+    "exact_dedup": (q_exact_dedup, ORACLE_EXACT_DEDUP),
+    "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, ORACLE_NGRAM_JACCARD_PAIRS),
+    "minhash_lsh_pairs": (q_minhash_lsh_pairs, ORACLE_NGRAM_JACCARD_PAIRS),
+    "simhash": (q_simhash, None),
+    "ann_cosine_topk": (q_ann_cosine_topk, ORACLE_ANN_COSINE_TOPK),
+    "embed_neardup_blocked": (q_embed_neardup_blocked, ORACLE_EMBED_NEARDUP_BLOCKED),
+    "doc_fingerprint": (q_doc_fingerprint, ORACLE_DOC_FINGERPRINT),
+    "keyword_match_count": (q_keyword_match_count, ORACLE_KEYWORD_MATCH_COUNT),
+    "keyword_spans": (q_keyword_spans, None),
+    "rename_suggest": (q_rename_suggest, ORACLE_RENAME_SUGGEST),
+    "metadata_extract": (q_metadata_extract, ORACLE_METADATA_EXTRACT),
+    "lang_id": (q_lang_id, None),
+    "multimodal_probe": (q_multimodal_probe, ORACLE_MULTIMODAL_PROBE),
+    "multimodal_features": (q_multimodal_features, None),
+    "frame_sample": (q_frame_sample, None),
+}

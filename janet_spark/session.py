@@ -1,0 +1,71 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Tuned for the target workload (wide string payloads through Arrow-batched
+pandas UDFs, shuffle-heavy joins/windows):
+
+* AQE on (runtime re-plan, skew-join backstop to our explicit salting),
+* Arrow transfer on, with a bounded records-per-batch so long `text`
+  payloads don't blow executor memory (SURVEY.md §7 "hard parts" #6),
+* shuffle partitions sized for the local[32] sandbox; on a real cluster
+  this is overridden via spark-submit --conf.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+ARROW_MAX_RECORDS_PER_BATCH = 2048
+
+
+def build_session(
+    app_name: str = "janet-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or get) a SparkSession with the engine's defaults applied."""
+    master = master or os.environ.get("JANET_SPARK_MASTER", "local[*]")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(ARROW_MAX_RECORDS_PER_BATCH),
+        )
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("JANET_SPARK_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def tune_for_session(spark: SparkSession) -> None:
+    """Apply the engine's runtime-settable defaults to an externally created
+    session (the driver hands us one in ``__spark_entry__``)."""
+    runtime = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": str(
+            ARROW_MAX_RECORDS_PER_BATCH
+        ),
+        "spark.sql.session.timeZone": "UTC",
+    }
+    for k, v in runtime.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - read-only conf on some builds
+            pass

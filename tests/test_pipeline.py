@@ -1,0 +1,140 @@
+"""End-to-end pipeline tests: golden per-turn text equality under stable
+(conv_id, turn_idx) ordering, reassembly, skew salting, and
+kill-and-restart resume (SURVEY.md §5 test plan items b/d/e)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from janet_spark import checkpoint as ckpt
+from janet_spark.pipeline import extract_only, read_output, run_job
+from janet_spark.reassemble import reassemble_conversations
+from janet_spark.synthetic import expected_conversation_text, make_transcripts
+
+TRANSCRIPT_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+)
+
+
+@pytest.fixture(scope="module")
+def fixtures(spark):
+    t, e = make_transcripts(n_convs=12, skew_turns=120, base_turns=8, seed=42)
+    tdf = spark.createDataFrame(t, schema=TRANSCRIPT_SCHEMA)
+    return tdf, e
+
+
+def test_per_turn_text_equality(spark, fixtures):
+    tdf, expected = fixtures
+    out = (
+        extract_only(tdf, skew_threshold=50, salt_buckets=4, num_partitions=8)
+        .select("conv_id", "turn_idx", "extracted_text", "ok", "blocks_kept")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    exp = expected.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert len(out) == len(exp)
+    merged = out.merge(exp, on=["conv_id", "turn_idx"], suffixes=("", "_exp"))
+    bad = merged[merged["extracted_text"] != merged["extracted_text_exp"]]
+    assert bad.empty, bad.head(5).to_dict("records")
+    assert (merged["ok"] == merged["ok_exp"]).all()
+    assert (merged["blocks_kept"] == merged["blocks_kept_exp"]).all()
+
+
+def test_reassembly_golden(spark, fixtures):
+    tdf, expected = fixtures
+    extracted = extract_only(tdf, skew_threshold=50, salt_buckets=4, num_partitions=8)
+    conv = (
+        reassemble_conversations(extracted)
+        .select("conv_id", "conv_text")
+        .toPandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    golden = expected_conversation_text(expected).sort_values("conv_id").reset_index(drop=True)
+    assert conv["conv_text"].tolist() == golden["conv_text"].tolist()
+
+
+def test_salting_does_not_change_results(spark, fixtures):
+    tdf, _ = fixtures
+    a = (
+        extract_only(tdf, skew_threshold=10, salt_buckets=8, num_partitions=16)
+        .select("conv_id", "turn_idx", "extracted_text")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    b = (
+        extract_only(tdf, skew_threshold=10**9, salt_buckets=1, num_partitions=2)
+        .select("conv_id", "turn_idx", "extracted_text")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_spans_point_into_original_payload(spark, fixtures):
+    tdf, _ = fixtures
+    out = extract_only(tdf, num_partitions=4).alias("o")
+    joined = (
+        out.join(tdf.alias("t"), ["conv_id", "turn_idx"])
+        .select("conv_id", "turn_idx", "o.extracted_text", "o.spans", "t.text", "t.tool")
+        .filter(F.size("spans") > 0)
+        .toPandas()
+    )
+    assert len(joined) > 0
+    for _, r in joined.iterrows():
+        for sp in r["spans"]:
+            src = r["tool"] if sp["kind"] == "ocr" else r["text"]
+            assert 0 <= sp["start"] <= sp["end"] <= len(src), (r["conv_id"], r["turn_idx"], sp)
+
+
+def test_resume_after_injected_failure(spark, fixtures, tmp_path):
+    tdf, expected = fixtures
+    out_dir = str(tmp_path / "out")
+
+    # clean run for the golden result
+    clean_dir = str(tmp_path / "clean")
+    run_job(spark, tdf, clean_dir, n_buckets=8, skew_threshold=50)
+    golden = (
+        read_output(spark, clean_dir)
+        .select("conv_id", "turn_idx", "extracted_text")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert len(golden) == len(expected)
+
+    # failed run: crash mid-commit
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_job(
+            spark, tdf, out_dir, n_buckets=8, skew_threshold=50, fail_after_n_buckets=3
+        )
+    done_after_crash = ckpt.completed_buckets(spark, out_dir)
+    assert done_after_crash, "some buckets must have committed before the crash"
+    assert len(done_after_crash) < 8
+
+    # resumed run: must skip completed buckets and reprocess none of them
+    summary = run_job(spark, tdf, out_dir, n_buckets=8, skew_threshold=50)
+    assert set(summary["resumed_skipping_buckets"]) == done_after_crash
+    assert not (set(summary["buckets_committed"]) & done_after_crash)
+
+    resumed = (
+        read_output(spark, out_dir)
+        .select("conv_id", "turn_idx", "extracted_text")
+        .toPandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(resumed, golden)
+
+
+def test_failed_rows_flagged_not_dropped(spark, fixtures):
+    tdf, expected = fixtures
+    out = extract_only(tdf, num_partitions=4)
+    n_failed = out.filter(~F.col("ok")).count()
+    assert n_failed == int((~expected["ok"]).sum())
+    assert n_failed > 0
