@@ -17,12 +17,14 @@ SF0001 = "/root/testdata/sf0.001"
 
 
 def _registry():
+    from janet_spark.queries_extra import EXTRA_QUERIES
     from janet_spark.queries_relational import RELATIONAL_QUERIES
     from janet_spark.queries_text import TEXT_QUERIES
 
     reg: dict[str, tuple] = {}
     reg.update(RELATIONAL_QUERIES)
     reg.update(TEXT_QUERIES)
+    reg.update(EXTRA_QUERIES)
     return reg
 
 
@@ -36,7 +38,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
     tune_for_session(spark)
     transcripts = derived_transcripts(spark, SF0001)
-    extracted = extract_only(transcripts, skew_threshold=1000, detect_skew=True)
+    extracted = extract_only(transcripts)
     return reassemble_conversations(extracted).select(
         "conv_id", "conv_text", "n_turns", "blocks_kept", "blocks_dropped", "all_ok"
     )

@@ -46,7 +46,7 @@ def main() -> None:
     # flagship: full extraction + reassembly; also yields turns/sec
     t0 = time.time()
     transcripts = derived_transcripts(spark, sf_dir)
-    extracted = extract_only(transcripts, skew_threshold=5000, detect_skew=True)
+    extracted = extract_only(transcripts)
     force(reassemble_conversations(extracted))
     timings["extract_pipeline"] = round(time.time() - t0, 3)
     n_turns = transcripts.count()

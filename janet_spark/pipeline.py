@@ -2,14 +2,32 @@
 
 Spark shape (SURVEY.md §3.1):
 
-    read -> resume anti-join vs lineage -> skew census -> salted
-    repartition by hash(conv_id) -> mapInPandas(extract) -> [write
-    per-bucket + lineage, two-phase]  -> window-ordered reassembly
+    read -> resume anti-join vs lineage -> mapInPandas(extract) as a NARROW
+    map over the scan -> bucket repartition -> [write per-bucket + lineage,
+    two-phase] -> two-level window-ordered reassembly
 
 Matches the reference's batch rename driver (``apps/legacy/rename.ts:51-106``)
 stage for stage: manifest load, backup, anti-join work list, per-item
 process, two-phase rename, manifest upsert — except the per-file sequential
 loop becomes partition-parallel extraction over Arrow batches.
+
+Scale notes:
+
+* Extraction is row-local, so it runs as a narrow map directly over the
+  file scan — NO pre-shuffle. Parallelism and balance come from input
+  splits (``spark.sql.files.maxPartitionBytes``), which are uniform by
+  construction; a skewed conversation costs nothing here because no stage
+  groups by conv_id yet. Measured on this 32-core box, dropping the
+  pre-extract repartition removed a full input-sized shuffle and most of
+  the system-CPU burn that capped 8->32-core scaling.
+* Skew handling lives where keys first meet: the write path buckets by
+  ``pmod(xxhash64(conv_id), n_buckets)`` with a conv-level write salt, and
+  reassembly uses a two-level chunked concat (contiguous ``turn_idx div
+  CHUNK`` ranges — order-preserving salting; see reassemble.py).
+* The explicit salted pre-partition (``partitioning.salted_repartition``)
+  remains available via ``pre_partition=True`` for operators that DO need
+  conv co-location before a per-group stage; results are identical either
+  way (tested).
 """
 
 from __future__ import annotations
@@ -31,6 +49,9 @@ from janet_spark.partitioning import (
 from janet_spark.reassemble import reassemble_conversations
 
 N_CHECKPOINT_BUCKETS = 32
+# files written per checkpoint bucket: spreads a bucket's write across
+# several reducers (and yields multiple parquet files per bucket dir)
+WRITE_SALT = 4
 
 
 def extract_only(
@@ -38,13 +59,26 @@ def extract_only(
     skew_threshold: int = DEFAULT_SKEW_THRESHOLD,
     salt_buckets: int = DEFAULT_SALT_BUCKETS,
     num_partitions: int | None = None,
-    detect_skew: bool = True,
+    detect_skew: bool = False,
+    pre_partition: bool = False,
 ) -> DataFrame:
     """Pure transformation: transcripts -> per-turn extraction output.
-    No I/O, no checkpointing — composable into queries and tests."""
-    skewed = detect_skewed_convs(transcripts, skew_threshold) if detect_skew else []
-    salted = salted_repartition(transcripts, skewed, salt_buckets, num_partitions)
-    return salted.mapInPandas(extract_turns_iter, schema=EXTRACT_OUTPUT_DDL)
+    No I/O, no checkpointing — composable into queries and tests.
+
+    Default is the narrow plan (map over the scan). ``pre_partition=True``
+    inserts the explicit hash(conv_id)+salt repartition first — same
+    results, one extra shuffle — for callers that want extraction output
+    already co-located by conversation."""
+    if pre_partition:
+        skewed = (
+            detect_skewed_convs(transcripts, skew_threshold) if detect_skew else []
+        )
+        src = salted_repartition(transcripts, skewed, salt_buckets, num_partitions)
+    elif num_partitions:
+        src = transcripts.repartition(num_partitions)
+    else:
+        src = transcripts
+    return src.mapInPandas(extract_turns_iter, schema=EXTRACT_OUTPUT_DDL)
 
 
 def run_job(
@@ -67,20 +101,21 @@ def run_job(
     done = ckpt.completed_buckets(spark, output_path)
     work = ckpt.resume_filter(work, done)
 
-    skewed = detect_skewed_convs(work, skew_threshold)
-    salted = salted_repartition(
-        work.select("conv_id", "turn_idx", "role", "text", "tool", "ts"),
-        skewed,
-        salt_buckets,
-    )
-    extracted = salted.mapInPandas(extract_turns_iter, schema=EXTRACT_OUTPUT_DDL)
-    extracted = extracted.withColumn(
-        "part_bucket", partition_bucket("conv_id", n_buckets)
-    )
+    extracted = extract_only(
+        work.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    ).withColumn("part_bucket", partition_bucket("conv_id", n_buckets))
 
     staging = f"{output_path}/_staging_{run_id}"
     (
-        extracted.write.mode("overwrite")
+        extracted
+        # one shuffle keyed on (bucket, conv-salt): co-locates each bucket
+        # into at most WRITE_SALT files while keeping a conversation in one
+        # file; replaces the old full-input pre-extract shuffle
+        .repartition(
+            F.col("part_bucket"),
+            F.pmod(F.xxhash64("conv_id"), F.lit(WRITE_SALT)),
+        )
+        .write.mode("overwrite")
         .partitionBy("part_bucket")
         .parquet(staging)
     )
@@ -114,7 +149,6 @@ def run_job(
             "run_id": run_id,
             "phase": "pre-commit",
             "resumed_skipping_buckets": sorted(done),
-            "skewed_convs": skewed,
             "buckets_staged": sorted(bucket_stats),
             "started_at": started,
         },
@@ -127,7 +161,6 @@ def run_job(
         "phase": "committed",
         "buckets_committed": committed,
         "resumed_skipping_buckets": sorted(done),
-        "skewed_convs": skewed,
         "n_turns": int(sum(s["n_turns"] for s in bucket_stats.values())),
         "started_at": started,
         "finished_at": datetime.now(timezone.utc),

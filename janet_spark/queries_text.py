@@ -43,7 +43,7 @@ _TRANSCRIPTS_CTE = f"WITH transcripts AS ({DUCKDB_TRANSCRIPTS_SQL})"
 
 def q_extract_turns(spark, sf_dir):
     tr = derived_transcripts(spark, sf_dir)
-    out = extract_only(tr, skew_threshold=10_000, detect_skew=True)
+    out = extract_only(tr)
     return out.select("conv_id", "turn_idx", "extracted_text").orderBy(
         "conv_id", "turn_idx"
     )
@@ -58,7 +58,7 @@ FROM transcripts ORDER BY conv_id, turn_idx
 
 def q_reassemble_convs(spark, sf_dir):
     tr = derived_transcripts(spark, sf_dir)
-    out = extract_only(tr, detect_skew=False)
+    out = extract_only(tr)
     return (
         reassemble_conversations(out)
         .select("conv_id", "conv_text", "n_turns")

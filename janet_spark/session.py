@@ -17,7 +17,16 @@ import os
 from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = 32
-ARROW_MAX_RECORDS_PER_BATCH = 2048
+# Arrow batch sizing: turns are ~0.3-5 KB of text, so 8192 rows ~= 2.5-40 MB
+# per batch — large enough to amortize the JVM<->Python socket syscalls that
+# dominate system time at high parallelism, small enough to keep worker
+# memory bounded (SURVEY.md §7 hard part #6).
+ARROW_MAX_RECORDS_PER_BATCH = 8192
+# Split size for file scans: the extraction stage is a NARROW map over the
+# scan (no pre-shuffle), so scan splits ARE its parallelism. 32 MB splits
+# give local[32] >= 32 tasks even on a ~1.5 GB input; on a real cluster this
+# also bounds per-task Arrow buffering for wide text rows.
+FILES_MAX_PARTITION_BYTES = str(32 * 1024 * 1024)
 
 
 def build_session(
@@ -43,6 +52,7 @@ def build_session(
             "spark.sql.execution.arrow.maxRecordsPerBatch",
             str(ARROW_MAX_RECORDS_PER_BATCH),
         )
+        .config("spark.sql.files.maxPartitionBytes", FILES_MAX_PARTITION_BYTES)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("JANET_SPARK_DRIVER_MEM", "8g"))
     )
@@ -62,6 +72,7 @@ def tune_for_session(spark: SparkSession) -> None:
         "spark.sql.execution.arrow.maxRecordsPerBatch": str(
             ARROW_MAX_RECORDS_PER_BATCH
         ),
+        "spark.sql.files.maxPartitionBytes": FILES_MAX_PARTITION_BYTES,
         "spark.sql.session.timeZone": "UTC",
     }
     for k, v in runtime.items():

@@ -60,7 +60,14 @@ def test_reassembly_golden(spark, fixtures):
 def test_salting_does_not_change_results(spark, fixtures):
     tdf, _ = fixtures
     a = (
-        extract_only(tdf, skew_threshold=10, salt_buckets=8, num_partitions=16)
+        extract_only(
+            tdf,
+            skew_threshold=10,
+            salt_buckets=8,
+            num_partitions=16,
+            detect_skew=True,
+            pre_partition=True,
+        )
         .select("conv_id", "turn_idx", "extracted_text")
         .toPandas()
         .sort_values(["conv_id", "turn_idx"])

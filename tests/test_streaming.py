@@ -1,0 +1,103 @@
+"""Structured Streaming front-end tests: incremental exactly-once extraction
+(AvailableNow draining only unprocessed files) and watermarked windowed
+aggregation."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from janet_spark.streaming import incremental_extract, windowed_turn_counts
+from janet_spark.synthetic import make_transcripts
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+def _write_batch(spark, pdf: pd.DataFrame, path: str) -> None:
+    df = spark.createDataFrame(
+        pdf,
+        schema="conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+def test_incremental_extract_exactly_once(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    t1, e1 = make_transcripts(n_convs=4, skew_turns=8, base_turns=6, seed=1)
+    _write_batch(spark, t1, landing)
+    q = incremental_extract(spark, landing, out, ckpt)
+    q.awaitTermination(120)
+    n1 = spark.read.parquet(out).count()
+    assert n1 == len(t1)
+
+    # second batch: only NEW files are processed on re-run
+    t2, _ = make_transcripts(n_convs=3, skew_turns=8, base_turns=5, seed=2)
+    t2 = t2.assign(conv_id=t2["conv_id"] + "-b2")
+    _write_batch(spark, t2, landing)
+    q = incremental_extract(spark, landing, out, ckpt)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == len(t1) + len(t2)
+    # no duplicates: every (conv_id, turn_idx) appears exactly once
+    assert got.select("conv_id", "turn_idx").distinct().count() == len(t1) + len(t2)
+
+    # per-turn text equality vs the independently constructed expectations
+    e1 = e1[e1["ok"]]
+    got_pd = (
+        got.filter(~got.conv_id.endswith("-b2"))
+        .select("conv_id", "turn_idx", "extracted_text")
+        .toPandas()
+        .set_index(["conv_id", "turn_idx"])["extracted_text"]
+    )
+    for _, r in e1.iterrows():
+        assert got_pd[(r["conv_id"], r["turn_idx"])] == r["extracted_text"]
+
+
+def test_windowed_counts_watermark(spark, tmp_path):
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    base = pd.Timestamp("2024-01-01T00:00:00")
+    rows = []
+    for conv, n in [("c-a", 25), ("c-b", 7)]:
+        for i in range(n):
+            rows.append(
+                dict(
+                    conv_id=conv,
+                    turn_idx=i,
+                    role="user",
+                    text=f"turn {i}",
+                    tool="",
+                    ts=base + pd.Timedelta(minutes=i),
+                )
+            )
+    _write_batch(spark, pd.DataFrame(rows), landing)
+    q = windowed_turn_counts(spark, landing, out, ckpt, window="10 minutes")
+    q.awaitTermination(120)
+
+    # append mode emits only windows finalized by the watermark; advance it
+    # with a late-arriving second file far in the future
+    rows2 = [
+        dict(
+            conv_id="c-late",
+            turn_idx=0,
+            role="user",
+            text="x",
+            tool="",
+            ts=base + pd.Timedelta(hours=6),
+        )
+    ]
+    _write_batch(spark, pd.DataFrame(rows2), landing)
+    q = windowed_turn_counts(spark, landing, out, ckpt, window="10 minutes")
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out).toPandas()
+    ca = got[got.conv_id == "c-a"].sort_values("win_start")
+    # 25 one-minute-spaced turns => 10/10/5 across three 10-min windows
+    assert list(ca["n_turns"]) == [10, 10, 5]
+    cb = got[got.conv_id == "c-b"]
+    assert list(cb["n_turns"]) == [7]
