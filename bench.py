@@ -29,6 +29,7 @@ def main() -> None:
 
     from janet_spark.derive import derived_transcripts
     from janet_spark.pipeline import extract_only
+    from janet_spark.queries_extra import EXTRA_QUERIES
     from janet_spark.queries_relational import RELATIONAL_QUERIES
     from janet_spark.queries_text import TEXT_QUERIES
     from janet_spark.reassemble import reassemble_conversations
@@ -51,8 +52,11 @@ def main() -> None:
     timings["extract_pipeline"] = round(time.time() - t0, 3)
     n_turns = transcripts.count()
 
-    registry = {**RELATIONAL_QUERIES, **TEXT_QUERIES}
+    registry = {**RELATIONAL_QUERIES, **TEXT_QUERIES, **EXTRA_QUERIES}
     headline = [
+        "manifest_upsert",
+        "match_offsets_sql",
+        "rollup_revenue",
         "pricing_summary",
         "revenue_by_region",
         "resume_anti_join",

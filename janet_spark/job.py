@@ -3,7 +3,7 @@
     spark-submit --py-files janet_spark.zip janet_spark/job.py \
         --input /path/to/transcripts_parquet \
         --output /path/to/output \
-        [--skew-threshold 1000] [--salt-buckets 16] [--n-buckets 256]
+        [--n-buckets 256] [--write-salt 4]
 
 On a real cluster the input/output would be Iceberg tables
 (`spark.read.table` / `MERGE INTO`); the parquet layout used here keeps the
@@ -22,9 +22,13 @@ def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--input", required=True, help="transcripts parquet dir / table")
     p.add_argument("--output", required=True, help="output root (data + lineage)")
-    p.add_argument("--skew-threshold", type=int, default=1000)
-    p.add_argument("--salt-buckets", type=int, default=16)
     p.add_argument("--n-buckets", type=int, default=256)
+    p.add_argument(
+        "--write-salt",
+        type=int,
+        default=4,
+        help="files per checkpoint bucket (conv-level write salt)",
+    )
     p.add_argument("--run-id", default=None)
     args = p.parse_args(argv)
 
@@ -43,9 +47,8 @@ def main(argv: list[str] | None = None) -> int:
         transcripts,
         args.output,
         run_id=args.run_id,
-        skew_threshold=args.skew_threshold,
-        salt_buckets=args.salt_buckets,
         n_buckets=args.n_buckets,
+        write_salt=args.write_salt,
     )
     elapsed = time.time() - t0
     print(

@@ -86,9 +86,8 @@ def run_job(
     transcripts: DataFrame,
     output_path: str,
     run_id: str | None = None,
-    skew_threshold: int = DEFAULT_SKEW_THRESHOLD,
-    salt_buckets: int = DEFAULT_SALT_BUCKETS,
     n_buckets: int = N_CHECKPOINT_BUCKETS,
+    write_salt: int = WRITE_SALT,
     fail_after_n_buckets: int | None = None,
 ) -> dict:
     """Checkpointed batch run: resumable, two-phase-committed, with
@@ -113,7 +112,7 @@ def run_job(
         # file; replaces the old full-input pre-extract shuffle
         .repartition(
             F.col("part_bucket"),
-            F.pmod(F.xxhash64("conv_id"), F.lit(WRITE_SALT)),
+            F.pmod(F.xxhash64("conv_id"), F.lit(write_salt)),
         )
         .write.mode("overwrite")
         .partitionBy("part_bucket")

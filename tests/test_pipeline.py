@@ -105,7 +105,7 @@ def test_resume_after_injected_failure(spark, fixtures, tmp_path):
 
     # clean run for the golden result
     clean_dir = str(tmp_path / "clean")
-    run_job(spark, tdf, clean_dir, n_buckets=8, skew_threshold=50)
+    run_job(spark, tdf, clean_dir, n_buckets=8)
     golden = (
         read_output(spark, clean_dir)
         .select("conv_id", "turn_idx", "extracted_text")
@@ -118,14 +118,14 @@ def test_resume_after_injected_failure(spark, fixtures, tmp_path):
     # failed run: crash mid-commit
     with pytest.raises(RuntimeError, match="injected failure"):
         run_job(
-            spark, tdf, out_dir, n_buckets=8, skew_threshold=50, fail_after_n_buckets=3
+            spark, tdf, out_dir, n_buckets=8, fail_after_n_buckets=3
         )
     done_after_crash = ckpt.completed_buckets(spark, out_dir)
     assert done_after_crash, "some buckets must have committed before the crash"
     assert len(done_after_crash) < 8
 
     # resumed run: must skip completed buckets and reprocess none of them
-    summary = run_job(spark, tdf, out_dir, n_buckets=8, skew_threshold=50)
+    summary = run_job(spark, tdf, out_dir, n_buckets=8)
     assert set(summary["resumed_skipping_buckets"]) == done_after_crash
     assert not (set(summary["buckets_committed"]) & done_after_crash)
 
