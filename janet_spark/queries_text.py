@@ -382,8 +382,11 @@ def q_minhash_lsh_pairs(spark, sf_dir):
 
 
 def q_simhash(spark, sf_dir):
-    """64-bit SimHash per document (no SQL oracle — bit semantics pinned by
-    pytest: near-dup docs must land within small Hamming distance)."""
+    """64-bit SimHash per document. Token hash = top 8 bytes of
+    sha256(token) so the DuckDB oracle can recompute every bit
+    independently; Hamming-distance robustness is pinned by pytest."""
+    import hashlib
+
     docs = t(spark, sf_dir, "documents")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -392,9 +395,9 @@ def q_simhash(spark, sf_dir):
             for doc_id, text in zip(pdf["doc_id"], pdf["text"].fillna("")):
                 acc = np.zeros(64, dtype=np.int64)
                 for w in set(text.split(" ")):
-                    h = zlib.crc32(w.encode()) | (zlib.crc32(w[::-1].encode()) << 32)
+                    h8 = hashlib.sha256(w.encode("utf-8")).digest()[:8]
                     bits = np.unpackbits(
-                        np.frombuffer(np.uint64(h).tobytes(), dtype=np.uint8)
+                        np.frombuffer(h8, dtype=np.uint8)
                     ).astype(np.int64)
                     acc += bits * 2 - 1
                 sim = np.packbits((acc > 0).astype(np.uint8)).tobytes()
@@ -402,6 +405,39 @@ def q_simhash(spark, sf_dir):
             yield pd.DataFrame(out, columns=["doc_id", "simhash"])
 
     return docs.mapInPandas(run, schema="doc_id long, simhash long").orderBy("doc_id")
+
+
+def _simhash_oracle_sql() -> str:
+    """DuckDB recomputation of the 64-bit SimHash: per distinct token, bit j
+    of the top-8-byte sha256 prefix votes +1/-1; the signed result re-packs
+    with the MSB carrying weight -(2^63) (two's complement)."""
+    nib = "(strpos('0123456789abcdef', substr(hx, {pos}, 1)) - 1)"
+    bit_sums = []
+    for j in range(64):
+        pos = j // 4 + 1
+        mask = 1 << (3 - j % 4)
+        bit_sums.append(
+            f"sum(CASE WHEN ({nib.format(pos=pos)} & {mask}) != 0 "
+            f"THEN 1 ELSE -1 END) AS b{j}"
+        )
+    weights = ["CASE WHEN b0 > 0 THEN -9223372036854775808::HUGEINT ELSE 0 END"]
+    for j in range(1, 64):
+        weights.append(f"CASE WHEN b{j} > 0 THEN {1 << (63 - j)}::HUGEINT ELSE 0 END")
+    return f"""
+WITH w AS (
+  SELECT doc_id, unnest(list_distinct(string_split(coalesce(text, ''), ' '))) AS word
+  FROM documents
+), h AS (
+  SELECT doc_id, substr(lower(sha256(word)), 1, 16) AS hx FROM w
+), bits AS (
+  SELECT doc_id, {', '.join(bit_sums)} FROM h GROUP BY doc_id
+)
+SELECT doc_id, cast({' + '.join(weights)} AS BIGINT) AS simhash
+FROM bits ORDER BY doc_id
+"""
+
+
+ORACLE_SIMHASH = _simhash_oracle_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -557,8 +593,10 @@ FROM documents ORDER BY doc_id
 
 def q_keyword_spans(spark, sf_dir):
     """Full char-offset matches over derived transcripts (T3-T5 + W2).
-    Offsets are not SQL-expressible in DuckDB -> rows-only check; span
-    semantics (escape, whole-words quirk, ordinals) are pinned by pytest."""
+    The oracle recomputes every offset independently with a DuckDB position
+    scan ('data' has no prefix/suffix self-overlap, so non-overlapping regex
+    matches == all occurrences); whole-words/escape quirks are pinned by
+    pytest."""
     tr = derived_transcripts(spark, sf_dir)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -578,6 +616,24 @@ def q_keyword_spans(spark, sf_dir):
         run,
         schema="conv_id string, turn_idx int, match_idx int, start int, end_off int",
     ).orderBy("conv_id", "turn_idx", "match_idx")
+
+
+ORACLE_KEYWORD_SPANS = f"""
+{_TRANSCRIPTS_CTE},
+pos AS (
+  SELECT conv_id, turn_idx, text,
+         unnest(range(0, greatest(len(text) - 3, 0))) AS i
+  FROM transcripts
+), hits AS (
+  SELECT conv_id, turn_idx, cast(i AS int) AS "start"
+  FROM pos WHERE lower(substring(text, cast(i AS int) + 1, 4)) = 'data'
+)
+SELECT conv_id, turn_idx,
+       cast(row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY "start")
+            - 1 AS int) AS match_idx,
+       "start", "start" + 4 AS end_off
+FROM hits ORDER BY conv_id, turn_idx, match_idx
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -710,11 +766,54 @@ def q_multimodal_features(spark, sf_dir):
     return extract_features(assets).select("asset_id", "feat_norm").orderBy("asset_id")
 
 
+def _duck_u16(h: str, off: int) -> str:
+    """DuckDB expression: big-endian uint16 from 4 hex chars of `h` at
+    1-based offset `off` (recomputes the fake decode independently)."""
+    nib = "strpos('0123456789abcdef', substr({h}, {o}, 1)) - 1"
+    return " + ".join(
+        f"({nib.format(h=h, o=off + i)}) * {16 ** (3 - i)}" for i in range(4)
+    )
+
+
+# the deterministic fake decode is sha256(payload) -> 16 big-endian uint16s
+# / 65536 (multimodal.decode_payload); documents text is pure ASCII, so
+# DuckDB's VARCHAR sha256 hashes the same bytes as Python's utf-8 encode.
+_FEAT_SQ_TERMS = " + ".join(
+    f"pow(({_duck_u16('h', 4 * i + 1)}) / 65536.0, 2)" for i in range(16)
+)
+_FEAT_SUM_TERMS = " + ".join(
+    f"({_duck_u16('h', 4 * i + 1)}) / 65536.0" for i in range(16)
+)
+
+ORACLE_MULTIMODAL_FEATURES = f"""
+WITH x AS (SELECT doc_id, lower(sha256(text)) AS h FROM documents)
+SELECT doc_id AS asset_id, round(sqrt({_FEAT_SQ_TERMS}), 4) AS feat_norm
+FROM x ORDER BY asset_id
+"""
+
+
 def q_frame_sample(spark, sf_dir):
     from janet_spark.multimodal import sample_frames, synth_assets
 
     assets = synth_assets(spark, sf_dir)
     return sample_frames(assets).orderBy("asset_id", "frame_idx")
+
+
+ORACLE_FRAME_SAMPLE = f"""
+WITH v AS (
+  SELECT doc_id, text, greatest(length(text) // 4, 1) AS n
+  FROM documents WHERE doc_id % 3 = 2
+), fr AS (
+  SELECT doc_id, unnest(range(0, 4)) AS frame_idx, text, n FROM v
+), h AS (
+  SELECT doc_id, cast(frame_idx AS int) AS frame_idx,
+         lower(sha256(substr(text, cast(frame_idx * n + 1 AS int), cast(n AS int)))) AS h
+  FROM fr
+)
+SELECT doc_id AS asset_id, frame_idx,
+       round(({_FEAT_SUM_TERMS}) / 16.0, 6) AS frame_feat_mean
+FROM h ORDER BY asset_id, frame_idx
+"""
 
 
 TEXT_QUERIES = {
@@ -727,16 +826,16 @@ TEXT_QUERIES = {
     "exact_dedup": (q_exact_dedup, ORACLE_EXACT_DEDUP),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, ORACLE_NGRAM_JACCARD_PAIRS),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, ORACLE_NGRAM_JACCARD_PAIRS),
-    "simhash": (q_simhash, None),
+    "simhash": (q_simhash, ORACLE_SIMHASH),
     "ann_cosine_topk": (q_ann_cosine_topk, ORACLE_ANN_COSINE_TOPK),
     "embed_neardup_blocked": (q_embed_neardup_blocked, ORACLE_EMBED_NEARDUP_BLOCKED),
     "doc_fingerprint": (q_doc_fingerprint, ORACLE_DOC_FINGERPRINT),
     "keyword_match_count": (q_keyword_match_count, ORACLE_KEYWORD_MATCH_COUNT),
-    "keyword_spans": (q_keyword_spans, None),
+    "keyword_spans": (q_keyword_spans, ORACLE_KEYWORD_SPANS),
     "rename_suggest": (q_rename_suggest, ORACLE_RENAME_SUGGEST),
     "metadata_extract": (q_metadata_extract, ORACLE_METADATA_EXTRACT),
     "lang_id": (q_lang_id, None),
     "multimodal_probe": (q_multimodal_probe, ORACLE_MULTIMODAL_PROBE),
-    "multimodal_features": (q_multimodal_features, None),
-    "frame_sample": (q_frame_sample, None),
+    "multimodal_features": (q_multimodal_features, ORACLE_MULTIMODAL_FEATURES),
+    "frame_sample": (q_frame_sample, ORACLE_FRAME_SAMPLE),
 }
