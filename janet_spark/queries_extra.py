@@ -327,8 +327,35 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_value_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles of event value per type (A-series
+    extension; Spark `percentile` == DuckDB `quantile_cont` by definition).
+    At 100 TB one would switch to `percentile_approx` (t-digest, mergeable
+    sketch) — kept exact here so the oracle is bit-comparable."""
+    events = t(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_VALUE_PERCENTILES = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.9), 4) AS p90,
+       round(quantile_cont(value, 0.99), 4) AS p99
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 EXTRA_QUERIES = {
     "distinct_users": (q_distinct_users, ORACLE_DISTINCT_USERS),
+    "value_percentiles": (q_value_percentiles, ORACLE_VALUE_PERCENTILES),
     "manifest_upsert": (q_manifest_upsert, ORACLE_MANIFEST_UPSERT),
     "search_index_projection": (
         q_search_index_projection,
