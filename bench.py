@@ -44,9 +44,13 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
-    # flagship: full extraction + reassembly; also yields turns/sec
-    t0 = time.time()
+    # flagship: full extraction + reassembly; also yields turns/sec.
+    # A small warmup first so the timing reflects steady state, not JVM/
+    # Python-worker cold start (sample, not limit — limit collapses to one
+    # partition and would warm a single worker).
     transcripts = derived_transcripts(spark, sf_dir)
+    force(extract_only(transcripts.sample(0.05, seed=1)))
+    t0 = time.time()
     extracted = extract_only(transcripts)
     force(reassemble_conversations(extracted))
     timings["extract_pipeline"] = round(time.time() - t0, 3)
