@@ -91,24 +91,37 @@ def backup_manifest(output_path: str, run_id: str, payload: dict) -> str:
 
 
 def write_lineage(spark: SparkSession, output_path: str, rows: list[dict]) -> None:
+    """Append lineage rows as one small parquet file.
+
+    Written with pyarrow directly, NOT a Spark job: the commit loop appends
+    one lineage row per bucket immediately after its move (crash
+    consistency), and a per-bucket Spark job would serialize ~1-2 s of
+    scheduler latency each — measured 64-bucket commits spent more time in
+    lineage jobs than in extraction. The driver-local write is a few ms and
+    produces files `spark.read.parquet` consumes unchanged."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     ldir = lineage_dir(output_path)
-    df = spark.createDataFrame(
-        [
-            (
-                r["run_id"],
-                int(r["part_bucket"]),
-                r["status"],
-                r.get("error"),
-                int(r.get("n_turns", 0)),
-                int(r.get("n_ok", 0)),
-                r.get("started_at"),
-                r.get("finished_at"),
-            )
-            for r in rows
-        ],
-        schema=LINEAGE_SCHEMA,
+    os.makedirs(ldir, exist_ok=True)
+    table = pa.table(
+        {
+            "run_id": pa.array([r["run_id"] for r in rows], pa.string()),
+            "part_bucket": pa.array([int(r["part_bucket"]) for r in rows], pa.int32()),
+            "status": pa.array([r["status"] for r in rows], pa.string()),
+            "error": pa.array([r.get("error") for r in rows], pa.string()),
+            "n_turns": pa.array([int(r.get("n_turns", 0)) for r in rows], pa.int64()),
+            "n_ok": pa.array([int(r.get("n_ok", 0)) for r in rows], pa.int64()),
+            "started_at": pa.array(
+                [r.get("started_at") for r in rows], pa.timestamp("us", tz="UTC")
+            ),
+            "finished_at": pa.array(
+                [r.get("finished_at") for r in rows], pa.timestamp("us", tz="UTC")
+            ),
+        }
     )
-    df.coalesce(1).write.mode("append").parquet(ldir)
+    fname = f"lineage-{datetime.now(timezone.utc).strftime('%Y%m%dT%H%M%S%f')}-{uuid.uuid4().hex[:8]}.parquet"
+    pq.write_table(table, os.path.join(ldir, fname))
 
 
 def commit_staged(
