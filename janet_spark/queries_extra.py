@@ -353,9 +353,95 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_langs_per_source(spark, sf_dir):
+    """Set aggregation: ordered distinct language list per source
+    (collect_set + sort_array == DuckDB array_agg(DISTINCT .. ORDER BY))."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.sort_array(F.collect_set("lang")).alias("langs"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_LANGS_PER_SOURCE = """
+SELECT source, array_agg(DISTINCT lang ORDER BY lang) AS langs,
+       count(*) AS n_docs
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+def q_customer_order_fulljoin(spark, sf_dir):
+    """Full outer join: per-nation counts of customers with vs without
+    orders (null-producing side preserved both ways)."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    joined = cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "full_outer")
+    return (
+        joined.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.when(F.col("n_orders").isNull(), 1)).alias("n_no_orders"),
+            F.coalesce(F.sum("n_orders"), F.lit(0)).alias("total_orders"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+ORACLE_CUSTOMER_ORDER_FULLJOIN = """
+WITH per_cust AS (
+  SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey
+)
+SELECT c_nationkey, count(*) AS n_rows,
+       count(CASE WHEN n_orders IS NULL THEN 1 END) AS n_no_orders,
+       cast(coalesce(sum(n_orders), 0) AS BIGINT) AS total_orders
+FROM customer FULL OUTER JOIN per_cust ON c_custkey = o_custkey
+GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+
+def q_moving_avg_value(spark, sf_dir):
+    """Window frame: 7-row trailing moving average of event value per user
+    (rowsBetween(-6, 0)); top 200 rows for a bounded result."""
+    events = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return (
+        events.select(
+            "user_id",
+            "event_id",
+            F.round(F.avg("value").over(w), 4).alias("mavg7"),
+        )
+        .orderBy("user_id", "event_id")
+        .limit(200)
+    )
+
+
+ORACLE_MOVING_AVG_VALUE = """
+SELECT user_id, event_id,
+       round(avg(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS mavg7
+FROM events ORDER BY user_id, event_id LIMIT 200
+"""
+
+
 EXTRA_QUERIES = {
     "distinct_users": (q_distinct_users, ORACLE_DISTINCT_USERS),
     "value_percentiles": (q_value_percentiles, ORACLE_VALUE_PERCENTILES),
+    "langs_per_source": (q_langs_per_source, ORACLE_LANGS_PER_SOURCE),
+    "customer_order_fulljoin": (
+        q_customer_order_fulljoin,
+        ORACLE_CUSTOMER_ORDER_FULLJOIN,
+    ),
+    "moving_avg_value": (q_moving_avg_value, ORACLE_MOVING_AVG_VALUE),
     "manifest_upsert": (q_manifest_upsert, ORACLE_MANIFEST_UPSERT),
     "search_index_projection": (
         q_search_index_projection,

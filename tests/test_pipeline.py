@@ -145,3 +145,31 @@ def test_failed_rows_flagged_not_dropped(spark, fixtures):
     n_failed = out.filter(~F.col("ok")).count()
     assert n_failed == int((~expected["ok"]).sum())
     assert n_failed > 0
+
+
+def test_two_level_reassembly_multi_chunk(spark, fixtures):
+    """The chunked reassembly must produce byte-identical conv_text when a
+    conversation spans many level-1 chunks (chunk << n_turns) vs one chunk."""
+    tdf, expected = fixtures
+    extracted = extract_only(tdf, num_partitions=8)
+    small = (
+        reassemble_conversations(extracted, chunk=7)
+        .select("conv_id", "conv_text", "n_turns", "all_ok")
+        .toPandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    golden = (
+        expected_conversation_text(expected)
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    assert small["conv_text"].tolist() == golden["conv_text"].tolist()
+    one = (
+        reassemble_conversations(extracted, chunk=10**9)
+        .select("conv_id", "conv_text", "n_turns", "all_ok")
+        .toPandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(small, one)
