@@ -173,3 +173,41 @@ def test_two_level_reassembly_multi_chunk(spark, fixtures):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(small, one)
+
+
+def test_jvm_fast_path_identical_to_udf_path(spark, fixtures):
+    """The whole-stage-codegen plain branch must be byte-identical to the
+    pandas UDF across every archetype (incl. exotic-whitespace routing)."""
+    tdf, _ = fixtures
+    ts = pd.Timestamp("2024-01-01")
+    extra = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                ("x", 0, "user", "\u00a0 padded nbsp \u00a0 ", "", ts),
+                ("x", 1, "user", "plain ok", "", ts),
+                ("x", 2, "user", "\u001cfs\u001d gs\u001f edges\u2028", "", ts),
+                ("x", 3, "user", "tab\tand \ufb01 ligature", "", ts),
+                ("x", 4, "user", "ideographic\u3000space", "", ts),
+            ],
+            columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"],
+        ),
+        schema=TRANSCRIPT_SCHEMA,
+    )
+    src = tdf.unionByName(extra)
+    cols = ["conv_id", "turn_idx", "extracted_text", "spans", "blocks_kept", "ok"]
+    fast = (
+        extract_only(src, jvm_fast_path=True)
+        .select(cols).toPandas()
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    slow = (
+        extract_only(src, jvm_fast_path=False)
+        .select(cols).toPandas()
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    assert fast["extracted_text"].tolist() == slow["extracted_text"].tolist()
+    assert [list(map(tuple, s)) for s in fast["spans"]] == [
+        list(map(tuple, s)) for s in slow["spans"]
+    ]
+    assert fast["ok"].tolist() == slow["ok"].tolist()
+    assert fast["blocks_kept"].tolist() == slow["blocks_kept"].tolist()
