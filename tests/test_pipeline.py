@@ -211,3 +211,35 @@ def test_jvm_fast_path_identical_to_udf_path(spark, fixtures):
     ]
     assert fast["ok"].tolist() == slow["ok"].tolist()
     assert fast["blocks_kept"].tolist() == slow["blocks_kept"].tolist()
+
+
+def test_skewed_conversation_end_to_end(spark, tmp_path):
+    """SURVEY §5 test-plan item (e): a 10^4-turn conversation among uniform
+    ones goes through the checkpointed job + chunked reassembly with exact
+    turn count, ordering, and text preservation."""
+    import pandas as pd
+
+    n_sk = 10_000
+    rows = [("conv-skew", i, "user", f"turn {i} body", "", pd.Timestamp("2024-01-01"))
+            for i in range(n_sk)]
+    for c in range(5):
+        rows += [(f"conv-u{c}", i, "user", f"u{c} t{i}", "", pd.Timestamp("2024-01-01"))
+                 for i in range(6)]
+    tdf = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"]),
+        schema=TRANSCRIPT_SCHEMA,
+    ).repartition(8)  # scatter the skewed conv across partitions
+
+    from janet_spark.pipeline import full_pipeline
+
+    conv = full_pipeline(spark, tdf, str(tmp_path / "out"), n_buckets=4)
+    got = {r["conv_id"]: r for r in conv.collect()}
+    assert got["conv-skew"]["n_turns"] == n_sk
+    # chunked reassembly (4096) splits this conv across 3 level-1 chunks;
+    # ordering must survive: spot-check first, boundary, and last turns
+    text = got["conv-skew"]["conv_text"].split("\n")
+    assert text[0] == "turn 0 body"
+    assert text[4095] == "turn 4095 body"
+    assert text[4096] == "turn 4096 body"
+    assert text[-1] == f"turn {n_sk - 1} body"
+    assert all(got[f"conv-u{c}"]["n_turns"] == 6 for c in range(5))
