@@ -433,7 +433,151 @@ FROM events ORDER BY user_id, event_id LIMIT 200
 """
 
 
+# ---------------------------------------------------------------------------
+# IVF-style ANN: coarse quantize to centroid cells, probe nearest 2 cells
+# ---------------------------------------------------------------------------
+
+_IVF_CENTROID_MOD = 25  # vec_id % 25 == 0 -> deterministic "trained" centroids
+_IVF_PROBES = 2
+_IVF_TOPK = 3
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-style approximate nearest neighbor (the 100 TB scale path next to
+    the brute-force `ann_cosine_topk` baseline): vectors coarse-quantize to
+    their nearest centroid cell (centroids = deterministic subsample), each
+    query probes its 2 nearest cells and ranks only those candidates.
+
+    At scale: the centroid table broadcasts, assignment is a narrow
+    mapInPandas GEMM over the scan, and the candidate join shuffles on the
+    small cell key space instead of all-pairs. Ordering ties break by
+    (cosine desc, vec_id asc) so the DuckDB oracle is reproducible."""
+    import numpy as np
+    import pandas as pd
+
+    emb = t(spark, sf_dir, "embeddings")
+    cent = (
+        emb.filter(F.col("vec_id") % _IVF_CENTROID_MOD == 0)
+        .orderBy("vec_id")
+        .collect()
+    )
+    c_ids = [int(r["vec_id"]) for r in cent]
+    c_mat = np.array([r["embedding"] for r in cent], dtype=np.float64)
+    c_norm = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
+
+    def assign(batches):
+        for pdf in batches:
+            v = np.array(list(pdf["embedding"]), dtype=np.float64)
+            vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+            cs = vn @ c_norm.T  # (n, n_cent)
+            best = cs.argmax(axis=1)  # first max = lowest centroid index
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cell": [c_ids[i] for i in best],
+                    "embedding": pdf["embedding"],
+                }
+            )
+
+    assigned = emb.mapInPandas(
+        assign, schema="vec_id long, cell long, embedding array<float>"
+    )
+
+    def probes(batches):
+        for pdf in batches:
+            v = np.array(list(pdf["embedding"]), dtype=np.float64)
+            vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+            cs = vn @ c_norm.T
+            rows = []
+            for i, qid in enumerate(pdf["vec_id"]):
+                order = sorted(range(len(c_ids)), key=lambda j: (-cs[i, j], c_ids[j]))
+                for cell_rank, j in enumerate(order[:_IVF_PROBES]):
+                    rows.append((int(qid), c_ids[j], cell_rank, list(pdf["embedding"].iloc[i])))
+            yield pd.DataFrame(
+                rows, columns=["qid", "cell", "cell_rank", "q_embedding"]
+            )
+
+    queries = emb.filter(F.col("vec_id") < 10).mapInPandas(
+        probes,
+        schema="qid long, cell long, cell_rank int, q_embedding array<float>",
+    )
+
+    joined = F.broadcast(queries).join(assigned, "cell").filter(
+        F.col("qid") != F.col("vec_id")
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.array(list(pdf["q_embedding"]), dtype=np.float64)
+            v = np.array(list(pdf["embedding"]), dtype=np.float64)
+            cs = (q * v).sum(axis=1) / (
+                np.linalg.norm(q, axis=1) * np.linalg.norm(v, axis=1)
+            )
+            yield pd.DataFrame(
+                {"qid": pdf["qid"], "vec_id": pdf["vec_id"], "cs": cs}
+            )
+
+    scored = joined.mapInPandas(score, schema="qid long, vec_id long, cs double")
+    w = Window.partitionBy("qid").orderBy(F.desc("cs"), F.asc("vec_id"))
+    return (
+        scored.dropDuplicates(["qid", "vec_id"])
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _IVF_TOPK)
+        .select(
+            "qid",
+            F.col("rk").alias("rank"),
+            "vec_id",
+            F.round("cs", 4).alias("cosine"),
+        )
+        .orderBy("qid", "rank")
+    )
+
+
+_DUCK_COS = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+ORACLE_ANN_IVF_TOPK = f"""
+WITH c AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings
+  WHERE vec_id % {_IVF_CENTROID_MOD} = 0
+), v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings
+), sim AS (
+  SELECT v.vec_id, c.cid, {_DUCK_COS.format(a='v.ve', b='c.ce')} AS cs
+  FROM v CROSS JOIN c
+), assigned AS (
+  SELECT vec_id, cid AS cell FROM sim
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC) = 1
+), probes AS (
+  SELECT vec_id AS qid, cid AS cell FROM sim WHERE vec_id < 10
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC)
+          <= {_IVF_PROBES}
+), cand AS (
+  SELECT DISTINCT p.qid, a.vec_id FROM probes p
+  JOIN assigned a ON a.cell = p.cell
+  WHERE a.vec_id != p.qid
+), scored AS (
+  SELECT cand.qid, cand.vec_id,
+         {_DUCK_COS.format(a='q.ve', b='t.ve')} AS cs
+  FROM cand
+  JOIN v q ON q.vec_id = cand.qid
+  JOIN v t ON t.vec_id = cand.vec_id
+)
+SELECT qid, cast(row_number() OVER w AS int) AS rank, vec_id,
+       round(cs, 4) AS cosine
+FROM scored
+WINDOW w AS (PARTITION BY qid ORDER BY cs DESC, vec_id ASC)
+QUALIFY row_number() OVER w <= {_IVF_TOPK}
+ORDER BY qid, rank
+"""
+
+
 EXTRA_QUERIES = {
+    "ann_ivf_topk": (q_ann_ivf_topk, ORACLE_ANN_IVF_TOPK),
     "distinct_users": (q_distinct_users, ORACLE_DISTINCT_USERS),
     "value_percentiles": (q_value_percentiles, ORACLE_VALUE_PERCENTILES),
     "langs_per_source": (q_langs_per_source, ORACLE_LANGS_PER_SOURCE),
