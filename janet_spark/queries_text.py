@@ -107,6 +107,18 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_clean_canonicalize_jvm(spark, sf_dir):
+    """The SAME canonicalizer rendered as pure Spark SQL (whole-stage
+    codegen, no Python) from the shared rule table — the JVM dialect of T8
+    under the driver gate, against the same DuckDB oracle."""
+    from janet_spark.extract.text_rules import spark_canonicalize_sql
+
+    docs = t(spark, sf_dir, "documents").withColumn("dirty", F.expr(_SPARK_DIRTY))
+    return docs.select(
+        "doc_id", F.expr(spark_canonicalize_sql("dirty")).alias("clean_text")
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # HTML boilerplate strip round-trip
 # ---------------------------------------------------------------------------
@@ -820,6 +832,7 @@ TEXT_QUERIES = {
     "extract_turns": (q_extract_turns, ORACLE_EXTRACT_TURNS),
     "reassemble_convs": (q_reassemble_convs, ORACLE_REASSEMBLE_CONVS),
     "clean_canonicalize": (q_clean_canonicalize, ORACLE_CLEAN_CANONICALIZE),
+    "clean_canonicalize_jvm": (q_clean_canonicalize_jvm, ORACLE_CLEAN_CANONICALIZE),
     "html_strip": (q_html_strip, ORACLE_HTML_STRIP),
     "token_counts": (q_token_counts, ORACLE_TOKEN_COUNTS),
     "quality_scores": (q_quality_scores, ORACLE_QUALITY_SCORES),
