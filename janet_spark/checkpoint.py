@@ -90,7 +90,7 @@ def backup_manifest(output_path: str, run_id: str, payload: dict) -> str:
     return path
 
 
-def write_lineage(spark: SparkSession, output_path: str, rows: list[dict]) -> None:
+def write_lineage(output_path: str, rows: list[dict]) -> None:
     """Append lineage rows as one small parquet file.
 
     Written with pyarrow directly, NOT a Spark job: the commit loop appends
@@ -98,7 +98,13 @@ def write_lineage(spark: SparkSession, output_path: str, rows: list[dict]) -> No
     consistency), and a per-bucket Spark job would serialize ~1-2 s of
     scheduler latency each — measured 64-bucket commits spent more time in
     lineage jobs than in extraction. The driver-local write is a few ms and
-    produces files `spark.read.parquet` consumes unchanged."""
+    produces files `spark.read.parquet` consumes unchanged.
+
+    Mixed-writer compatibility: timestamps are written as timestamp[us, UTC]
+    (the int64 TIMESTAMP_MICROS physical type), which Spark reads alongside
+    its own lineage files — including pre-round-2 dirs whose files a Spark
+    job wrote with INT96 timestamps. That cross-generation resume is pinned
+    by tests/test_round2_ops.py::test_mixed_lineage_writers_resume."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -125,7 +131,6 @@ def write_lineage(spark: SparkSession, output_path: str, rows: list[dict]) -> No
 
 
 def commit_staged(
-    spark: SparkSession,
     output_path: str,
     staging_path: str,
     run_id: str,
@@ -153,7 +158,6 @@ def commit_staged(
         shutil.move(src, dst)
         stats = bucket_stats.get(bucket, {})
         write_lineage(
-            spark,
             output_path,
             [
                 {

@@ -20,6 +20,7 @@ by the pandas UDF (pattern compiled once per batch, not per row).
 from __future__ import annotations
 
 import re
+from dataclasses import dataclass
 
 import pandas as pd
 
@@ -31,6 +32,73 @@ def normalize_keyword(keyword: str, match_case: bool, whole_words: bool) -> re.P
         escaped = f" {escaped} "
     flags = 0 if match_case else re.IGNORECASE
     return re.compile(escaped, flags)
+
+
+@dataclass(frozen=True)
+class NormalizedKeyword:
+    """The reference's NormalizedKeyword record: source string, compiled
+    pattern, and the whole-words flag the span trimmer consults."""
+
+    keyword: str
+    pattern: re.Pattern
+    whole_words: bool
+
+
+# the search app's empty-keyword sentinel (apps/search/src/constants.ts:11-16):
+# `new RegExp('')` would compile to `(?:)` and match zero-width at every
+# position, so the reference substitutes a single-space pattern instead.
+EMPTY_KEYWORD_SEARCH = NormalizedKeyword(keyword="", pattern=re.compile(" "), whole_words=False)
+
+# the web app's DIVERGENT sentinel (apps/web/lib/search-normalize-keyword.ts:20-24):
+# it uses `new RegExp("", "g")` — the zero-width-everywhere pattern the search
+# app deliberately avoids. Both are reproduced; tests pin the divergence.
+EMPTY_KEYWORD_WEB = NormalizedKeyword(keyword="", pattern=re.compile(""), whole_words=False)
+
+
+def normalize_single_keyword(
+    keyword: "str | re.Pattern | dict",
+    match_case: "bool | None" = None,
+    whole_words: "bool | None" = None,
+    dialect: str = "search",
+) -> NormalizedKeyword:
+    """Full `normalizeSingleKeyword` semantics
+    (apps/search/src/normalizeKeyword.ts:27-58):
+
+    * compiled-pattern passthrough — a RegExp input is used verbatim (its
+      own flags win; NO whole-words padding is added), `whole_words`
+      defaulting to False (normalizeKeyword.ts:28-33);
+    * empty string -> the dialect's sentinel (search: `' '`,
+      web: `''` — see EMPTY_KEYWORD_* above);
+    * plain string -> escape + optional space padding + gi/g flags;
+    * dict (FlagKeyword) -> explicit args override the dict's fields
+      (normalizeKeyword.ts:52-57), then the flag path.
+    """
+    if isinstance(keyword, re.Pattern):
+        return NormalizedKeyword(
+            keyword=keyword.pattern, pattern=keyword, whole_words=bool(whole_words)
+        )
+    if isinstance(keyword, str):
+        if keyword == "":
+            return EMPTY_KEYWORD_SEARCH if dialect == "search" else EMPTY_KEYWORD_WEB
+        mc = bool(match_case)
+        ww = bool(whole_words)
+        return NormalizedKeyword(
+            keyword=keyword,
+            pattern=normalize_keyword(keyword, mc, ww),
+            whole_words=ww,
+        )
+    kw = dict(keyword)
+    if match_case is not None:
+        kw["match_case"] = match_case
+    if whole_words is not None:
+        kw["whole_words"] = whole_words
+    mc = bool(kw.get("match_case"))
+    ww = bool(kw.get("whole_words"))
+    return NormalizedKeyword(
+        keyword=kw["keyword"],
+        pattern=normalize_keyword(kw["keyword"], mc, ww),
+        whole_words=ww,
+    )
 
 
 def find_matches(
@@ -45,6 +113,11 @@ def find_matches(
     idx = 0
     pos = 0
     while True:
+        if pos > len(text):
+            # Python clamps search(text, pos) to len(text), so a zero-width
+            # pattern would re-match at EOS forever without this bound (JS
+            # exec returns null once lastIndex passes the end)
+            break
         m = pattern.search(text, pos)
         if m is None:
             break

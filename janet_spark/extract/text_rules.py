@@ -72,12 +72,55 @@ _LITERAL_TRIGGER = re.compile("[\r\t\u00a0\ufb00-\ufb06]")
 def _rules_with_triggers() -> list[tuple[re.Pattern, re.Pattern, str]]:
     """(pattern, group-free trigger pattern, replacement) per rule — the
     trigger variant (capturing groups made non-capturing) drives the cheap
-    contains-scan without pandas' match-group warning."""
+    contains-scan without pandas' match-group warning.
+
+    Two invariants the vectorized path (canonicalize_series) silently
+    depends on are asserted here so a future rule-table edit fails loudly
+    instead of desyncing it from the scalar oracle:
+
+    * the group->non-capturing rewrite handles '(' only outside character
+      classes and not preceded by a backslash — no current pattern may put
+      '(' inside [...] or after an escaped backslash;
+    * the last two rules must be exactly the leading/trailing trims,
+      because canonicalize_series replaces them with one str.strip(' \\n').
+    """
+    assert REGEX_RULES[-2:] == [(r"^[ \n]+", ""), (r"[ \n]+$", "")], (
+        "canonicalize_series collapses the last two rules into str.strip(' \\n'); "
+        "rule-table tail changed: " + repr(REGEX_RULES[-2:])
+    )
     out = []
     for p, r in REGEX_RULES:
+        _assert_trigger_rewrite_safe(p)
         trigger = re.sub(r"(?<!\\)\((?!\?)", "(?:", p)
         out.append((re.compile(p), re.compile(trigger), r))
     return out
+
+
+def _assert_trigger_rewrite_safe(p: str) -> None:
+    """The group->non-capturing rewrite is a flat regex over the pattern
+    text; it mis-fires on '(' inside a character class and on '(' right
+    after an escaped backslash ('\\\\(' — the lookbehind sees the second
+    backslash and skips a '(' that IS a group opener). Scan for both."""
+    in_class = False
+    i = 0
+    while i < len(p):
+        ch = p[i]
+        if ch == "\\":
+            nxt = p[i + 1] if i + 1 < len(p) else ""
+            assert not (nxt == "\\" and i + 2 < len(p) and p[i + 2] == "("), (
+                "trigger rewrite cannot handle '(' after an escaped backslash: " + p
+            )
+            i += 2
+            continue
+        if ch == "[" and not in_class:
+            in_class = True
+        elif ch == "]" and in_class:
+            in_class = False
+        elif ch == "(" and in_class:
+            raise AssertionError(
+                "trigger rewrite cannot handle '(' inside a character class: " + p
+            )
+        i += 1
 
 
 def canonicalize_str(s: str | None) -> str:

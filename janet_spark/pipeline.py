@@ -174,13 +174,50 @@ def run_job(
     done = ckpt.completed_buckets(spark, output_path)
     work = ckpt.resume_filter(work, done)
 
+    # fully-resumed rerun: nothing to stage — skip the write entirely
+    # (Observation.get has no metrics row when zero tasks ran, and an empty
+    # staged write would commit nothing anyway). isEmpty() short-circuits
+    # on the first row found, so this probe is cheap at any scale.
+    if work.isEmpty():
+        summary = {
+            "run_id": run_id,
+            "phase": "committed",
+            "buckets_committed": [],
+            "resumed_skipping_buckets": sorted(done),
+            "n_turns": 0,
+            "started_at": started,
+            "finished_at": datetime.now(timezone.utc),
+        }
+        ckpt.backup_manifest(output_path, run_id, summary)
+        return summary
+
     extracted = extract_only(
         work.select("conv_id", "turn_idx", "role", "text", "tool", "ts")
     ).withColumn("part_bucket", partition_bucket("conv_id", n_buckets))
 
+    # per-bucket stats ride the write job itself via observe() — no second
+    # scan over the staged output (at 100 TB the old re-read was a full
+    # extra pass). Observation metrics are global aggregates, so the
+    # per-bucket split is pivoted into 2*n_buckets conditional sums —
+    # bounded by the constant bucket count, merged map-side like any
+    # partial agg.
+    from pyspark.sql import Observation
+
+    obs = Observation(f"bucket_stats_{run_id}")
+    metric_exprs = []
+    for b in range(n_buckets):
+        metric_exprs.append(
+            F.sum(F.when(F.col("part_bucket") == b, 1).otherwise(0)).alias(f"t{b}")
+        )
+        metric_exprs.append(
+            F.sum(
+                F.when(F.col("part_bucket") == b, F.col("ok").cast("long")).otherwise(0)
+            ).alias(f"o{b}")
+        )
+
     staging = f"{output_path}/_staging_{run_id}"
     (
-        extracted
+        extracted.observe(obs, *metric_exprs)
         # one shuffle keyed on (bucket, conv-salt): co-locates each bucket
         # into at most WRITE_SALT files while keeping a conversation in one
         # file; replaces the old full-input pre-extract shuffle
@@ -193,26 +230,16 @@ def run_job(
         .parquet(staging)
     )
 
-    # per-bucket stats for lineage (cheap: metadata-ish agg over the staged
-    # output; at cluster scale this is a column-pruned scan of two ints).
-    # Schema is pinned: a fully-resumed rerun stages zero rows and inference
-    # would fail on the empty dir.
-    stats_rows = (
-        spark.read.schema(extracted.schema).parquet(staging)
-        .groupBy("part_bucket")
-        .agg(
-            F.count(F.lit(1)).alias("n_turns"),
-            F.sum(F.col("ok").cast("long")).alias("n_ok"),
-        )
-        .collect()
-    )
+    metrics = obs.get  # blocks until the write action reports
+    # sums are NULL when zero rows flowed (fully-resumed rerun) -> `or 0`
     bucket_stats = {
-        int(r["part_bucket"]): {
-            "n_turns": r["n_turns"],
-            "n_ok": r["n_ok"],
+        b: {
+            "n_turns": int(metrics[f"t{b}"] or 0),
+            "n_ok": int(metrics[f"o{b}"] or 0),
             "started_at": started,
         }
-        for r in stats_rows
+        for b in range(n_buckets)
+        if int(metrics[f"t{b}"] or 0) > 0
     }
 
     ckpt.backup_manifest(
@@ -227,7 +254,7 @@ def run_job(
         },
     )
     committed = ckpt.commit_staged(
-        spark, output_path, staging, run_id, bucket_stats, fail_after_n_buckets
+        output_path, staging, run_id, bucket_stats, fail_after_n_buckets
     )
     summary = {
         "run_id": run_id,

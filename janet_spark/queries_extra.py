@@ -32,7 +32,11 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from janet_spark.extract.spans import find_matches, normalize_keyword
+from janet_spark.extract.spans import (
+    find_matches,
+    normalize_keyword,
+    normalize_single_keyword,
+)
 from janet_spark.queries_relational import t
 
 # ---------------------------------------------------------------------------
@@ -89,6 +93,78 @@ ORDER BY key
 
 
 # ---------------------------------------------------------------------------
+# J3 disjunctive-key upsert (OR-match MERGE)
+# ---------------------------------------------------------------------------
+
+
+def q_disjunctive_upsert(spark, sf_dir):
+    """J3: the reference's rename-mapping upsert matches an existing row on
+    EITHER key — ``m.oldName === mapping.oldName || m.newName ===
+    mapping.newName`` (apps/legacy/src/utils/file.ts:41-43) — replacing the
+    match or appending. Batch MERGE-ON-OR shape: result = updates UNION
+    (base rows matched by NO update on either key).
+
+    Scale note: a literal OR join condition degenerates to a nested-loop
+    cross product in any engine, so the disjunction is rewritten as TWO
+    broadcast anti equi-joins chained (B antijoin U on old_name, then
+    antijoin U on new_name) — set-identical to NOT EXISTS(old OR new), each
+    leg an equi-join Catalyst can broadcast or shuffle-hash."""
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    base = docs.filter(F.col("doc_id") < 400).select(
+        F.concat(F.lit("doc-"), F.col("doc_id"), F.lit(".pdf")).alias("old_name"),
+        F.concat(F.lit("renamed-"), F.col("doc_id"), F.lit(".pdf")).alias("new_name"),
+        F.lit(1).alias("gen"),
+    )
+    upd_old = docs.filter((F.col("doc_id") % 7 == 0) & (F.col("doc_id") < 450)).select(
+        F.concat(F.lit("doc-"), F.col("doc_id"), F.lit(".pdf")).alias("old_name"),
+        F.concat(F.lit("renamed-"), F.col("doc_id") + 1000, F.lit(".pdf")).alias(
+            "new_name"
+        ),
+        F.lit(2).alias("gen"),
+    )
+    upd_new = docs.filter((F.col("doc_id") % 7 != 0) & (F.col("doc_id") % 11 == 3)).select(
+        F.concat(F.lit("doc-"), F.col("doc_id") + 2000, F.lit(".pdf")).alias(
+            "old_name"
+        ),
+        F.concat(F.lit("renamed-"), F.col("doc_id"), F.lit(".pdf")).alias("new_name"),
+        F.lit(2).alias("gen"),
+    )
+    upd = upd_old.unionByName(upd_new)
+    survivors = base.join(
+        F.broadcast(upd.select("old_name")), "old_name", "left_anti"
+    ).join(F.broadcast(upd.select("new_name")), "new_name", "left_anti")
+    return (
+        survivors.select("old_name", "new_name", "gen")
+        .unionByName(upd)
+        .orderBy("old_name", "new_name")
+    )
+
+
+ORACLE_DISJUNCTIVE_UPSERT = """
+WITH base AS (
+  SELECT 'doc-' || doc_id || '.pdf' AS old_name,
+         'renamed-' || doc_id || '.pdf' AS new_name, 1 AS gen
+  FROM documents WHERE doc_id < 400
+), upd AS (
+  SELECT 'doc-' || doc_id || '.pdf' AS old_name,
+         'renamed-' || (doc_id + 1000) || '.pdf' AS new_name, 2 AS gen
+  FROM documents WHERE doc_id % 7 = 0 AND doc_id < 450
+  UNION ALL
+  SELECT 'doc-' || (doc_id + 2000) || '.pdf' AS old_name,
+         'renamed-' || doc_id || '.pdf' AS new_name, 2 AS gen
+  FROM documents WHERE doc_id % 7 != 0 AND doc_id % 11 = 3
+)
+SELECT old_name, new_name, gen FROM base b
+WHERE NOT EXISTS (
+  SELECT 1 FROM upd u
+  WHERE u.old_name = b.old_name OR u.new_name = b.new_name)
+UNION ALL
+SELECT old_name, new_name, gen FROM upd
+ORDER BY old_name, new_name
+"""
+
+
+# ---------------------------------------------------------------------------
 # K8/F11/A6 search-index projection
 # ---------------------------------------------------------------------------
 
@@ -114,7 +190,10 @@ def q_search_index_projection(spark, sf_dir):
             F.concat(F.lit("doc-"), F.col("doc_id").cast("string"), F.lit(".pdf")),
         ).alias("title"),
         F.substring("text", 1, 10000).alias("content"),
-        F.array(F.col("lang"), F.col("source")).alias("labels"),
+        # label array serialized to a flat string so the driver's row
+        # canonicalizer (pandas sort + hash) can handle it — the index
+        # document itself would carry the array; the join key is the CSV.
+        F.array_join(F.array(F.col("lang"), F.col("source")), ",").alias("labels"),
         F.length("text").alias("text_len"),
     ).orderBy("doc_id")
 
@@ -126,7 +205,7 @@ SELECT doc_id,
          CASE WHEN doc_id % 3 = 1 THEN 'Document ' || doc_id END,
          'doc-' || doc_id || '.pdf') AS title,
        substring(text, 1, 10000) AS content,
-       [lang, source] AS labels,
+       lang || ',' || source AS labels,
        length(text) AS text_len
 FROM documents ORDER BY doc_id
 """
@@ -182,6 +261,61 @@ SELECT doc_id,
        "start", "start" + {len(_NAV_KEYWORD)} AS end_off
 FROM hits ORDER BY doc_id, match_idx
 """
+
+
+_MULTI_KEYWORDS = ("sort", "data", "tree")  # no prefix/suffix self-overlap
+
+
+def q_multi_keyword_spans(spark, sf_dir):
+    """Multi-keyword search in ONE pass over the corpus, mirroring the
+    reference's page x keyword loop (apps/search/src/useSearch.ts:201-221:
+    for each page, for each keyword, a fresh matchIndex counter and a
+    global regex scan). One mapInPandas with the keyword list compiled
+    once per batch — the corpus is scanned once regardless of how many
+    keywords the user searched, vs one full scan per keyword."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    kws = [normalize_single_keyword(k, match_case=False) for k in _MULTI_KEYWORDS]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"].fillna("")):
+                for nk in kws:
+                    for idx, s, e in find_matches(text, nk.pattern, nk.whole_words):
+                        rows.append((int(doc_id), nk.keyword, idx, s, e))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "keyword", "match_idx", "start", "end_off"]
+            )
+
+    return docs.mapInPandas(
+        run, schema="doc_id long, keyword string, match_idx int, start int, end_off int"
+    ).orderBy("doc_id", "keyword", "match_idx")
+
+
+def _multi_kw_oracle() -> str:
+    parts = []
+    for kw in _MULTI_KEYWORDS:
+        parts.append(f"""
+SELECT doc_id, '{kw}' AS keyword, cast(i AS int) AS "start",
+       cast(i AS int) + {len(kw)} AS end_off
+FROM (
+  SELECT doc_id, text,
+         unnest(range(0, greatest(len(text) - {len(kw) - 1}, 0))) AS i
+  FROM documents
+)
+WHERE lower(substring(text, cast(i AS int) + 1, {len(kw)})) = '{kw}'""")
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH hits AS ({union})
+SELECT doc_id, keyword,
+       cast(row_number() OVER (
+         PARTITION BY doc_id, keyword ORDER BY "start") - 1 AS int) AS match_idx,
+       "start", end_off
+FROM hits ORDER BY doc_id, keyword, match_idx
+"""
+
+
+ORACLE_MULTI_KEYWORD_SPANS = _multi_kw_oracle()
 
 
 def q_match_navigation(spark, sf_dir):
@@ -355,12 +489,14 @@ FROM events GROUP BY event_type ORDER BY event_type
 
 def q_langs_per_source(spark, sf_dir):
     """Set aggregation: ordered distinct language list per source
-    (collect_set + sort_array == DuckDB array_agg(DISTINCT .. ORDER BY))."""
+    (collect_set + sort_array == DuckDB string_agg(DISTINCT .. ORDER BY)),
+    serialized with array_join so the driver's row canonicalizer can sort
+    and hash the column (lists are unhashable in its pandas path)."""
     docs = t(spark, sf_dir, "documents")
     return (
         docs.groupBy("source")
         .agg(
-            F.sort_array(F.collect_set("lang")).alias("langs"),
+            F.array_join(F.sort_array(F.collect_set("lang")), ",").alias("langs"),
             F.count(F.lit(1)).alias("n_docs"),
         )
         .orderBy("source")
@@ -368,7 +504,7 @@ def q_langs_per_source(spark, sf_dir):
 
 
 ORACLE_LANGS_PER_SOURCE = """
-SELECT source, array_agg(DISTINCT lang ORDER BY lang) AS langs,
+SELECT source, string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs,
        count(*) AS n_docs
 FROM documents GROUP BY source ORDER BY source
 """
@@ -437,30 +573,45 @@ FROM events ORDER BY user_id, event_id LIMIT 200
 # IVF-style ANN: coarse quantize to centroid cells, probe nearest 2 cells
 # ---------------------------------------------------------------------------
 
-_IVF_CENTROID_MOD = 25  # vec_id % 25 == 0 -> deterministic "trained" centroids
+_IVF_K = 20  # FIXED centroid count — independent of table size
 _IVF_PROBES = 2
 _IVF_TOPK = 3
+
+
+def ivf_centroids(emb, k=_IVF_K):
+    """Deterministic bounded centroid sample: the k vectors with the
+    smallest md5(vec_id) — a hash-order top-k, so the centroid count is a
+    CONSTANT independent of table size (a 10^9-row table still collects
+    exactly k rows to the driver), and both Spark and DuckDB compute the
+    identical set. Real IVF would k-means-train on a bounded sample; the
+    hash top-k is the deterministic stand-in with the same scale shape."""
+    rows = (
+        emb.select("vec_id", "embedding")
+        .withColumn("h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("h", "vec_id")
+        .limit(k)
+        .collect()
+    )
+    # re-sort by vec_id so argmax-first tie-break == (cs desc, cid asc)
+    return sorted(rows, key=lambda r: int(r["vec_id"]))
 
 
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF-style approximate nearest neighbor (the 100 TB scale path next to
     the brute-force `ann_cosine_topk` baseline): vectors coarse-quantize to
-    their nearest centroid cell (centroids = deterministic subsample), each
-    query probes its 2 nearest cells and ranks only those candidates.
+    their nearest centroid cell (centroids = fixed-k deterministic sample),
+    each query probes its 2 nearest cells and ranks only those candidates.
 
-    At scale: the centroid table broadcasts, assignment is a narrow
-    mapInPandas GEMM over the scan, and the candidate join shuffles on the
-    small cell key space instead of all-pairs. Ordering ties break by
-    (cosine desc, vec_id asc) so the DuckDB oracle is reproducible."""
+    At scale: the centroid table is a fixed k rows (broadcast), assignment
+    is a narrow mapInPandas GEMM over the scan, and the candidate join
+    shuffles on the small cell key space instead of all-pairs. Ordering
+    ties break by (cosine desc, vec_id asc) so the DuckDB oracle is
+    reproducible."""
     import numpy as np
     import pandas as pd
 
     emb = t(spark, sf_dir, "embeddings")
-    cent = (
-        emb.filter(F.col("vec_id") % _IVF_CENTROID_MOD == 0)
-        .orderBy("vec_id")
-        .collect()
-    )
+    cent = ivf_centroids(emb)
     c_ids = [int(r["vec_id"]) for r in cent]
     c_mat = np.array([r["embedding"] for r in cent], dtype=np.float64)
     c_norm = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
@@ -542,8 +693,9 @@ _DUCK_COS = (
 
 ORACLE_ANN_IVF_TOPK = f"""
 WITH c AS (
-  SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings
-  WHERE vec_id % {_IVF_CENTROID_MOD} = 0
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+  FROM (SELECT * FROM embeddings
+        ORDER BY md5(cast(vec_id AS varchar)), vec_id LIMIT {_IVF_K})
 ), v AS (
   SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings
 ), sim AS (
@@ -592,7 +744,9 @@ EXTRA_QUERIES = {
         ORACLE_SEARCH_INDEX_PROJECTION,
     ),
     "match_offsets_sql": (q_match_offsets_sql, ORACLE_MATCH_OFFSETS_SQL),
+    "multi_keyword_spans": (q_multi_keyword_spans, ORACLE_MULTI_KEYWORD_SPANS),
     "match_navigation": (q_match_navigation, ORACLE_MATCH_NAVIGATION),
+    "disjunctive_upsert": (q_disjunctive_upsert, ORACLE_DISJUNCTIVE_UPSERT),
     "rollup_revenue": (q_rollup_revenue, ORACLE_ROLLUP_REVENUE),
     "label_array_filter": (q_label_array_filter, ORACLE_LABEL_ARRAY_FILTER),
 }

@@ -511,33 +511,74 @@ SELECT q_id, vec_id, sim, rank FROM ranked WHERE rank <= 5 ORDER BY q_id, rank
 """
 
 
-def q_embed_neardup_blocked(spark, sf_dir):
+_NEARDUP_CHUNK = 24  # per-task row cap; a block of b rows => ceil(b/24) chunks
+
+
+def q_embed_neardup_blocked(spark, sf_dir, chunk_rows=_NEARDUP_CHUNK):
     """Embedding-cosine near-dup pairs with IVF-style blocking on `label`
-    (the coarse cell): pairwise numpy GEMM *within* each block via
-    applyInPandas — no global cross join ever materializes."""
+    (the coarse cell), with a HARD per-task row cap: blocks larger than
+    `chunk_rows` are triangle-partitioned — rows get a chunk index within
+    their block, and each chunk pair (ci <= cj) becomes its own
+    applyInPandas group of at most 2*chunk_rows rows. A hot label with b
+    rows therefore costs O((b/C)^2) bounded tasks instead of one O(b^2)
+    task that OOMs an executor; every pair is still computed exactly once
+    ((ci,cj) covers the triangle), so the output is bit-identical to the
+    unbounded all-pairs oracle. Duplication factor per row is the chunk
+    count of its block (the explode below), the standard cost of
+    distributed theta-join triangle partitioning."""
     emb = t(spark, sf_dir, "embeddings").select("label", "vec_id", "embedding")
+
+    wb = Window.partitionBy("label").orderBy("vec_id")
+    chunked = (
+        emb.withColumn("rn", F.row_number().over(wb) - 1)
+        .withColumn("cnt", F.count(F.lit(1)).over(Window.partitionBy("label")))
+        .withColumn("chunk", (F.col("rn") / chunk_rows).cast("int"))
+        .withColumn("k", F.ceil(F.col("cnt") / chunk_rows).cast("int"))
+    )
+    # each row joins every chunk-pair group it participates in: as the
+    # lower chunk for (chunk, j>=chunk), as the upper for (i<=chunk, chunk)
+    exploded = chunked.select(
+        "label",
+        "vec_id",
+        "embedding",
+        "chunk",
+        F.explode(
+            F.array_union(
+                F.expr("transform(sequence(chunk, k - 1), j -> struct(chunk AS ci, j AS cj))"),
+                F.expr("transform(sequence(0, chunk), i -> struct(i AS ci, chunk AS cj))"),
+            )
+        ).alias("g"),
+    )
 
     def pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         m = np.array(list(pdf["embedding"]), dtype=np.float64)
         mn = m / np.linalg.norm(m, axis=1, keepdims=True)
-        sims = mn @ mn.T
         ids = pdf["vec_id"].to_numpy()
-        iu = np.triu_indices(len(ids), k=1)
-        s = np.round(sims[iu], 4)
+        ci = int(pdf["g"].iloc[0]["ci"])
+        cj = int(pdf["g"].iloc[0]["cj"])
+        if ci == cj:
+            sims = mn @ mn.T
+            iu = np.triu_indices(len(ids), k=1)
+            s = np.round(sims[iu], 4)
+            a_ids, b_ids = ids[iu[0]], ids[iu[1]]
+        else:
+            left = pdf["chunk"].to_numpy() == ci
+            sims = mn[left] @ mn[~left].T
+            s = np.round(sims.reshape(-1), 4)
+            a_ids = np.repeat(ids[left], (~left).sum())
+            b_ids = np.tile(ids[~left], left.sum())
         keep = s >= 0.4
-        d1 = np.minimum(ids[iu[0]][keep], ids[iu[1]][keep])
-        d2 = np.maximum(ids[iu[0]][keep], ids[iu[1]][keep])
         return pd.DataFrame(
             {
                 "label": pdf["label"].iloc[0],
-                "v1": d1,
-                "v2": d2,
+                "v1": np.minimum(a_ids[keep], b_ids[keep]),
+                "v2": np.maximum(a_ids[keep], b_ids[keep]),
                 "sim": s[keep],
             }
         )
 
     return (
-        emb.groupBy("label")
+        exploded.groupBy("label", "g")
         .applyInPandas(pairs, schema="label int, v1 long, v2 long, sim double")
         .orderBy("label", "v1", "v2")
     )
@@ -741,14 +782,70 @@ FROM documents ORDER BY doc_id
 
 
 def q_lang_id(spark, sf_dir):
-    """Heuristic language identification (stopword/CJK profiles) — not
-    SQL-expressible; semantics pinned by pytest on real multilingual text."""
+    """Heuristic language identification (stopword/CJK profiles), vectorized
+    over Arrow batches; the DuckDB oracle below recomputes the CJK-ratio
+    branch, the stopword arg-max, and the lexicographic-desc tie-break
+    independently in SQL, so every detected code is value-checked."""
     from janet_spark.textops import lang_id_iter
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     return docs.mapInPandas(
         lang_id_iter, schema="doc_id long, detected_lang string"
     ).orderBy("doc_id")
+
+
+def _lang_oracle_sql() -> str:
+    """Render textops.detect_lang as DuckDB SQL from the same profile table
+    (single source of truth — editing _PROFILES keeps the oracle in lockstep).
+
+    Mirrors the Python exactly: empty -> 'und'; CJK ratio > 0.05 -> 'zh';
+    tokenized with the same char class THEN lowercased (uppercase accented
+    letters are intentionally outside the class, as in textops._WORD);
+    arg-max over stopword hit counts with ties to the lexicographically
+    LARGEST lang code (Python max() over (score, key) tuples)."""
+    from janet_spark.textops import _PROFILES
+
+    # the CASE ladder below hard-codes the lexicographic-desc order of these
+    # four codes; fail loudly if the profile table ever changes shape
+    assert set(_PROFILES) == {"en", "de", "fr", "es"}, sorted(_PROFILES)
+
+    def score(lang: str) -> str:
+        lst = "[" + ",".join(f"'{w}'" for w in sorted(_PROFILES[lang])) + "]"
+        return f"len(list_filter(words, w -> list_contains({lst}, w))) AS s_{lang}"
+
+    scores = ",\n         ".join(score(lang) for lang in _PROFILES)
+    best = "greatest(s_en, s_de, s_fr, s_es)"
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         text,
+         length(regexp_replace(coalesce(text,''), '[^一-鿿㐀-䶿]', '', 'g'))
+           AS n_cjk,
+         list_transform(
+           regexp_extract_all(coalesce(text,''), '[a-zA-Zäöüßéèêàçñáíóú]+'),
+           w -> lower(w)) AS words
+  FROM documents
+), scored AS (
+  SELECT doc_id, text, n_cjk, words,
+         {scores}
+  FROM base
+)
+SELECT doc_id,
+       CASE
+         WHEN text IS NULL OR text = '' THEN 'und'
+         WHEN n_cjk > 0 AND n_cjk / greatest(length(text), 1) > 0.05 THEN 'zh'
+         WHEN len(words) = 0 THEN 'und'
+         WHEN {best} = 0 THEN 'und'
+         WHEN s_fr = {best} THEN 'fr'
+         WHEN s_es = {best} THEN 'es'
+         WHEN s_en = {best} THEN 'en'
+         ELSE 'de'
+       END AS detected_lang
+FROM scored ORDER BY doc_id
+"""
+
+
+ORACLE_LANG_ID = _lang_oracle_sql()
 
 
 def q_multimodal_probe(spark, sf_dir):
@@ -847,7 +944,7 @@ TEXT_QUERIES = {
     "keyword_spans": (q_keyword_spans, ORACLE_KEYWORD_SPANS),
     "rename_suggest": (q_rename_suggest, ORACLE_RENAME_SUGGEST),
     "metadata_extract": (q_metadata_extract, ORACLE_METADATA_EXTRACT),
-    "lang_id": (q_lang_id, None),
+    "lang_id": (q_lang_id, ORACLE_LANG_ID),
     "multimodal_probe": (q_multimodal_probe, ORACLE_MULTIMODAL_PROBE),
     "multimodal_features": (q_multimodal_features, ORACLE_MULTIMODAL_FEATURES),
     "frame_sample": (q_frame_sample, ORACLE_FRAME_SAMPLE),

@@ -6,18 +6,23 @@ driver instruction) the identical job runs at two local parallelism levels
 — N=4 vs 4N=16 cores — on the same input, and we report throughput at both
 plus efficiency = (rate_16 / rate_4) / 4.
 
-Why 4 vs 16 and not 8 vs 32: the sandbox VM advertises 32 vCPUs, but
+PROTOCOL TRANSPARENCY (round-2 change, per advisor): ALL FOUR levels
+(4, 8, 16, 32 cores) are measured every run, and the report publishes BOTH
+the 4->16 and the 8->32 efficiency, each under BOTH timings (first run and
+best-of-3), so the headline is not the product of picking the friendlier
+regime after the fact. The HEADLINE remains 4->16 best-of-3, with the
+rationale stated in the report: the sandbox VM advertises 32 vCPUs but its
 measured memory/allocation bandwidth saturates near ~20 concurrent
 string-processing workers (a pure-multiprocessing run of the extraction
 kernel, no Spark at all, scales 4->16 procs at 0.88 efficiency but 8->32
 at only 0.54; the host also shows 10-25% steal when all 32 vCPUs are
-loaded). 4 vs 16 keeps both levels inside the region where the hardware
-itself scales, which is what the N-vs-4N criterion is probing — on a real
-cluster the added executors bring their own memory channels.
+loaded) — so 8->32 on this box measures the VM's memory wall, not the
+job's shuffle/skew behavior, whereas on a real cluster added executors
+bring their own memory channels. Best-of-3 is used because the shared
+host's interleaved load varies run times ~30%; the first-run numbers are
+printed beside it so the effect is visible.
 
-Each level runs in a fresh subprocess (fresh JVM) so parallelism is honest;
-the timed job runs 3x per level and the best time is kept (the sandbox
-shares a noisy host — interleaved repeat runs vary ~30%).
+Each level runs in a fresh subprocess (fresh JVM) so parallelism is honest.
 The input must be large enough that per-turn extraction work dominates
 fixed driver/JVM overhead (a 4-second job measures scheduler latency, not
 scaling): the sf-dir derived transcripts are replicated REP times with a
@@ -43,7 +48,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 DATA = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".data")
 INPUT = os.path.join(DATA, "transcripts_bench")
-LEVELS = (4, 16)
+LEVELS = (4, 8, 16, 32)
+HEADLINE = (4, 16)  # see module docstring for the rationale; 8->32 reported too
 RUNS_PER_LEVEL = 3
 REP = int(os.environ.get("SPARK_GRAFT_BENCH_REP", "200"))
 SKEW_TURNS = 50_000
@@ -128,15 +134,24 @@ def child(cpus: int) -> None:
     extract_only(tr.sample(0.02, seed=1)).write.format("noop").mode(
         "overwrite"
     ).save()
-    best = None
+    runs = []
     for _ in range(RUNS_PER_LEVEL):
         t0 = time.time()
         out = extract_only(tr)
         reassemble_conversations(out).write.format("noop").mode("overwrite").save()
-        sec = time.time() - t0
-        best = sec if best is None else min(best, sec)
+        runs.append(round(time.time() - t0, 3))
     n = tr.count()
-    print(json.dumps({"cpus": cpus, "sec": round(best, 3), "turns": n}))
+    print(
+        json.dumps(
+            {
+                "cpus": cpus,
+                "sec": min(runs),
+                "first_sec": runs[0],
+                "runs": runs,
+                "turns": n,
+            }
+        )
+    )
     spark.stop()
 
 
@@ -161,38 +176,71 @@ def main() -> int:
         results[cpus] = json.loads(line)
         print(line)
 
-    n8, n32 = results[LEVELS[0]], results[LEVELS[1]]
-    rate8 = n8["turns"] / n8["sec"]
-    rate32 = n32["turns"] / n32["sec"]
-    eff = (rate32 / rate8) / (LEVELS[1] / LEVELS[0])
+    turns = results[LEVELS[0]]["turns"]
+
+    def eff(lo: int, hi: int, key: str) -> float:
+        r_lo = turns / results[lo][key]
+        r_hi = turns / results[hi][key]
+        return (r_hi / r_lo) / (hi / lo)
+
+    head_lo, head_hi = HEADLINE
+    headline_eff = eff(head_lo, head_hi, "sec")
     summary = {
-        "turns": n8["turns"],
-        f"rate_local{LEVELS[0]}_turns_per_sec": round(rate8, 1),
-        f"rate_local{LEVELS[1]}_turns_per_sec": round(rate32, 1),
-        "scaling_efficiency": round(eff, 3),
+        "turns": turns,
+        "rates_best_turns_per_sec": {
+            str(c): round(turns / results[c]["sec"], 1) for c in LEVELS
+        },
+        "eff_4_16_best": round(eff(4, 16, "sec"), 3),
+        "eff_4_16_first": round(eff(4, 16, "first_sec"), 3),
+        "eff_8_32_best": round(eff(8, 32, "sec"), 3),
+        "eff_8_32_first": round(eff(8, 32, "first_sec"), 3),
+        "scaling_efficiency": round(headline_eff, 3),
+        "headline_protocol": f"{head_lo}->{head_hi} best-of-{RUNS_PER_LEVEL}",
         "target": 0.8,
-        "pass": eff >= 0.8,
+        "pass": headline_eff >= 0.8,
         "sf_dir": sf_dir,
     }
     print(json.dumps(summary))
 
+    rows = "\n".join(
+        f"| local[{c}] | {results[c]['first_sec']} | {results[c]['sec']} | "
+        f"{turns / results[c]['sec']:,.1f} | {results[c]['runs']} |"
+        for c in LEVELS
+    )
     os.makedirs(os.path.dirname(RESULT_MD), exist_ok=True)
     with open(RESULT_MD, "w") as f:
         f.write(
             "# BENCH baseline — extraction throughput + scaling efficiency\n\n"
-            "Same job (read -> skew census -> skew-salted repartition -> Arrow\n"
-            "extraction UDF -> window-ordered reassembly), same input\n"
-            f"({n8['turns']:,} turns = sf0.1-derived transcripts replicated x{REP}\n"
-            "with SQL-applied dirt: 1/3 HTML-boilerplate-wrapped, 1/3 OCR\n"
-            "artifacts, 1/3 padded plain; plus two 5*10^4-turn skewed\n"
-            "conversations), two parallelism levels in fresh JVMs on 32\n"
-            "physical cores — the sandbox stand-in for N vs 4N executor\n"
-            "clusters per the driver instruction.\n\n"
-            "| parallelism | wall sec | turns/sec |\n|---|---|---|\n"
-            f"| local[{LEVELS[0]}] | {n8['sec']} | {rate8:,.1f} |\n"
-            f"| local[{LEVELS[1]}] | {n32['sec']} | {rate32:,.1f} |\n\n"
-            f"**Scaling efficiency (rate_{LEVELS[1]} / rate_{LEVELS[0]}) / 4 = "
-            f"{eff:.3f}** (target >= 0.8: {'PASS' if eff >= 0.8 else 'FAIL'})\n\n"
+            "Same job — the NARROW plan actually executed by this bench:\n"
+            "read -> scan-split-parallel Arrow extraction UDF (no pre-extract\n"
+            "shuffle, no skew census; parallelism comes from input splits) ->\n"
+            "chunked two-level window-ordered reassembly (order-preserving\n"
+            f"chunk salting bounds skew by construction). Input: {turns:,}\n"
+            f"turns = sf0.1-derived transcripts replicated x{REP} with\n"
+            "SQL-applied dirt (1/3 HTML-boilerplate-wrapped, 1/3 OCR\n"
+            "artifacts, 1/3 padded plain) plus two 5*10^4-turn skewed\n"
+            "conversations. Every parallelism level runs in a fresh JVM on\n"
+            "the same 32-vCPU sandbox host — the stand-in for N vs 4N\n"
+            "executor clusters per the driver instruction.\n\n"
+            "| parallelism | first-run sec | best-of-3 sec | best turns/sec | all runs |\n"
+            "|---|---|---|---|---|\n"
+            f"{rows}\n\n"
+            "## Scaling efficiency — all protocols (transparency)\n\n"
+            "| levels | first-run | best-of-3 |\n|---|---|---|\n"
+            f"| 4 -> 16 | {eff(4, 16, 'first_sec'):.3f} | {eff(4, 16, 'sec'):.3f} |\n"
+            f"| 8 -> 32 | {eff(8, 32, 'first_sec'):.3f} | {eff(8, 32, 'sec'):.3f} |\n\n"
+            f"**Headline: {head_lo}->{head_hi} best-of-{RUNS_PER_LEVEL} = "
+            f"{headline_eff:.3f}** (target >= 0.8: "
+            f"{'PASS' if headline_eff >= 0.8 else 'FAIL'})\n\n"
+            "Why the headline is 4->16 and not 8->32: this VM's\n"
+            "memory/allocation bandwidth saturates near ~20 concurrent\n"
+            "string-processing workers — a no-Spark multiprocessing run of\n"
+            "the same extraction kernel scales 4->16 at 0.88 but 8->32 at\n"
+            "0.54, and the host shows 10-25% steal when all 32 vCPUs load —\n"
+            "so 8->32 here measures the VM's memory wall, not the job's\n"
+            "shuffle/skew behavior. Both numbers are published above so the\n"
+            "protocol choice is auditable. Best-of-3 vs first-run differ by\n"
+            "shared-host noise (~30% run-to-run); both shown.\n\n"
             f"sf_dir: `{sf_dir}`\n"
         )
     return 0

@@ -1,0 +1,274 @@
+"""Round-2 operator tests: fixed-k IVF centroids, bounded near-dup block
+tasks (hot-label triangle partitioning), the reference's full keyword
+normalization semantics (empty-keyword sentinels, RegExp passthrough,
+dialect divergence), multi-keyword single-pass search, and the disjunctive
+OR-key upsert's equivalence to the reference's sequential find-and-replace.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# IVF: centroid count is a constant, independent of table size
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_centroid_count_fixed(spark):
+    from janet_spark.queries_extra import _IVF_K, ivf_centroids
+    from janet_spark.queries_relational import t
+
+    emb = t(spark, SF, "embeddings")
+    small = ivf_centroids(emb)
+    assert len(small) == _IVF_K
+
+    # simulate a 5x bigger table: centroid count must NOT grow
+    bigger = emb.unionByName(
+        emb.select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"),
+            *[c for c in emb.columns if c != "vec_id"],
+        )
+    )
+    big = ivf_centroids(bigger)
+    assert len(big) == _IVF_K
+
+
+# ---------------------------------------------------------------------------
+# near-dup triangle partitioning: hot block, bounded tasks, exact output
+# ---------------------------------------------------------------------------
+
+
+def test_embed_neardup_hot_block_bounded(spark, tmp_path):
+    # one deliberately hot label (120 rows) next to a small one; chunk cap 16
+    # => the hot block must split into ceil(120/16)=8 chunks / 36 chunk-pair
+    # tasks, and the pair set must equal the brute-force all-pairs answer.
+    rng = np.random.RandomState(7)
+    n_hot, n_cold, dim = 120, 9, 8
+    rows = []
+    for i in range(n_hot):
+        rows.append((1, i, rng.randn(dim).astype(float).tolist()))
+    for i in range(n_cold):
+        rows.append((2, 1000 + i, rng.randn(dim).astype(float).tolist()))
+    pdf = pd.DataFrame(rows, columns=["label", "vec_id", "embedding"])
+    path = str(tmp_path / "emb")
+    spark.createDataFrame(
+        pdf, "label int, vec_id long, embedding array<float>"
+    ).write.parquet(path + "/embeddings.parquet")
+
+    from janet_spark.queries_text import q_embed_neardup_blocked
+
+    got = (
+        q_embed_neardup_blocked(spark, path, chunk_rows=16)
+        .toPandas()
+        .sort_values(["label", "v1", "v2"])
+        .reset_index(drop=True)
+    )
+
+    # brute-force oracle in numpy
+    expect = []
+    for label in (1, 2):
+        sub = pdf[pdf.label == label].reset_index(drop=True)
+        m = np.array(list(sub["embedding"]), dtype=np.float64)
+        # mirror the float32 parquet round trip the Spark path reads
+        m = m.astype(np.float32).astype(np.float64)
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = np.round(mn @ mn.T, 4)
+        ids = sub["vec_id"].to_numpy()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if sims[i, j] >= 0.4:
+                    expect.append(
+                        (label, min(ids[i], ids[j]), max(ids[i], ids[j]), sims[i, j])
+                    )
+    exp = (
+        pd.DataFrame(expect, columns=["label", "v1", "v2", "sim"])
+        .sort_values(["label", "v1", "v2"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    pd.testing.assert_frame_equal(
+        got.astype({"label": "int64", "v1": "int64", "v2": "int64"}),
+        exp.astype({"label": "int64", "v1": "int64", "v2": "int64"}),
+        check_exact=False,
+        atol=1e-9,
+    )
+
+
+# ---------------------------------------------------------------------------
+# T2: empty-keyword sentinels, RegExp passthrough, dialect divergence
+# ---------------------------------------------------------------------------
+
+
+def test_empty_keyword_search_dialect_matches_spaces():
+    from janet_spark.extract.spans import find_matches, normalize_single_keyword
+
+    nk = normalize_single_keyword("", dialect="search")
+    assert nk.keyword == "" and nk.pattern.pattern == " " and not nk.whole_words
+    # the sentinel matches literal spaces, NOT zero-width everywhere
+    matches = find_matches("a b c", nk.pattern, nk.whole_words)
+    assert [(s, e) for _, s, e in matches] == [(1, 2), (3, 4)]
+
+
+def test_empty_keyword_web_dialect_zero_width():
+    from janet_spark.extract.spans import find_matches, normalize_single_keyword
+
+    nk = normalize_single_keyword("", dialect="web")
+    assert nk.pattern.pattern == ""
+    # `new RegExp("", "g")` matches zero-width at every position incl. EOS —
+    # the deliberate divergence between the web and search apps
+    matches = find_matches("ab", nk.pattern, nk.whole_words)
+    assert [(s, e) for _, s, e in matches] == [(0, 0), (1, 1), (2, 2)]
+
+
+def test_regexp_passthrough_preserves_pattern_and_flags():
+    from janet_spark.extract.spans import normalize_single_keyword
+
+    rx = re.compile(r"so?rt", re.IGNORECASE)
+    nk = normalize_single_keyword(rx)
+    assert nk.pattern is rx  # used verbatim, no escaping, no padding
+    assert nk.keyword == r"so?rt"
+    assert not nk.whole_words
+    nk2 = normalize_single_keyword(rx, whole_words=True)
+    assert nk2.whole_words and nk2.pattern is rx  # flag set, still no padding
+
+
+def test_flag_keyword_dict_with_overrides():
+    from janet_spark.extract.spans import normalize_single_keyword
+
+    nk = normalize_single_keyword(
+        {"keyword": "a.b", "match_case": False}, match_case=True, whole_words=True
+    )
+    # explicit args override the dict (normalizeKeyword.ts:52-57)
+    assert nk.pattern.pattern == r"\ a\.b\ " or nk.pattern.pattern == " a\\.b "
+    assert nk.pattern.flags & re.IGNORECASE == 0
+    assert nk.whole_words
+
+
+# ---------------------------------------------------------------------------
+# multi-keyword single pass: per-keyword ordinals over one scan
+# ---------------------------------------------------------------------------
+
+
+def test_multi_keyword_spans_per_keyword_ordinals(spark, tmp_path):
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1],
+            "text": ["sort the data then sort the tree data"],
+        }
+    )
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(docs).write.parquet(path + "/documents.parquet")
+    from janet_spark.queries_extra import q_multi_keyword_spans
+
+    out = q_multi_keyword_spans(spark, path).toPandas()
+    by_kw = {
+        k: list(zip(g["match_idx"], g["start"]))
+        for k, g in out.groupby("keyword")
+    }
+    assert by_kw["sort"] == [(0, 0), (1, 19)]
+    assert by_kw["data"] == [(0, 9), (1, 33)]
+    assert by_kw["tree"] == [(0, 28)]
+
+
+# ---------------------------------------------------------------------------
+# lineage dir mixing Spark-written (INT96 ts) and pyarrow-written files
+# ---------------------------------------------------------------------------
+
+
+def test_mixed_lineage_writers_resume(spark, tmp_path):
+    from datetime import datetime, timezone
+
+    from janet_spark import checkpoint as ckpt
+
+    out = str(tmp_path / "out")
+    ldir = ckpt.lineage_dir(out)
+
+    # generation 1: a Spark job wrote the lineage file (INT96 timestamps,
+    # Spark's default parquet physical type) — the pre-round-2 layout
+    now = datetime.now(timezone.utc)
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+    try:
+        spark.createDataFrame(
+            [("run-old", 3, "success", None, 10, 10, now, now)],
+            ckpt.LINEAGE_SCHEMA,
+        ).coalesce(1).write.mode("append").parquet(ldir)
+    finally:
+        spark.conf.unset("spark.sql.parquet.outputTimestampType")
+
+    # generation 2: the pyarrow fast path appends (timestamp[us, UTC])
+    ckpt.write_lineage(
+        out,
+        [
+            {
+                "run_id": "run-new",
+                "part_bucket": 7,
+                "status": "success",
+                "error": None,
+                "n_turns": 5,
+                "n_ok": 5,
+                "started_at": now,
+                "finished_at": now,
+            }
+        ],
+    )
+
+    # resume must see both generations through one mixed-schema read
+    assert ckpt.completed_buckets(spark, out) == {3, 7}
+
+
+# ---------------------------------------------------------------------------
+# J3: batch OR-key upsert == the reference's sequential find-and-replace
+# ---------------------------------------------------------------------------
+
+
+def _sequential_upsert(base: list[dict], updates: list[dict]) -> list[dict]:
+    """The reference's loop (file.ts:41-49): find first row matching on
+    either key, replace in place, else append."""
+    rows = [dict(r) for r in base]
+    for u in updates:
+        for i, r in enumerate(rows):
+            if r["old_name"] == u["old_name"] or r["new_name"] == u["new_name"]:
+                rows[i] = dict(u)
+                break
+        else:
+            rows.append(dict(u))
+    return rows
+
+
+def test_disjunctive_upsert_matches_sequential_reference(spark):
+    # distinct-keyed updates (the batch MERGE precondition): set-equivalence
+    # between the distributed anti-join-chain and the sequential loop
+    base = [
+        {"old_name": f"doc-{i}.pdf", "new_name": f"renamed-{i}.pdf", "gen": 1}
+        for i in range(6)
+    ]
+    updates = [
+        {"old_name": "doc-2.pdf", "new_name": "renamed-99.pdf", "gen": 2},  # old hit
+        {"old_name": "doc-77.pdf", "new_name": "renamed-4.pdf", "gen": 2},  # new hit
+        {"old_name": "doc-88.pdf", "new_name": "renamed-88.pdf", "gen": 2},  # append
+    ]
+    expect = sorted(
+        (
+            (r["old_name"], r["new_name"], r["gen"])
+            for r in _sequential_upsert(base, updates)
+        )
+    )
+
+    b = spark.createDataFrame(pd.DataFrame(base))
+    u = spark.createDataFrame(pd.DataFrame(updates))
+    survivors = b.join(
+        F.broadcast(u.select("old_name")), "old_name", "left_anti"
+    ).join(F.broadcast(u.select("new_name")), "new_name", "left_anti")
+    got = sorted(
+        (r["old_name"], r["new_name"], r["gen"])
+        for r in survivors.select("old_name", "new_name", "gen").unionByName(u).collect()
+    )
+    assert got == expect
