@@ -570,6 +570,66 @@ FROM events ORDER BY user_id, event_id LIMIT 200
 
 
 # ---------------------------------------------------------------------------
+# C5/X4/X5: retry-with-backoff enrichment over a deterministic flaky service
+# ---------------------------------------------------------------------------
+
+
+def q_flaky_enrichment(spark, sf_dir):
+    """Per-document enrichment through a FLAKY dependency, run under the
+    reference's retry loop (janet_spark.resilience mirrors
+    ocr-utils.ts:107-152: 3 retries, exp backoff, tolerant exhaustion).
+
+    The flakiness is a pure function of (doc_id, attempt) so the outcome is
+    deterministic and ORACLE-CHECKABLE: docs with doc_id % 5 == 0 fail
+    twice then succeed (retry path), docs with doc_id % 17 == 0 fail every
+    attempt (exhaustion -> ok=false, null result, X5 tolerant contract);
+    everything else succeeds first try. The DuckDB oracle recomputes the
+    FINAL outcome of that schedule directly. Backoff sleep is injected as
+    a no-op here so the query measures plumbing, not sleeping."""
+    from janet_spark.resilience import RetryPolicy, tolerant_map
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    policy = RetryPolicy(max_retries=3, timeout=None)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        attempts: dict[int, int] = {}
+
+        def service(row):
+            doc_id, source, n_chars = row
+            a = attempts.get(doc_id, 0)
+            attempts[doc_id] = a + 1
+            if doc_id % 17 == 0:
+                raise RuntimeError("service permanently down for this doc")
+            if doc_id % 5 == 0 and a < 2:
+                raise RuntimeError("transient service error")
+            return f"{source.upper()}:{n_chars}"
+
+        for pdf in batches:
+            rows = list(zip(pdf["doc_id"], pdf["source"], pdf["n_chars"]))
+            res = tolerant_map(rows, service, policy=policy, sleep=lambda _s: None)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "enriched": [r[0] for r in res],
+                    "ok": [r[1] for r in res],
+                }
+            )
+
+    return docs.mapInPandas(
+        run, schema="doc_id long, enriched string, ok boolean"
+    ).orderBy("doc_id")
+
+
+ORACLE_FLAKY_ENRICHMENT = """
+SELECT doc_id,
+       CASE WHEN doc_id % 17 = 0 THEN NULL
+            ELSE upper(source) || ':' || n_chars END AS enriched,
+       doc_id % 17 != 0 AS ok
+FROM documents ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # IVF-style ANN: coarse quantize to centroid cells, probe nearest 2 cells
 # ---------------------------------------------------------------------------
 
@@ -749,4 +809,5 @@ EXTRA_QUERIES = {
     "disjunctive_upsert": (q_disjunctive_upsert, ORACLE_DISJUNCTIVE_UPSERT),
     "rollup_revenue": (q_rollup_revenue, ORACLE_ROLLUP_REVENUE),
     "label_array_filter": (q_label_array_filter, ORACLE_LABEL_ARRAY_FILTER),
+    "flaky_enrichment": (q_flaky_enrichment, ORACLE_FLAKY_ENRICHMENT),
 }

@@ -337,12 +337,27 @@ def _doc_shingles(text: str) -> list[str]:
     return list({" ".join(words[i : i + k]) for i in range(len(words) - k + 1)})
 
 
-def q_minhash_lsh_pairs(spark, sf_dir):
+_LSH_HOT_BUCKET_CAP = 256
+
+
+def q_minhash_lsh_pairs(spark, sf_dir, hot_bucket_cap=_LSH_HOT_BUCKET_CAP):
     """MinHash + LSH banding near-dup pairs (the 100 TB-scale dedup path):
     signature per doc (vectorized numpy inside mapInPandas), band keys
     exploded, bucket equi-join produces candidates, exact Jaccard verifies.
     Output is identical to the exact-Jaccard query, which serves as oracle.
-    """
+
+    Hot-bucket cap: a degenerate band key (e.g. millions of empty or
+    boilerplate-identical docs sharing one band) would make the self-join
+    emit O(b^2) candidate rows from a single key — unrecoverable at 100 TB
+    no matter how the join is partitioned. Buckets larger than
+    `hot_bucket_cap` therefore switch from all-pairs to a STAR expansion:
+    every member pairs with the bucket's min doc_id only (b-1 candidates).
+    For dedup purposes the cluster is still fully discovered through the
+    representative (members of a degenerate bucket agree on a whole band
+    and are near-identical); the bounded recall trade is deliberate and
+    pinned by tests/test_round2_ops.py::test_lsh_hot_bucket_star_cap. At
+    the oracle-checked scales no bucket exceeds the cap, so the output
+    stays bit-identical to exact Jaccard."""
     docs = t(spark, sf_dir, "documents")
 
     def sig_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -356,18 +371,34 @@ def q_minhash_lsh_pairs(spark, sf_dir):
                     rows.append((int(doc_id), key))
             yield pd.DataFrame(rows, columns=["doc_id", "band_key"])
 
-    bands = docs.mapInPandas(sig_batches, schema="doc_id long, band_key string")
-    a = bands.alias("a")
-    b = bands.alias("b")
-    candidates = (
-        a.join(
-            b,
-            (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .distinct()
+    # the signature stage feeds THREE consumers (census, both self-join
+    # sides); persist so the minhash UDF runs once per row, not per branch.
+    # In a production pipeline this is a materialized signature table — the
+    # natural checkpoint between 'sign' and 'pair' stages of a dedup run.
+    bands = docs.mapInPandas(
+        sig_batches, schema="doc_id long, band_key string"
+    ).persist()
+    # bucket census as a map-side-combinable agg joined back on band_key —
+    # NOT a window (a window would sort the full band table; the agg output
+    # is one row per distinct band key, and AQE picks broadcast vs shuffle
+    # join by its actual size)
+    bucket_sizes = bands.groupBy("band_key").agg(
+        F.count(F.lit(1)).alias("bkt_n"), F.min("doc_id").alias("bkt_rep")
     )
+    sized = bands.join(bucket_sizes, "band_key")
+    cold = sized.filter(F.col("bkt_n") <= hot_bucket_cap)
+    a = cold.alias("a")
+    b = cold.alias("b")
+    cold_pairs = a.join(
+        b,
+        (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+    star_pairs = (
+        sized.filter((F.col("bkt_n") > hot_bucket_cap) & (F.col("doc_id") != F.col("bkt_rep")))
+        .select(F.col("bkt_rep").alias("d1"), F.col("doc_id").alias("d2"))
+    )
+    candidates = cold_pairs.unionByName(star_pairs).distinct()
 
     # exact-Jaccard verification of candidates only
     sh = _shingle_df(docs)
@@ -511,29 +542,42 @@ SELECT q_id, vec_id, sim, rank FROM ranked WHERE rank <= 5 ORDER BY q_id, rank
 """
 
 
-_NEARDUP_CHUNK = 24  # per-task row cap; a block of b rows => ceil(b/24) chunks
+# Per-task row target: bounds the in-memory GEMM of one chunk-pair task at
+# ~2*2048 embeddings (a few MB + a 4096^2 sim matrix ~= 134 MB float64 —
+# comfortably inside an executor). Blocks below this size take the original
+# single-group path with zero extra cost.
+_NEARDUP_CHUNK = 2048
 
 
 def q_embed_neardup_blocked(spark, sf_dir, chunk_rows=_NEARDUP_CHUNK):
     """Embedding-cosine near-dup pairs with IVF-style blocking on `label`
-    (the coarse cell), with a HARD per-task row cap: blocks larger than
-    `chunk_rows` are triangle-partitioned — rows get a chunk index within
-    their block, and each chunk pair (ci <= cj) becomes its own
-    applyInPandas group of at most 2*chunk_rows rows. A hot label with b
-    rows therefore costs O((b/C)^2) bounded tasks instead of one O(b^2)
-    task that OOMs an executor; every pair is still computed exactly once
-    ((ci,cj) covers the triangle), so the output is bit-identical to the
-    unbounded all-pairs oracle. Duplication factor per row is the chunk
-    count of its block (the explode below), the standard cost of
-    distributed theta-join triangle partitioning."""
+    (the coarse cell), with a per-task row cap: blocks larger than
+    `chunk_rows` are triangle-partitioned — each row hashes to one of
+    k = ceil(b / chunk_rows) chunks, and each chunk pair (ci <= cj)
+    becomes its own applyInPandas group of ~2*chunk_rows rows. A hot label
+    with b rows therefore costs O((b/C)^2) bounded tasks instead of one
+    O(b^2) task that OOMs an executor; every pair is still computed exactly
+    once ((ci,cj) covers the triangle), so the output is bit-identical to
+    the unbounded all-pairs oracle.
+
+    Chunk assignment is pmod(xxhash64(vec_id), k) — NOT row_number — so no
+    per-block sort is ever planned (a window row_number would sort the
+    whole table within labels); the bound is probabilistic (multinomial
+    chunk sizes concentrate within a few percent of C for C >= a few
+    hundred), which is the same guarantee hash-salting gives everywhere
+    else in this engine. The per-label census is a map-side-combinable agg
+    broadcast back onto the scan (one tiny table: one row per label), so
+    the big table shuffles exactly once — on the (label, chunk-pair) group
+    key, same as the unchunked version."""
     emb = t(spark, sf_dir, "embeddings").select("label", "vec_id", "embedding")
 
-    wb = Window.partitionBy("label").orderBy("vec_id")
+    sizes = emb.groupBy("label").agg(F.count(F.lit(1)).alias("cnt"))
     chunked = (
-        emb.withColumn("rn", F.row_number().over(wb) - 1)
-        .withColumn("cnt", F.count(F.lit(1)).over(Window.partitionBy("label")))
-        .withColumn("chunk", (F.col("rn") / chunk_rows).cast("int"))
+        emb.join(F.broadcast(sizes), "label")
         .withColumn("k", F.ceil(F.col("cnt") / chunk_rows).cast("int"))
+        .withColumn(
+            "chunk", F.pmod(F.xxhash64("vec_id"), F.col("k").cast("long")).cast("int")
+        )
     )
     # each row joins every chunk-pair group it participates in: as the
     # lower chunk for (chunk, j>=chunk), as the upper for (i<=chunk, chunk)

@@ -63,6 +63,119 @@ def incremental_extract(
     )
 
 
+ASSEMBLED_DDL = "conv_id string, conv_text string, n_turns int, completed_by string"
+_ASSEMBLER_STATE_DDL = "turn_idxs array<int>, texts array<string>"
+
+
+def _make_assembler(timeout_ms: int | None):
+    """Build the applyInPandasWithState worker: accumulate turns per
+    conv_id across micro-batches; emit the ordered conversation when a
+    terminator turn (role == 'end') arrives — or, when a timeout is
+    configured (continuous deployments), when the conversation goes quiet.
+    State per key is the turn list — bounded by conversation length,
+    dropped on emit."""
+
+    def assemble(key, pdfs, state):
+        import pandas as pd
+
+        conv_id = key[0]
+
+        def emit(idxs, texts, completed_by):
+            order = sorted(range(len(idxs)), key=lambda i: idxs[i])
+            return pd.DataFrame(
+                {
+                    "conv_id": [conv_id],
+                    "conv_text": ["\n".join(texts[i] for i in order)],
+                    "n_turns": [len(idxs)],
+                    "completed_by": [completed_by],
+                }
+            )
+
+        if state.hasTimedOut:
+            idxs, texts = state.get
+            state.remove()
+            yield emit(list(idxs), list(texts), "timeout")
+            return
+
+        if state.exists:
+            prev_idxs, prev_texts = state.get
+            idxs, texts = list(prev_idxs), list(prev_texts)
+        else:
+            idxs, texts = [], []
+        terminated = False
+        for pdf in pdfs:
+            for turn_idx, role, text in zip(pdf["turn_idx"], pdf["role"], pdf["text"]):
+                if role == "end":
+                    terminated = True
+                else:
+                    idxs.append(int(turn_idx))
+                    texts.append("" if text is None else str(text))
+        if terminated:
+            if state.exists:
+                state.remove()
+            yield emit(idxs, texts, "terminator")
+        else:
+            state.update((idxs, texts))
+            if timeout_ms is not None:
+                state.setTimeoutDuration(timeout_ms)
+
+    return assemble
+
+
+def assemble_conversations_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    quiet_timeout_ms: int | None = None,
+) -> StreamingQuery:
+    """Custom stateful operator: cross-micro-batch conversation assembly
+    via ``applyInPandasWithState``. A conversation's turns may arrive over
+    many files/batches; per-conv state accumulates them until a terminator
+    turn (role == 'end') closes the conversation — then the full ordered
+    transcript emits and the state drops. State survives query restarts
+    through the checkpoint, so a conversation split across separate drain
+    runs still assembles completely.
+
+    ``quiet_timeout_ms`` enables processing-time expiry of quiet
+    conversations (emitted with completed_by='timeout'). Leave it None for
+    AvailableNow drain jobs: a pending timeout forces the trigger to keep
+    scheduling micro-batches until every registered timeout has fired, so
+    the "drain and stop" run would instead idle for the whole timeout —
+    use it only with continuous (processing-time) triggers, where it is
+    the state-store GC that stops open-conversation state growing forever.
+
+    The reference has no streaming analog (its inngest queue enriches whole
+    documents, ``apps/web/lib/inngest/functions.ts:17-43``); this is the
+    engine-native answer to 'transcripts arrive turn-by-turn'. State is
+    per-conversation and dropped on emit, so state-store size is bounded by
+    the number of OPEN conversations, not the stream length; the shuffle
+    key is conv_id — the same key the batch reassembly buckets on."""
+    stream = read_transcript_stream(spark, input_dir)
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    timeout_conf = (
+        GroupStateTimeout.NoTimeout
+        if quiet_timeout_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
+    assembled = stream.groupBy("conv_id").applyInPandasWithState(
+        _make_assembler(quiet_timeout_ms),
+        outputStructType=ASSEMBLED_DDL,
+        stateStructType=_ASSEMBLER_STATE_DDL,
+        outputMode="append",
+        timeoutConf=timeout_conf,
+    )
+    return (
+        assembled.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def windowed_turn_counts(
     spark: SparkSession,
     input_dir: str,

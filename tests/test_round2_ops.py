@@ -179,6 +179,38 @@ def test_multi_keyword_spans_per_keyword_ordinals(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# LSH hot-bucket cap: degenerate band key -> star expansion, O(b) candidates
+# ---------------------------------------------------------------------------
+
+
+def test_lsh_hot_bucket_star_cap(spark, tmp_path):
+    # 40 identical docs (every band key degenerate, bucket size 40) plus two
+    # distinct near-dup docs; cap=10 forces the star path for the hot
+    # cluster while the near-dup pair still arrives via the cold path.
+    same = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    near_a = "one two three four five six seven eight nine ten eleven twelve"
+    near_b = "one two three four five six seven eight nine ten eleven twelve!"
+    rows = [(i, same) for i in range(40)]
+    rows += [(100, near_a), (101, near_a), (200, near_b)]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(pdf).write.parquet(path + "/documents.parquet")
+
+    from janet_spark.queries_text import q_minhash_lsh_pairs
+
+    out = q_minhash_lsh_pairs(spark, path, hot_bucket_cap=10).toPandas()
+    hot = out[out.d1 < 100]
+    # star: every hot member pairs with the representative (min doc_id=0)
+    # only — 39 pairs, NOT 40*39/2=780
+    assert len(hot) == 39
+    assert set(hot["d1"]) == {0}
+    assert set(hot["d2"]) == set(range(1, 40))
+    assert (hot["jaccard"] == 1.0).all()
+    # cold path unaffected: the identical near-dup pair survives
+    assert {(100, 101)} <= set(zip(out["d1"], out["d2"]))
+
+
+# ---------------------------------------------------------------------------
 # lineage dir mixing Spark-written (INT96 ts) and pyarrow-written files
 # ---------------------------------------------------------------------------
 
@@ -222,6 +254,138 @@ def test_mixed_lineage_writers_resume(spark, tmp_path):
 
     # resume must see both generations through one mixed-schema read
     assert ckpt.completed_buckets(spark, out) == {3, 7}
+
+
+# ---------------------------------------------------------------------------
+# bucketed co-located join: zero Exchange on either side
+# ---------------------------------------------------------------------------
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    from janet_spark.bucketing import bucketed_join, write_bucketed
+
+    convs = spark.range(500).selectExpr(
+        "concat('conv-', id) AS conv_id", "id % 7 AS meta"
+    )
+    turns = spark.range(2000).selectExpr(
+        "concat('conv-', id % 500) AS conv_id", "cast(id AS int) AS turn_idx"
+    )
+    write_bucketed(convs, "t_convs_bkt", "conv_id", n_buckets=8)
+    write_bucketed(turns, "t_turns_bkt", "conv_id", n_buckets=8)
+    # force the shuffle-join path (tiny test tables would broadcast, and a
+    # BroadcastExchange would mask what we're demonstrating: at 100 TB
+    # neither side broadcasts, and bucketing is what removes the shuffle)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "t_convs_bkt", "t_turns_bkt", "conv_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # the whole point: co-located buckets, no shuffle on either side
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        assert joined.count() == 2000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_convs_bkt")
+        spark.sql("DROP TABLE IF EXISTS t_turns_bkt")
+
+
+# ---------------------------------------------------------------------------
+# C4/C5/X4/X5: retry loop, backoff schedule, timeout race, tolerant map
+# ---------------------------------------------------------------------------
+
+
+def test_retry_backoff_schedule_matches_reference():
+    from janet_spark.resilience import RetryPolicy, call_with_retries
+
+    calls = []
+    slept = []
+
+    def flaky():
+        calls.append(1)
+        if len(calls) < 4:
+            raise RuntimeError("boom")
+        return "done"
+
+    out = call_with_retries(
+        flaky,
+        policy=RetryPolicy(max_retries=3, base_delay=1.0, timeout=None),
+        sleep=slept.append,
+        jitter=lambda: 0.25,
+    )
+    assert out == "done"
+    assert len(calls) == 4  # 3 retries AFTER the first attempt
+    # baseDelay * 2^(retries-1) + jitter  ->  1.25, 2.25, 4.25
+    assert slept == [1.25, 2.25, 4.25]
+
+
+def test_retry_exhaustion_reraises():
+    import pytest as _pytest
+
+    from janet_spark.resilience import RetryPolicy, call_with_retries
+
+    def always_fails():
+        raise ValueError("permanent")
+
+    with _pytest.raises(ValueError, match="permanent"):
+        call_with_retries(
+            always_fails,
+            policy=RetryPolicy(max_retries=2, timeout=None),
+            sleep=lambda _s: None,
+        )
+
+
+def test_attempt_timeout_races_not_cancels():
+    import time as _time
+
+    from janet_spark.resilience import (
+        AttemptTimeout,
+        RetryPolicy,
+        call_with_retries,
+    )
+
+    state = {"finished": False}
+
+    def slow():
+        _time.sleep(0.5)
+        state["finished"] = True
+        return "late"
+
+    with pytest.raises(AttemptTimeout):
+        call_with_retries(
+            slow,
+            policy=RetryPolicy(max_retries=0, timeout=0.05),
+            sleep=lambda _s: None,
+        )
+    _time.sleep(0.6)
+    # Promise.race semantics: the losing attempt ran to completion
+    assert state["finished"]
+
+
+def test_tolerant_map_mixed_outcomes():
+    from janet_spark.resilience import RetryPolicy, tolerant_map
+
+    attempts = {}
+
+    def svc(x):
+        a = attempts.get(x, 0)
+        attempts[x] = a + 1
+        if x == "dead":
+            raise RuntimeError("down")
+        if x == "flaky" and a < 2:
+            raise RuntimeError("transient")
+        return x.upper()
+
+    out = tolerant_map(
+        ["good", "flaky", "dead"],
+        svc,
+        policy=RetryPolicy(max_retries=3, timeout=None),
+        sleep=lambda _s: None,
+    )
+    assert out[0] == ("GOOD", True, None)
+    assert out[1] == ("FLAKY", True, None)
+    assert out[2][0] is None and out[2][1] is False and "down" in out[2][2]
+    assert attempts == {"good": 1, "flaky": 3, "dead": 4}
 
 
 # ---------------------------------------------------------------------------

@@ -101,3 +101,55 @@ def test_windowed_counts_watermark(spark, tmp_path):
     assert list(ca["n_turns"]) == [10, 10, 5]
     cb = got[got.conv_id == "c-b"]
     assert list(cb["n_turns"]) == [7]
+
+
+def test_stateful_conversation_assembly_across_restarts(spark, tmp_path):
+    from janet_spark.streaming import assemble_conversations_stream
+
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    ts = pd.to_datetime("2024-01-01T00:00:00Z")
+
+    # batch 1: conv A complete (terminator present), conv B still open
+    b1 = pd.DataFrame(
+        {
+            "conv_id": ["A", "A", "A", "B", "B"],
+            "turn_idx": [1, 0, 2, 0, 1],
+            "role": ["user", "user", "end", "user", "assistant"],
+            "text": ["a-one", "a-zero", "", "b-zero", "b-one"],
+            "tool": [""] * 5,
+            "ts": [ts] * 5,
+        }
+    )
+    _write_batch(spark, b1, landing)
+    q = assemble_conversations_stream(spark, landing, out, ckpt)
+    q.awaitTermination(120)
+    got1 = spark.read.parquet(out).toPandas()
+    # A emitted, ordered by turn_idx despite arrival order; B withheld in state
+    assert list(got1["conv_id"]) == ["A"]
+    assert got1.iloc[0]["conv_text"] == "a-zero\na-one"
+    assert got1.iloc[0]["n_turns"] == 2
+    assert got1.iloc[0]["completed_by"] == "terminator"
+
+    # batch 2 after a RESTART (new query, same checkpoint): B's tail +
+    # terminator arrive — state survived the restart, full conv emits
+    b2 = pd.DataFrame(
+        {
+            "conv_id": ["B", "B"],
+            "turn_idx": [2, 3],
+            "role": ["user", "end"],
+            "text": ["b-two", ""],
+            "tool": [""] * 2,
+            "ts": [ts] * 2,
+        }
+    )
+    _write_batch(spark, b2, landing)
+    q = assemble_conversations_stream(spark, landing, out, ckpt)
+    q.awaitTermination(120)
+    got2 = spark.read.parquet(out).toPandas().sort_values("conv_id")
+    assert list(got2["conv_id"]) == ["A", "B"]
+    b_row = got2[got2.conv_id == "B"].iloc[0]
+    assert b_row["conv_text"] == "b-zero\nb-one\nb-two"
+    assert b_row["n_turns"] == 3
+    assert b_row["completed_by"] == "terminator"
