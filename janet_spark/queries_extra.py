@@ -570,6 +570,244 @@ FROM events ORDER BY user_id, event_id LIMIT 200
 
 
 # ---------------------------------------------------------------------------
+# PII scrubbing + deterministic hash sampling (training-data pipeline staples)
+# ---------------------------------------------------------------------------
+
+# Kept in the re/Java-regex/RE2 common subset so the identical pattern runs
+# in Spark (JVM regexp_replace, whole-stage codegen) and DuckDB (RE2).
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"(\+?[0-9]{1,3}[-. ])?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}"
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII scrubbing over documents: emails then phone numbers replaced
+    with typed placeholders, plus per-doc redaction counts — entirely
+    JVM-side regexp_replace/regexp_count, no Python in the path. Order
+    matters (emails first, so digits inside an address are never
+    half-eaten by the phone rule) and is pinned by the oracle."""
+    docs = t(spark, sf_dir, "documents")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _PII_EMAIL, "<EMAIL>"),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+    # Spark SQL string literals interpret backslash escapes, so patterns
+    # embedded in F.expr need their backslashes doubled (the DataFrame-API
+    # calls above receive the pattern verbatim)
+    email_sql = _PII_EMAIL.replace("\\", "\\\\")
+    phone_sql = _PII_PHONE.replace("\\", "\\\\")
+    return docs.select(
+        "doc_id",
+        scrubbed.alias("scrubbed"),
+        F.size(F.expr(f"regexp_extract_all(text, '{email_sql}', 0)")).alias(
+            "n_emails"
+        ),
+        F.size(
+            F.expr(
+                "regexp_extract_all(regexp_replace(text, "
+                f"'{email_sql}', '<EMAIL>'), '{phone_sql}', 0)"
+            )
+        ).alias("n_phones"),
+    ).orderBy("doc_id")
+
+
+ORACLE_PII_SCRUB = f"""
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+         '{_PII_PHONE}', '<PHONE>', 'g') AS scrubbed,
+       len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_emails,
+       len(regexp_extract_all(
+         regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+         '{_PII_PHONE}')) AS n_phones
+FROM documents ORDER BY doc_id
+"""
+
+
+_SAMPLE_PCT = 10  # keep ~10% of rows
+
+
+def q_hash_sample(spark, sf_dir):
+    """Deterministic, engine-portable Bernoulli sampling: keep a row iff
+    the first byte of md5(doc_id) falls under the rate. Unlike
+    ``df.sample()`` (RNG-seeded, engine-specific, irreproducible across
+    engines/partitionings), the hash-gate gives the SAME sample in Spark,
+    DuckDB, or any future engine — which is what makes 100 TB experiment
+    subsets auditable. The predicate is a pure projection-time expression:
+    no shuffle, pushdown-friendly, stable under repartitioning."""
+    docs = t(spark, sf_dir, "documents")
+    gate = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10)
+        .cast("int")
+    )
+    return (
+        docs.filter(gate < int(256 * _SAMPLE_PCT / 100))
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_HASH_SAMPLE = f"""
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE strpos('0123456789abcdef', substr(md5(cast(doc_id AS varchar)), 1, 1)) - 1 >= 0
+  AND (
+    (strpos('0123456789abcdef', substr(md5(cast(doc_id AS varchar)), 1, 1)) - 1) * 16
+    + strpos('0123456789abcdef', substr(md5(cast(doc_id AS varchar)), 2, 1)) - 1
+  ) < {int(256 * _SAMPLE_PCT / 100)}
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# as-of join + banded range join (time-series operators the reference lacks;
+# first-class for transcript/event analytics at scale)
+# ---------------------------------------------------------------------------
+
+
+def q_asof_join(spark, sf_dir):
+    """AS-OF join: for each event, the most recent order by the same user
+    at or before the event's timestamp (backward as-of, the time-series
+    staple Spark lacks as a built-in).
+
+    Scalable shape — the union+window trick, NOT a per-key inequality
+    join: tag both streams, union them, and take
+    ``last_value(order_cols, ignorenulls) OVER (PARTITION BY key ORDER BY
+    t, side)`` so each event row sees the latest order row at or before it.
+    ONE shuffle on the join key + a per-partition sort; an inequality join
+    would plan as a nested-loop cross product per key. Orders at the same
+    (user, ts) are pre-deduped to max(o_orderkey) so the as-of winner is
+    deterministic (DuckDB's ASOF picks an arbitrary tie otherwise).
+    Side 0 = orders sorts before side 1 = events at equal ts, making the
+    match inclusive ('at or before')."""
+    events = t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = t(spark, sf_dir, "orders")
+    w_dedup = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
+        F.desc("o_orderkey")
+    )
+    ord_d = (
+        orders.withColumn("rn", F.row_number().over(w_dedup))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("key"),
+            F.col("o_orderdate").alias("tpoint"),
+            F.lit(0).alias("side"),
+            "o_orderkey",
+            F.round("o_totalprice", 4).alias("o_totalprice"),
+            F.lit(None).cast("long").alias("event_id"),
+        )
+    )
+    ev = events.select(
+        F.col("user_id").alias("key"),
+        F.col("ts").alias("tpoint"),
+        F.lit(1).alias("side"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+        "event_id",
+    )
+    merged = ord_d.unionByName(ev)
+    w = (
+        Window.partitionBy("key")
+        .orderBy("tpoint", "side", F.desc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        merged.withColumn(
+            "last_orderkey", F.last("o_orderkey", ignorenulls=True).over(w)
+        )
+        .withColumn(
+            "last_totalprice", F.last("o_totalprice", ignorenulls=True).over(w)
+        )
+        .filter(F.col("side") == 1)
+        .select(
+            "event_id",
+            F.col("key").alias("user_id"),
+            F.col("last_orderkey").alias("o_orderkey"),
+            F.col("last_totalprice").alias("o_totalprice"),
+        )
+        .orderBy("event_id")
+    )
+
+
+ORACLE_ASOF_JOIN = """
+WITH ord AS (
+  SELECT o_custkey, o_orderdate, o_orderkey, round(o_totalprice, 4) AS o_totalprice
+  FROM orders
+  QUALIFY row_number() OVER (
+    PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) = 1
+)
+SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice
+FROM events e
+ASOF LEFT JOIN ord o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+ORDER BY e.event_id
+"""
+
+
+_RANGE_HOURS = 6
+
+
+def q_range_join_banded(spark, sf_dir):
+    """Range join — for each signup event, the same user's events within
+    the following 6 hours — via TIME BANDING: both sides get a bucket id
+    ``floor(epoch / W)`` with W = the range width, and each anchor probes
+    its own band and the next (an interval of width W overlaps at most 2
+    bands). The inequality predicate then filters exactly within those
+    bucket pairs.
+
+    Scalable shape: the cross product collapses to an equi-join on
+    (user, band) — shuffle-partitionable, AQE-skew-splittable — instead of
+    a per-key nested loop; each anchor row is duplicated exactly twice
+    (band, band+1), a fixed fan-out independent of data size."""
+    W = _RANGE_HOURS * 3600
+    events = t(spark, sf_dir, "events")
+    follows = events.select(
+        F.col("user_id").alias("f_user"),
+        F.col("event_id").alias("f_event"),
+        F.col("ts").alias("f_ts"),
+        F.floor(F.unix_timestamp("ts") / W).alias("band"),
+    )
+    anchors = events.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("a_event"),
+        "user_id",
+        F.col("ts").alias("a_ts"),
+        F.floor(F.unix_timestamp("ts") / W).alias("aband"),
+    )
+    probed = anchors.withColumn(
+        "band", F.explode(F.array(F.col("aband"), F.col("aband") + 1))
+    )
+    joined = follows.join(
+        probed,
+        (follows.f_user == probed.user_id) & (follows.band == probed.band),
+    ).filter(
+        (F.col("f_ts") > F.col("a_ts"))
+        & (F.col("f_ts") <= F.col("a_ts") + F.expr(f"INTERVAL {_RANGE_HOURS} HOURS"))
+    )
+    return (
+        joined.groupBy("a_event")
+        .agg(
+            F.count(F.lit(1)).alias("n_follow"),
+            F.min("f_event").alias("first_follow"),
+        )
+        .orderBy("a_event")
+    )
+
+
+ORACLE_RANGE_JOIN_BANDED = f"""
+SELECT a.event_id AS a_event, count(*) AS n_follow,
+       min(e.event_id) AS first_follow
+FROM events a
+JOIN events e
+  ON e.user_id = a.user_id
+ AND e.ts > a.ts
+ AND e.ts <= a.ts + INTERVAL {_RANGE_HOURS} HOUR
+WHERE a.event_type = 'signup'
+GROUP BY a.event_id
+ORDER BY a_event
+"""
+
+
+# ---------------------------------------------------------------------------
 # C5/X4/X5: retry-with-backoff enrichment over a deterministic flaky service
 # ---------------------------------------------------------------------------
 
@@ -810,4 +1048,8 @@ EXTRA_QUERIES = {
     "rollup_revenue": (q_rollup_revenue, ORACLE_ROLLUP_REVENUE),
     "label_array_filter": (q_label_array_filter, ORACLE_LABEL_ARRAY_FILTER),
     "flaky_enrichment": (q_flaky_enrichment, ORACLE_FLAKY_ENRICHMENT),
+    "asof_join": (q_asof_join, ORACLE_ASOF_JOIN),
+    "range_join_banded": (q_range_join_banded, ORACLE_RANGE_JOIN_BANDED),
+    "pii_scrub": (q_pii_scrub, ORACLE_PII_SCRUB),
+    "hash_sample": (q_hash_sample, ORACLE_HASH_SAMPLE),
 }

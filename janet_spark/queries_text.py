@@ -360,6 +360,16 @@ def q_minhash_lsh_pairs(spark, sf_dir, hot_bucket_cap=_LSH_HOT_BUCKET_CAP):
     stays bit-identical to exact Jaccard."""
     docs = t(spark, sf_dir, "documents")
 
+    # The signature stage stays Python-side DELIBERATELY: a JVM variant
+    # (shingles via transform/slice/array_join + crc32 in whole-stage
+    # codegen, Python doing only the numpy affine-min over the int64 hash
+    # arrays) was built and MEASURED 2x slower on this box — sign-only
+    # stage 2.2-2.5 s vs 1.1-1.2 s at sf0.1 on 32 cores — because Spark
+    # allocates a UTF8String per shingle per row in array_join, while the
+    # Python loop hashes slices of one cached str with C-speed zlib.crc32.
+    # Same conclusion as the canonicalizer A/B (SURVEY.md par. 8 item 7):
+    # on allocation-bandwidth-bound hosts, "stay JVM-side" loses to
+    # "minimize string copies".
     def sig_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []

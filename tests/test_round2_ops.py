@@ -257,6 +257,74 @@ def test_mixed_lineage_writers_resume(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# PII scrub on text that actually contains PII (the sf corpus has none,
+# so the oracle row alone would be vacuous) + as-of join edge semantics
+# ---------------------------------------------------------------------------
+
+
+def test_pii_scrub_redacts_and_counts(spark, tmp_path):
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "contact a.user+tag@example.co.uk or +1-555-123-4567 now",
+                "twice: x@y.io and z@w.dev, phone (555) 987 6543",
+                "no pii here",
+            ],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [10, 10, 10],
+        }
+    )
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(docs).write.parquet(path + "/documents.parquet")
+    from janet_spark.queries_extra import q_pii_scrub
+
+    out = q_pii_scrub(spark, path).toPandas().set_index("doc_id")
+    assert out.loc[1, "scrubbed"] == "contact <EMAIL> or <PHONE> now"
+    assert out.loc[1, "n_emails"] == 1 and out.loc[1, "n_phones"] == 1
+    assert out.loc[2, "scrubbed"] == "twice: <EMAIL> and <EMAIL>, phone <PHONE>"
+    assert out.loc[2, "n_emails"] == 2 and out.loc[2, "n_phones"] == 1
+    assert out.loc[3, "scrubbed"] == "no pii here"
+    assert out.loc[3, "n_emails"] == 0 and out.loc[3, "n_phones"] == 0
+
+
+def test_asof_join_inclusive_at_equal_ts(spark, tmp_path):
+    # an order exactly AT the event timestamp must match ('at or before'),
+    # and an event before any order must yield nulls
+    path = str(tmp_path / "d")
+    ts = pd.to_datetime
+    ev = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "ts": [ts("2024-01-10"), ts("2024-01-05"), ts("2023-12-01")],
+            "user_id": [7, 7, 7],
+            "event_type": ["click"] * 3,
+            "value": [0.0] * 3,
+            "props": [""] * 3,
+        }
+    )
+    od = pd.DataFrame(
+        {
+            "o_orderkey": [100, 200],
+            "o_custkey": [7, 7],
+            "o_orderstatus": ["F", "F"],
+            "o_totalprice": [10.0, 20.0],
+            "o_orderdate": [ts("2024-01-05"), ts("2024-01-01")],
+            "o_orderpriority": ["1", "1"],
+        }
+    )
+    spark.createDataFrame(ev).write.parquet(path + "/events.parquet")
+    spark.createDataFrame(od).write.parquet(path + "/orders.parquet")
+    from janet_spark.queries_extra import q_asof_join
+
+    out = q_asof_join(spark, path).toPandas().set_index("event_id")
+    assert out.loc[1, "o_orderkey"] == 100  # latest before 01-10
+    assert out.loc[2, "o_orderkey"] == 100  # order AT event ts matches
+    assert pd.isna(out.loc[3, "o_orderkey"])  # no order yet -> null
+
+
+# ---------------------------------------------------------------------------
 # bucketed co-located join: zero Exchange on either side
 # ---------------------------------------------------------------------------
 
