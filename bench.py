@@ -95,6 +95,29 @@ def main() -> None:
         fn, _ = registry[name]
         best_of_two(name, lambda fn=fn: force(fn(spark, sf_dir)))
 
+    # round-2+ operators, timed the same way but totaled separately so the
+    # headline `value` stays comparable with earlier rounds' 17-query suite
+    extended = [
+        "asof_join",
+        "range_join_banded",
+        "pii_scrub",
+        "hash_sample",
+        "multi_keyword_spans",
+        "disjunctive_upsert",
+        "flaky_enrichment",
+        "lang_id",
+        "ann_ivf_topk",
+    ]
+    ext_timings: dict[str, float] = {}
+    for name in extended:
+        fn, _ = registry[name]
+        t0 = time.time()
+        force(fn(spark, sf_dir))
+        first = round(time.time() - t0, 3)
+        t1 = time.time()
+        force(fn(spark, sf_dir))
+        ext_timings[name] = min(first, round(time.time() - t1, 3))
+
     out = {
         "metric": "headline_suite_sec",
         "value": round(sum(timings.values()), 3),
@@ -103,6 +126,8 @@ def main() -> None:
         "protocol": "per-query best-of-2; first-run timings in queries_first",
         "queries": timings,
         "queries_first": timings_first,
+        "extended_value": round(sum(ext_timings.values()), 3),
+        "extended_queries": ext_timings,
         "sf": sf_dir,
         "extraction_turns": n_turns,
         "extraction_turns_per_sec": round(n_turns / timings["extract_pipeline"], 1),
