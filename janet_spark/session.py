@@ -17,11 +17,16 @@ import os
 from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = 32
-# Arrow batch sizing: turns are ~0.3-5 KB of text, so 8192 rows ~= 2.5-40 MB
-# per batch — large enough to amortize the JVM<->Python socket syscalls that
-# dominate system time at high parallelism, small enough to keep worker
-# memory bounded (SURVEY.md §7 hard part #6).
-ARROW_MAX_RECORDS_PER_BATCH = 8192
+# Arrow batch sizing: turns are ~0.3-5 KB of text, so 16384 rows ~= 5-80 MB
+# per batch — large enough to amortize the JVM<->Python socket syscalls and
+# per-batch pandas fixed costs that dominate at high parallelism, small
+# enough to keep worker memory bounded (SURVEY.md §7 hard part #6; at a
+# pathological 10 KB/turn a batch is ~160 MB, still fine per worker).
+# MEASURED on the 3.94M-turn bench input (best-of-2, fresh JVM each):
+#   16 cores: 4096 -> 29.3 s, 8192 -> 23.8 s, 16384 -> 22.4 s, 32768 -> 29.0 s
+#   32 cores: 8192 -> 21.0 s, 16384 -> 17.4 s (226k turns/s)
+# 32768 regresses (worker memory pressure/locality), so 16384 is the knee.
+ARROW_MAX_RECORDS_PER_BATCH = 16384
 # Split size for file scans: the extraction stage is a NARROW map over the
 # scan (no pre-shuffle), so scan splits ARE its parallelism. 32 MB splits
 # give local[32] >= 32 tasks even on a ~1.5 GB input; on a real cluster this
