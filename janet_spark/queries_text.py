@@ -408,10 +408,22 @@ def q_minhash_lsh_pairs(spark, sf_dir, hot_bucket_cap=_LSH_HOT_BUCKET_CAP):
         sized.filter((F.col("bkt_n") > hot_bucket_cap) & (F.col("doc_id") != F.col("bkt_rep")))
         .select(F.col("bkt_rep").alias("d1"), F.col("doc_id").alias("d2"))
     )
-    candidates = cold_pairs.unionByName(star_pairs).distinct()
+    # persisted: consumed by the verify join AND the cand_docs semi-join
+    # below (without this, the band self-join would execute twice)
+    candidates = cold_pairs.unionByName(star_pairs).distinct().persist()
 
-    # exact-Jaccard verification of candidates only
-    sh = _shingle_df(docs)
+    # exact-Jaccard verification of candidates only. The shingle table is
+    # first SEMI-JOINED down to docs that appear in any candidate pair:
+    # near-dup candidates are a vanishing fraction of the corpus at scale,
+    # so this prunes the explode + both verify joins from corpus-sized to
+    # candidate-sized (the shingle explode is the widest intermediate in
+    # the whole query).
+    cand_docs = (
+        candidates.select(F.col("d1").alias("doc_id"))
+        .unionByName(candidates.select(F.col("d2").alias("doc_id")))
+        .distinct()
+    )
+    sh = _shingle_df(docs.join(cand_docs, "doc_id", "left_semi"))
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     s1 = sh.select(F.col("doc_id").alias("d1"), F.col("sh").alias("sh1"))
     s2 = sh.select(F.col("doc_id").alias("d2_r"), F.col("sh").alias("sh2"))
