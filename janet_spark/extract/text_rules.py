@@ -60,6 +60,9 @@ REGEX_RULES: list[tuple[str, str]] = [
 
 @lru_cache(maxsize=1)
 def _compiled_rules() -> list[tuple[re.Pattern, str]]:
+    # canonicalize_str drops the last two rules in favor of str.strip —
+    # same invariant the vectorized path pins (see _rules_with_triggers)
+    assert REGEX_RULES[-2:] == [(r"^[ \n]+", ""), (r"[ \n]+$", "")], REGEX_RULES[-2:]
     return [(re.compile(p), r) for p, r in REGEX_RULES]
 
 
@@ -124,14 +127,23 @@ def _assert_trigger_rewrite_safe(p: str) -> None:
 
 
 def canonicalize_str(s: str | None) -> str:
-    """Pure-Python single-string canonicalizer (test oracle / fallback)."""
+    """Pure-Python single-string canonicalizer (test oracle / fallback;
+    also the per-block hot path inside strip_html).
+
+    Equivalences exploited (both pinned by the _rules_with_triggers
+    asserts + the property test): the literal replaces only fire when one
+    of their trigger chars is present (one scan replaces eleven), and
+    REGEX_RULES[-2:] are exactly the leading/trailing trims, which
+    ``str.strip(' \\n')`` performs at C speed without the two regex
+    passes."""
     if s is None:
         return ""
-    for find, repl in LITERAL_REPLACES:
-        s = s.replace(find, repl)
-    for pat, repl in _compiled_rules():
+    if _LITERAL_TRIGGER.search(s):
+        for find, repl in LITERAL_REPLACES:
+            s = s.replace(find, repl)
+    for pat, repl in _compiled_rules()[:-2]:
         s = pat.sub(repl, s)
-    return s
+    return s.strip(" \n")
 
 
 def canonicalize_series(s: pd.Series) -> pd.Series:

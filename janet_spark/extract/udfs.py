@@ -41,17 +41,24 @@ _PASSTHROUGH = ["conv_id", "turn_idx", "role", "ts"]
 
 def extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     """Extract one Arrow batch. Input columns: conv_id, turn_idx, role,
-    text, tool, ts. Output: EXTRACT_OUTPUT_DDL."""
+    text, tool, ts. Output: EXTRACT_OUTPUT_DDL.
+
+    Results accumulate in positional numpy arrays — scalar stores into
+    ndarray slots, not pandas ``Series.__setitem__`` (profiled: ~160k
+    per-element Series setitems cost ~25% of the whole batch on the
+    HTML-heavy mix; ndarray stores make that overhead vanish)."""
+    import numpy as np
+
     n = len(pdf)
     positions = {ix: i for i, ix in enumerate(pdf.index)}
     text = pdf["text"].fillna("").astype(str)
     tool = pdf["tool"].fillna("").astype(str) if "tool" in pdf else pd.Series([""] * n)
 
-    extracted = pd.Series([""] * n, index=pdf.index, dtype=object)
+    extracted = np.full(n, "", dtype=object)
     spans: list[list[dict]] = [[] for _ in range(n)]
-    kept = pd.Series(0, index=pdf.index, dtype="int32")
-    dropped = pd.Series(0, index=pdf.index, dtype="int32")
-    ok = pd.Series(False, index=pdf.index)
+    kept = np.zeros(n, dtype="int32")
+    dropped = np.zeros(n, dtype="int32")
+    ok = np.zeros(n, dtype=bool)
 
     # cheap vectorized prefilter, exact per-row check only where '<' occurs
     maybe_html = text.str.contains("<", regex=False)
@@ -70,14 +77,15 @@ def extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         nonempty = (canon.str.len() > 0).to_numpy()
         pe = plain_idx[nonempty]
         if len(pe):
-            extracted[pe] = canon[nonempty]
-            ok[pe] = True
-            kept[pe] = 1
+            pe_pos = np.fromiter((positions[ix] for ix in pe), dtype=np.int64)
+            extracted[pe_pos] = canon[nonempty].to_numpy()
+            ok[pe_pos] = True
+            kept[pe_pos] = 1
             starts = (raw[nonempty].str.len() - raw[nonempty].str.lstrip().str.len()).astype(int)
             ends = raw[nonempty].str.rstrip().str.len().astype(int)
             s_arr, e_arr = starts.to_numpy(), ends.to_numpy()
-            for j, ix in enumerate(pe):
-                spans[positions[ix]] = [
+            for j, p in enumerate(pe_pos):
+                spans[p] = [
                     {"start": int(s_arr[j]), "end": int(e_arr[j]), "kind": "plain"}
                 ]
         # --- fallback path: empty text -> tool payload (rare) ---
@@ -91,9 +99,9 @@ def extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
                 out_clean = ""
             pos = positions[ix]
             if out_clean:
-                extracted[ix] = out_clean
-                ok[ix] = True
-                kept[ix] = 1
+                extracted[pos] = out_clean
+                ok[pos] = True
+                kept[pos] = 1
                 blob_start = raw_tool.find("{")
                 blob_end = raw_tool.rfind("}") + 1
                 spans[pos] = [
@@ -105,23 +113,25 @@ def extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     for ix in pdf.index[html_mask.to_numpy()]:
         t, sp, k, d = strip_html(text[ix])
         pos = positions[ix]
-        extracted[ix] = t
+        extracted[pos] = t
         spans[pos] = [{"start": s, "end": e, "kind": kind} for s, e, kind in sp]
-        kept[ix] = k
-        dropped[ix] = d
-        ok[ix] = bool(t)
+        kept[pos] = k
+        dropped[pos] = d
+        ok[pos] = bool(t)
 
     out = pd.DataFrame(
         {
-            "conv_id": pdf["conv_id"],
-            "turn_idx": pdf["turn_idx"].astype("int32"),
-            "role": pdf.get("role", pd.Series([""] * n)),
-            "ts": pdf.get("ts"),
+            "conv_id": pdf["conv_id"].to_numpy(),
+            "turn_idx": pdf["turn_idx"].to_numpy().astype("int32"),
+            "role": (
+                pdf["role"].to_numpy() if "role" in pdf else np.full(n, "", dtype=object)
+            ),
+            "ts": pdf["ts"].to_numpy() if "ts" in pdf else np.full(n, None, dtype=object),
             "extracted_text": extracted,
             "spans": spans,
             "blocks_kept": kept,
             "blocks_dropped": dropped,
-            "span_count": pd.Series([len(s) for s in spans], index=pdf.index, dtype="int32"),
+            "span_count": np.fromiter((len(s) for s in spans), dtype="int32", count=n),
             "ok": ok,
         }
     )
