@@ -76,3 +76,38 @@ def test_null_columns_no_row_loss(spark):
     ).collect()[0]
     assert conv["n_turns"] == 3
     assert conv["all_ok"] == 0
+
+
+def test_html_strip_tag_soup_never_crashes_and_spans_in_bounds():
+    """Property: strip_html is total over arbitrary tag soup — no crash,
+    spans inside the payload, counts consistent."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from janet_spark.extract.html_strip import strip_html
+
+    fragment = st.one_of(
+        st.text(alphabet="ab<> /=\"'\n\t-", max_size=12),
+        st.sampled_from(
+            [
+                "<div>", "</div>", "<p>", "</p>", "<a href='#'>", "</a>",
+                "<nav>", "</nav>", "<br/>", "<b>", "</b>", "<<>>", "</",
+                "<!-- c -->", "<![CDATA[x]]>", "<!doctype html>", "text",
+                "<p", "p>", "<a<b>", "</a></a></nav>", "<style>x</style>",
+            ]
+        ),
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(fragment, max_size=20))
+    def check(parts):
+        payload = "".join(parts)
+        text, spans, kept, dropped = strip_html(payload)
+        assert isinstance(text, str)
+        assert kept == len(spans)
+        assert kept >= 0 and dropped >= 0
+        for s, e, kind in spans:
+            assert kind == "main"
+            assert 0 <= s <= e <= len(payload)
+
+    check()
