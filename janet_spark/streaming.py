@@ -67,13 +67,22 @@ ASSEMBLED_DDL = "conv_id string, conv_text string, n_turns int, completed_by str
 _ASSEMBLER_STATE_DDL = "turn_idxs array<int>, texts array<string>"
 
 
-def _make_assembler(timeout_ms: int | None):
+MAX_OPEN_TURNS = 100_000  # per-conversation state cap (see _make_assembler)
+
+
+def _make_assembler(timeout_ms: int | None, max_open_turns: int = MAX_OPEN_TURNS):
     """Build the applyInPandasWithState worker: accumulate turns per
     conv_id across micro-batches; emit the ordered conversation when a
     terminator turn (role == 'end') arrives — or, when a timeout is
     configured (continuous deployments), when the conversation goes quiet.
-    State per key is the turn list — bounded by conversation length,
-    dropped on emit."""
+
+    State per key is the open conversation's turn list, dropped on emit.
+    A runaway conversation (bot loop, missing terminator) would otherwise
+    grow one state row without bound, so the accumulator is HARD-CAPPED at
+    `max_open_turns`: on overflow the buffered prefix emits immediately
+    with completed_by='overflow' and the state resets — bounded state-store
+    row size by construction, the streaming analog of the batch path's
+    chunked reassembly (reassemble.py)."""
 
     def assemble(key, pdfs, state):
         import pandas as pd
@@ -114,6 +123,10 @@ def _make_assembler(timeout_ms: int | None):
             if state.exists:
                 state.remove()
             yield emit(idxs, texts, "terminator")
+        elif len(idxs) >= max_open_turns:
+            if state.exists:
+                state.remove()
+            yield emit(idxs, texts, "overflow")
         else:
             state.update((idxs, texts))
             if timeout_ms is not None:
@@ -128,6 +141,7 @@ def assemble_conversations_stream(
     output_dir: str,
     checkpoint_dir: str,
     quiet_timeout_ms: int | None = None,
+    max_open_turns: int = MAX_OPEN_TURNS,
 ) -> StreamingQuery:
     """Custom stateful operator: cross-micro-batch conversation assembly
     via ``applyInPandasWithState``. A conversation's turns may arrive over
@@ -160,7 +174,7 @@ def assemble_conversations_stream(
         else GroupStateTimeout.ProcessingTimeTimeout
     )
     assembled = stream.groupBy("conv_id").applyInPandasWithState(
-        _make_assembler(quiet_timeout_ms),
+        _make_assembler(quiet_timeout_ms, max_open_turns),
         outputStructType=ASSEMBLED_DDL,
         stateStructType=_ASSEMBLER_STATE_DDL,
         outputMode="append",

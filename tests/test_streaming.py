@@ -153,3 +153,32 @@ def test_stateful_conversation_assembly_across_restarts(spark, tmp_path):
     assert b_row["conv_text"] == "b-zero\nb-one\nb-two"
     assert b_row["n_turns"] == 3
     assert b_row["completed_by"] == "terminator"
+
+
+def test_stateful_assembly_overflow_cap(spark, tmp_path):
+    from janet_spark.streaming import assemble_conversations_stream
+
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    ts = pd.to_datetime("2024-01-01T00:00:00Z")
+
+    # 12 turns, no terminator, cap of 10 -> the buffered prefix must emit
+    # with completed_by='overflow' instead of growing state forever
+    b = pd.DataFrame(
+        {
+            "conv_id": ["C"] * 12,
+            "turn_idx": list(range(12)),
+            "role": ["user"] * 12,
+            "text": [f"t{i}" for i in range(12)],
+            "tool": [""] * 12,
+            "ts": [ts] * 12,
+        }
+    )
+    _write_batch(spark, b, landing)
+    q = assemble_conversations_stream(spark, landing, out, ckpt, max_open_turns=10)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out).toPandas()
+    assert list(got["completed_by"]) == ["overflow"]
+    assert got.iloc[0]["n_turns"] == 12  # everything buffered so far emits
+    assert got.iloc[0]["conv_text"].startswith("t0\nt1\n")
