@@ -570,6 +570,95 @@ FROM events ORDER BY user_id, event_id LIMIT 200
 
 
 # ---------------------------------------------------------------------------
+# S10: image dimension probe — parse width/height out of real header BYTES
+# ---------------------------------------------------------------------------
+
+
+def q_image_header_probe(spark, sf_dir):
+    """Binary header parsing, end to end in the JVM: build a PNG-shaped
+    payload (signature + IHDR chunk with big-endian width/height at byte
+    offsets 17/21, then the body) as a true `binary` column, then parse
+    the dimensions BACK out of the bytes with substring/hex/conv — the
+    Spark analog of the reference's image-size probe before the Vision
+    call (apps/ocr/src/lib/ocr-utils.ts:93-105).
+
+    The oracle recomputes the expected dimensions arithmetically from
+    doc_id, so a wrong byte offset, endianness, or slice length in the
+    parse breaks the hash — the parse is verified against ground truth."""
+    docs = t(spark, sf_dir, "documents")
+    w = (F.col("doc_id") % 640 + 1).cast("int")
+    h = (F.col("doc_id") % 480 + 1).cast("int")
+    be32 = lambda c: F.unhex(F.lpad(F.hex(c), 8, "0"))  # 4-byte big-endian
+    payload = F.concat(
+        F.unhex(F.lit("89504E470D0A1A0A")),  # PNG signature
+        F.unhex(F.lit("0000000D")),  # IHDR length = 13
+        F.unhex(F.lit("49484452")),  # 'IHDR'
+        be32(w),
+        be32(h),
+        F.unhex(F.lit("0806000000")),  # bit depth / color / compression...
+        F.encode("text", "utf-8"),  # body stand-in
+    )
+    assets = docs.select(F.col("doc_id").alias("asset_id"), payload.alias("payload"))
+    parse32 = lambda pos: F.conv(
+        F.hex(F.expr(f"substring(payload, {pos}, 4)")), 16, 10
+    ).cast("int")
+    return assets.select(
+        "asset_id",
+        parse32(17).alias("parsed_w"),
+        parse32(21).alias("parsed_h"),
+        F.length("payload").alias("n_bytes"),
+    ).orderBy("asset_id")
+
+
+ORACLE_IMAGE_HEADER_PROBE = """
+SELECT doc_id AS asset_id,
+       cast(doc_id % 640 + 1 AS int) AS parsed_w,
+       cast(doc_id % 480 + 1 AS int) AS parsed_h,
+       8 + 4 + 4 + 4 + 4 + 5 + octet_length(encode(text)) AS n_bytes
+FROM documents ORDER BY asset_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# F7: authorization predicate (row security via broadcast ACL semi-join)
+# ---------------------------------------------------------------------------
+
+
+def q_authorized_events(spark, sf_dir):
+    """Row-level authorization: only events whose user appears in the
+    allowed-principals set are visible, mirroring the reference's
+    owner-check predicate shape (userId === resource.owner). The ACL is a
+    derived small table (customers in the BUILDING segment with positive
+    balance) applied as a BROADCAST LEFT SEMI join — the filter evaluates
+    map-side against a hashed ACL; no event row ever shuffles for the
+    check, which is how a 100 TB fact stream stays cheap to authorize."""
+    events = t(spark, sf_dir, "events")
+    cust = t(spark, sf_dir, "customer")
+    acl = cust.filter(
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 0)
+    ).select(F.col("c_custkey").alias("user_id"))
+    return (
+        events.join(F.broadcast(acl), "user_id", "left_semi")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_AUTHORIZED_EVENTS = """
+SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS total_value
+FROM events
+WHERE user_id IN (
+  SELECT c_custkey FROM customer
+  WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 0)
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # PII scrubbing + deterministic hash sampling (training-data pipeline staples)
 # ---------------------------------------------------------------------------
 
@@ -1052,4 +1141,6 @@ EXTRA_QUERIES = {
     "range_join_banded": (q_range_join_banded, ORACLE_RANGE_JOIN_BANDED),
     "pii_scrub": (q_pii_scrub, ORACLE_PII_SCRUB),
     "hash_sample": (q_hash_sample, ORACLE_HASH_SAMPLE),
+    "image_header_probe": (q_image_header_probe, ORACLE_IMAGE_HEADER_PROBE),
+    "authorized_events": (q_authorized_events, ORACLE_AUTHORIZED_EVENTS),
 }
