@@ -749,6 +749,69 @@ ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# composed curation pipeline — the operators chained as ONE Catalyst plan
+# ---------------------------------------------------------------------------
+
+
+def q_curation_pipeline(spark, sf_dir):
+    """A realistic training-data curation chain — quality gate -> exact
+    dedup (keep lowest doc_id) -> PII scrub -> deterministic 50% sample ->
+    token count — composed as ONE DataFrame plan. The point is
+    composability: Catalyst fuses the quality filter, scrub, sample gate,
+    and token count into a single whole-stage-codegen pass over the scan;
+    the only shuffle in the whole chain is the dedup window on the text
+    hash. This is the query shape a 100 TB curation run actually executes."""
+    docs = t(spark, sf_dir, "documents")
+    quality = docs.filter(
+        (F.col("n_chars") >= 50) & (F.size(F.split(F.col("text"), " ")) >= 10)
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        quality.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _PII_EMAIL, "<EMAIL>"),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+    gate = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+    ).cast("int")
+    return (
+        deduped.filter(gate < 128)  # 50% deterministic sample
+        .select(
+            "doc_id",
+            "lang",
+            F.length(scrubbed).alias("clean_chars"),
+            F.size(F.split(scrubbed, r"\s+")).alias("n_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_CURATION_PIPELINE = f"""
+WITH quality AS (
+  SELECT * FROM documents
+  WHERE n_chars >= 50 AND len(string_split(text, ' ')) >= 10
+), deduped AS (
+  SELECT * FROM quality
+  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+), sampled AS (
+  SELECT * FROM deduped
+  WHERE (strpos('0123456789abcdef', substr(md5(cast(doc_id AS varchar)), 1, 1)) - 1) * 16
+      + strpos('0123456789abcdef', substr(md5(cast(doc_id AS varchar)), 2, 1)) - 1 < 128
+)
+SELECT doc_id, lang,
+       length(regexp_replace(regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+              '{_PII_PHONE}', '<PHONE>', 'g')) AS clean_chars,
+       len(regexp_split_to_array(
+         regexp_replace(regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+              '{_PII_PHONE}', '<PHONE>', 'g'), '\\s+')) AS n_tokens
+FROM sampled ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # as-of join + banded range join (time-series operators the reference lacks;
 # first-class for transcript/event analytics at scale)
 # ---------------------------------------------------------------------------
@@ -1143,4 +1206,5 @@ EXTRA_QUERIES = {
     "hash_sample": (q_hash_sample, ORACLE_HASH_SAMPLE),
     "image_header_probe": (q_image_header_probe, ORACLE_IMAGE_HEADER_PROBE),
     "authorized_events": (q_authorized_events, ORACLE_AUTHORIZED_EVENTS),
+    "curation_pipeline": (q_curation_pipeline, ORACLE_CURATION_PIPELINE),
 }

@@ -1,0 +1,71 @@
+"""Plan-shape regression pins: the physical-plan properties that matter at
+100 TB, asserted so a future change that silently loses a pushed filter, a
+broadcast, or the zero-shuffle point lookup fails CI instead of shipping a
+10x-slower plan. (PLANS.md documents the full audit; these are the
+load-bearing invariants.)"""
+
+from __future__ import annotations
+
+import re
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _shuffles(plan: str) -> int:
+    # count shuffle exchanges only (not broadcast exchanges)
+    return len(re.findall(r"Exchange (?:hashpartitioning|rangepartitioning|SinglePartition)", plan))
+
+
+def test_point_lookup_zero_shuffles_pushed_filter(spark):
+    from janet_spark.queries_relational import RELATIONAL_QUERIES
+
+    fn, _ = RELATIONAL_QUERIES["point_lookup"]
+    plan = _plan(fn(spark, SF))
+    assert _shuffles(plan) == 0, plan
+    assert "PushedFilters: [" in plan and "IsNotNull" in plan or "EqualTo" in plan, plan
+
+
+def test_revenue_by_region_broadcasts_all_dims(spark):
+    from janet_spark.queries_relational import RELATIONAL_QUERIES
+
+    fn, _ = RELATIONAL_QUERIES["revenue_by_region"]
+    plan = _plan(fn(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    # the fact table shuffles for the aggregate + presentation sort only
+    assert _shuffles(plan) <= 3, plan
+
+
+def test_resume_anti_join_is_broadcast(spark):
+    from janet_spark.queries_relational import RELATIONAL_QUERIES
+
+    fn, _ = RELATIONAL_QUERIES["resume_anti_join"]
+    plan = _plan(fn(spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_scan_pruning_projection_reaches_parquet(spark):
+    from janet_spark.queries_relational import t
+
+    df = t(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    plan = _plan(df)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = [c.split(":")[0] for c in m.group(1).split(",") if c]
+    assert sorted(cols) == ["l_orderkey", "l_quantity"], plan
+
+
+def test_extraction_is_narrow_no_pre_shuffle(spark):
+    """The flagship plan property: extraction maps directly over the scan,
+    so the section from parquet scan to the Python stage contains NO
+    shuffle (SURVEY par. 8 item 1)."""
+    from janet_spark.derive import derived_transcripts
+    from janet_spark.pipeline import extract_only
+
+    plan = _plan(extract_only(derived_transcripts(spark, SF)))
+    python_stages = [m.start() for m in re.finditer(r"MapInPandas|ArrowEvalPython", plan)]
+    assert python_stages, plan
+    assert _shuffles(plan) == 0, plan
