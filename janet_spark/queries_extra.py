@@ -749,6 +749,69 @@ ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# pivot + set operations (Catalyst built-ins exercised for coverage)
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_event_type_pivot(spark, sf_dir):
+    """Pivot: per-user event counts spread across one column per event
+    type. The value list is FIXED (not inferred) so the plan is a single
+    two-phase aggregate — no extra distinct-values collection job, which
+    at 100 TB would be a full scan before the real work starts."""
+    events = t(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, _EVENT_TYPES)
+        .orderBy("user_id")
+    )
+
+
+ORACLE_EVENT_TYPE_PIVOT = """
+SELECT user_id,
+       count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+       count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+       count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+       count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+       count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_set_ops_users(spark, sf_dir):
+    """INTERSECT / EXCEPT coverage: users who both clicked and purchased,
+    minus users who errored in the opening window — composed from Spark's
+    set operators (each plans as an aggregate/join pair, shuffling on the
+    full row). The time scope on the EXCEPT side keeps the result
+    non-degenerate (every sf user errors eventually)."""
+    events = t(spark, sf_dir, "events")
+    clickers = events.filter(F.col("event_type") == "click").select("user_id")
+    buyers = events.filter(F.col("event_type") == "purchase").select("user_id")
+    early_err = events.filter(
+        (F.col("event_type") == "error") & (F.col("ts") < F.lit("2024-01-03"))
+    ).select("user_id")
+    return (
+        clickers.intersect(buyers).exceptAll(early_err.distinct()).orderBy("user_id")
+    )
+
+
+ORACLE_SET_OPS_USERS = """
+SELECT user_id FROM (
+  SELECT user_id FROM events WHERE event_type = 'click'
+  INTERSECT
+  SELECT user_id FROM events WHERE event_type = 'purchase'
+)
+EXCEPT ALL
+SELECT DISTINCT user_id FROM events
+WHERE event_type = 'error' AND ts < TIMESTAMP '2024-01-03'
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # composed curation pipeline — the operators chained as ONE Catalyst plan
 # ---------------------------------------------------------------------------
 
@@ -1207,4 +1270,6 @@ EXTRA_QUERIES = {
     "image_header_probe": (q_image_header_probe, ORACLE_IMAGE_HEADER_PROBE),
     "authorized_events": (q_authorized_events, ORACLE_AUTHORIZED_EVENTS),
     "curation_pipeline": (q_curation_pipeline, ORACLE_CURATION_PIPELINE),
+    "event_type_pivot": (q_event_type_pivot, ORACLE_EVENT_TYPE_PIVOT),
+    "set_ops_users": (q_set_ops_users, ORACLE_SET_OPS_USERS),
 }
