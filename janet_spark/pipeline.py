@@ -225,6 +225,16 @@ def run_job(
             F.col("part_bucket"),
             F.pmod(F.xxhash64("conv_id"), F.lit(write_salt)),
         )
+        # sort within each write task: costs one in-memory sort per
+        # reducer, buys (a) tight per-row-group min/max stats on conv_id,
+        # so downstream point reads of one conversation prune row groups
+        # instead of scanning the bucket, and (b) better RLE/dict
+        # compression from clustered conv_id/turn_idx runs. part_bucket
+        # leads the sort keys: dynamic-partition writes require ordering
+        # by the partition column, and providing it here means the writer
+        # reuses THIS sort instead of injecting its own (which would
+        # discard the conv_id/turn_idx clustering).
+        .sortWithinPartitions("part_bucket", "conv_id", "turn_idx")
         .write.mode("overwrite")
         .partitionBy("part_bucket")
         .parquet(staging)

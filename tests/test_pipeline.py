@@ -243,3 +243,25 @@ def test_skewed_conversation_end_to_end(spark, tmp_path):
     assert text[4096] == "turn 4096 body"
     assert text[-1] == f"turn {n_sk - 1} body"
     assert all(got[f"conv-u{c}"]["n_turns"] == 6 for c in range(5))
+
+
+def test_output_row_groups_clustered_by_conv(spark, tmp_path):
+    """The committed output's parquet files are sorted by (conv_id,
+    turn_idx) within each file, so per-row-group min/max stats are tight
+    and a single-conversation read prunes row groups."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from janet_spark.pipeline import run_job
+    from janet_spark.synthetic import make_transcripts
+
+    pdf, _ = make_transcripts(n_convs=60, base_turns=6)
+    out = str(tmp_path / "out")
+    run_job(spark, spark.createDataFrame(pdf), out, n_buckets=4)
+    files = glob.glob(f"{out}/data/part_bucket=*/*.parquet")
+    assert files
+    for f in files:
+        t = pq.read_table(f, columns=["conv_id", "turn_idx"])
+        pairs = list(zip(t["conv_id"].to_pylist(), t["turn_idx"].to_pylist()))
+        assert pairs == sorted(pairs), f
