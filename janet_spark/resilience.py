@@ -13,6 +13,14 @@ Reproduces the reference's Vision-OCR resilience loop
   ``Promise.race`` (the losing promise keeps running there too);
 * exhaustion re-raises the last error (ocr-utils.ts:142-144).
 
+Each timed attempt runs on its OWN single-use daemon thread: a timed-out
+call keeps running (race semantics), so reusing a worker would queue the
+retry — and every later element of a batch — behind the hung call,
+failing them spuriously. Spawning a thread costs microseconds against the
+millisecond-scale external calls these wrappers exist for; the hung
+thread is simply abandoned and, being a daemon, cannot wedge interpreter
+shutdown.
+
 How this maps onto Spark: these wrappers run INSIDE Arrow-batched UDFs,
 giving per-ELEMENT resilience against a flaky external dependency (an OCR
 service, a feature store) without failing the whole task; Spark's own
@@ -29,11 +37,11 @@ deterministically; production defaults use the real ones.
 
 from __future__ import annotations
 
+import queue as _queue
 import random
+import threading
 import time
 from collections.abc import Callable, Iterable
-from concurrent.futures import ThreadPoolExecutor
-from concurrent.futures import TimeoutError as FutureTimeoutError
 from dataclasses import dataclass
 
 
@@ -53,13 +61,36 @@ class RetryPolicy:
         return self.base_delay * (2 ** (retries - 1)) + jitter
 
 
+def _attempt_with_timeout(fn: Callable, args: tuple, timeout: float):
+    """One raced attempt on a fresh single-use DAEMON thread. The thread
+    is abandoned on timeout — never reused — so a hung call cannot block
+    later attempts or later batch elements, and (being a daemon) cannot
+    block interpreter shutdown either (ThreadPoolExecutor workers are
+    non-daemon and are joined at exit, which a hung call would wedge)."""
+    result: _queue.Queue = _queue.Queue(maxsize=1)
+
+    def runner() -> None:
+        try:
+            result.put(("ok", fn(*args)))
+        except BaseException as e:  # noqa: BLE001 — relayed to the caller
+            result.put(("err", e))
+
+    threading.Thread(target=runner, daemon=True).start()
+    try:
+        kind, value = result.get(timeout=timeout)
+    except _queue.Empty:
+        raise AttemptTimeout(f"attempt timed out after {timeout}s") from None
+    if kind == "err":
+        raise value
+    return value
+
+
 def call_with_retries(
     fn: Callable,
     *args,
     policy: RetryPolicy = RetryPolicy(),
     sleep: Callable[[float], None] = time.sleep,
     jitter: Callable[[], float] = lambda: random.random(),
-    executor: ThreadPoolExecutor | None = None,
 ):
     """Run `fn(*args)` under the reference's retry loop. Returns fn's
     result; re-raises the final error after max_retries retries."""
@@ -68,21 +99,7 @@ def call_with_retries(
         try:
             if policy.timeout is None:
                 return fn(*args)
-            own = executor is None
-            ex = executor or ThreadPoolExecutor(max_workers=1)
-            try:
-                fut = ex.submit(fn, *args)
-                try:
-                    return fut.result(timeout=policy.timeout)
-                except FutureTimeoutError:
-                    # the attempt keeps running (Promise.race semantics);
-                    # the racer just stops waiting
-                    raise AttemptTimeout(
-                        f"attempt timed out after {policy.timeout}s"
-                    ) from None
-            finally:
-                if own:
-                    ex.shutdown(wait=False)
+            return _attempt_with_timeout(fn, args, policy.timeout)
         except Exception:
             retries += 1
             if retries > policy.max_retries:
@@ -97,33 +114,19 @@ def tolerant_map(
     sleep: Callable[[float], None] = time.sleep,
     jitter: Callable[[], float] = lambda: random.random(),
 ) -> list[tuple[object, bool, str | None]]:
-    """Per-element tolerant map (X5): [(result_or_None, ok, error_msg)].
-
-    A shared single-thread executor serves all timeouts in the batch so a
-    1000-element batch does not spawn 1000 threads.
-    """
+    """Per-element tolerant map (X5): [(result_or_None, ok, error_msg)]."""
     out: list[tuple[object, bool, str | None]] = []
-    ex = ThreadPoolExecutor(max_workers=1) if policy.timeout is not None else None
-    try:
-        for item in items:
-            try:
-                out.append(
-                    (
-                        call_with_retries(
-                            fn,
-                            item,
-                            policy=policy,
-                            sleep=sleep,
-                            jitter=jitter,
-                            executor=ex,
-                        ),
-                        True,
-                        None,
-                    )
+    for item in items:
+        try:
+            out.append(
+                (
+                    call_with_retries(
+                        fn, item, policy=policy, sleep=sleep, jitter=jitter
+                    ),
+                    True,
+                    None,
                 )
-            except Exception as e:  # noqa: BLE001 — the tolerant contract
-                out.append((None, False, f"{type(e).__name__}: {e}"))
-    finally:
-        if ex is not None:
-            ex.shutdown(wait=False)
+            )
+        except Exception as e:  # noqa: BLE001 — the tolerant contract
+            out.append((None, False, f"{type(e).__name__}: {e}"))
     return out

@@ -489,6 +489,38 @@ def test_attempt_timeout_races_not_cancels():
     assert state["finished"]
 
 
+def test_hung_call_does_not_poison_later_elements():
+    import time as _time
+
+    from janet_spark.resilience import RetryPolicy, tolerant_map
+
+    hung = {"started": 0}
+
+    def svc(x):
+        if x == "hang":
+            hung["started"] += 1
+            _time.sleep(30)  # far beyond the timeout; thread is abandoned
+            return "late"
+        return x.upper()
+
+    t0 = _time.time()
+    out = tolerant_map(
+        ["a", "hang", "b", "c"],
+        svc,
+        policy=RetryPolicy(max_retries=1, timeout=0.05),
+        sleep=lambda _s: None,
+    )
+    elapsed = _time.time() - t0
+    # the hung element fails by timeout; every LATER element still succeeds
+    # promptly instead of queueing behind the stuck worker
+    assert out[0] == ("A", True, None)
+    assert out[1][1] is False and "AttemptTimeout" in out[1][2]
+    assert out[2] == ("B", True, None)
+    assert out[3] == ("C", True, None)
+    assert hung["started"] == 2  # first attempt + 1 retry, both abandoned
+    assert elapsed < 5
+
+
 def test_tolerant_map_mixed_outcomes():
     from janet_spark.resilience import RetryPolicy, tolerant_map
 
