@@ -57,6 +57,16 @@ def compact_dir(
     fails. No-op (returns early) when the directory already has one file
     or is already at/under the target count.
     """
+    # guard: compacting a partitioned ROOT would read the partition column
+    # out of the directory names and write it back flat, destroying the
+    # layout — each leaf partition directory must be compacted on its own
+    for entry in os.listdir(path):
+        if "=" in entry and os.path.isdir(os.path.join(path, entry)):
+            raise ValueError(
+                f"{path} contains partition subdirectories ({entry}); "
+                "compact each leaf partition directory individually"
+            )
+
     n_files, total_bytes = dir_parquet_stats(path)
     target_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
     if n_files <= max(target_files, 1):

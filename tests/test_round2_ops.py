@@ -287,6 +287,16 @@ def test_compaction_merges_small_files_and_preserves_rows(spark, tmp_path):
     again = compact_dir(spark, path, target_file_mb=1)
     assert not again["compacted"]
 
+    # guard: refuses a partitioned root (would flatten the layout)
+    import pytest as _pytest
+
+    part_root = str(tmp_path / "rooted")
+    spark.range(100).selectExpr("id", "id % 3 AS p").write.partitionBy(
+        "p"
+    ).parquet(part_root)
+    with _pytest.raises(ValueError, match="leaf partition"):
+        compact_dir(spark, part_root, target_file_mb=1)
+
 
 # ---------------------------------------------------------------------------
 # PII scrub on text that actually contains PII (the sf corpus has none,
