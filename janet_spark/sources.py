@@ -1,0 +1,69 @@
+"""Transcript sources and sinks across formats (the S1-family breadth).
+
+The engine's canonical storage is parquet (columnar, statistics, splits),
+but transcripts ARRIVE in whatever the producer emits — exports as JSONL,
+legacy dumps as CSV, ORC from Hive-era pipelines. These helpers pin the
+transcript schema onto each format (schema inference over 100 TB is a
+full extra pass AND a correctness hazard — a day of all-numeric conv_ids
+infers the column as bigint and poisons the union), and centralize the
+format quirks that corrupt text payloads when left at defaults:
+
+* CSV: payload text contains newlines, commas, and quotes — `multiLine`
+  + explicit quote/escape are required or rows shear; timestamps need an
+  explicit format to round-trip microseconds.
+* JSON (JSONL): one object per line; `multiLine=false` keeps the reader
+  splittable (a multiline JSON file is ONE split — a 1 TB file would be
+  one task); the DEFAULT timestampFormat truncates to milliseconds, so a
+  microsecond format is pinned on both sides or `ts` silently loses
+  precision on round trip.
+* ORC/parquet: self-describing; the pinned schema still applies so a
+  drifted producer fails loudly instead of silently widening types.
+
+avro is not bundled in this sandbox (external module); the registry makes
+adding it a one-liner where the jar exists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TRANSCRIPT_DDL = (
+    "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+)
+
+_CSV_OPTS = {
+    "header": "true",
+    "multiLine": "true",  # text payloads contain raw newlines
+    "quote": '"',
+    "escape": '"',  # RFC-4180 doubled quotes
+    "timestampFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS",
+}
+
+_JSON_OPTS = {
+    "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",  # keep microseconds
+}
+
+_FORMATS = ("parquet", "orc", "json", "csv")
+_FMT_OPTS = {"csv": _CSV_OPTS, "json": _JSON_OPTS}
+
+
+def read_transcripts(spark: SparkSession, path: str, format: str = "parquet") -> DataFrame:
+    """Read a transcript table with the PINNED schema (never inferred)."""
+    if format not in _FORMATS:
+        raise ValueError(f"unsupported format {format!r}; one of {_FORMATS}")
+    reader = spark.read.schema(TRANSCRIPT_DDL)
+    for k, v in _FMT_OPTS.get(format, {}).items():
+        reader = reader.option(k, v)
+    return reader.format(format).load(path)
+
+
+def write_transcripts(
+    df: DataFrame, path: str, format: str = "parquet", mode: str = "overwrite"
+) -> None:
+    """Write a transcript table in `format` with round-trip-safe options."""
+    if format not in _FORMATS:
+        raise ValueError(f"unsupported format {format!r}; one of {_FORMATS}")
+    writer = df.write.mode(mode)
+    for k, v in _FMT_OPTS.get(format, {}).items():
+        writer = writer.option(k, v)
+    writer.format(format).save(path)
