@@ -1,9 +1,9 @@
 """spark-submit entrypoint for the extraction pipeline.
 
     spark-submit --py-files janet_spark.zip janet_spark/job.py \
-        --input /path/to/transcripts_parquet \
+        --input /path/to/transcripts \
         --output /path/to/output \
-        [--n-buckets 256] [--write-salt 4]
+        [--input-format parquet|orc|json|csv] [--n-buckets 256] [--write-salt 4]
 
 On a real cluster the input/output would be Iceberg tables
 (`spark.read.table` / `MERGE INTO`); the parquet layout used here keeps the
@@ -20,7 +20,13 @@ import time
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser()
-    p.add_argument("--input", required=True, help="transcripts parquet dir / table")
+    p.add_argument("--input", required=True, help="transcripts dir / table")
+    p.add_argument(
+        "--input-format",
+        default="parquet",
+        choices=["parquet", "orc", "json", "csv"],
+        help="input format (pinned transcript schema; see sources.py)",
+    )
     p.add_argument("--output", required=True, help="output root (data + lineage)")
     p.add_argument("--n-buckets", type=int, default=256)
     p.add_argument(
@@ -36,12 +42,13 @@ def main(argv: list[str] | None = None) -> int:
 
     from janet_spark.pipeline import run_job
     from janet_spark.session import tune_for_session
+    from janet_spark.sources import read_transcripts
 
     spark = SparkSession.builder.appName("janet-extract").getOrCreate()
     tune_for_session(spark)
 
     t0 = time.time()
-    transcripts = spark.read.parquet(args.input)
+    transcripts = read_transcripts(spark, args.input, format=args.input_format)
     summary = run_job(
         spark,
         transcripts,
