@@ -225,3 +225,54 @@ def windowed_turn_counts(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def enrich_with_label_stream(
+    spark: SparkSession,
+    turns_dir: str,
+    labels_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    max_skew: str = "1 hour",
+) -> StreamingQuery:
+    """Stream-stream JOIN: a turn stream enriched against a conversation-
+    label stream arriving independently (cf. ad-hoc stream joins, AJoin
+    VLDB'19 — see PAPERS.md), expressed with Structured Streaming's
+    watermarked inner join.
+
+    Both sides carry event-time watermarks and the join condition bounds
+    the allowed arrival skew (`label.ts` within `max_skew` of `turn.ts`),
+    which is what lets the state store EVICT: without the time-range
+    predicate, every turn would wait forever for a possible future label
+    and state would grow unboundedly; with it, rows older than the
+    watermark + skew window are dropped from both join buffers. State size
+    is therefore proportional to the skew window's row rate, independent
+    of total stream length — the same bounded-state principle as the
+    assembler's cap above."""
+    turns = (
+        spark.readStream.schema(TRANSCRIPT_DDL)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(turns_dir)
+        .withWatermark("ts", max_skew)
+    )
+    labels = (
+        spark.readStream.schema("conv_id string, label string, lts timestamp")
+        .option("maxFilesPerTrigger", 64)
+        .parquet(labels_dir)
+        .withWatermark("lts", max_skew)
+    )
+    joined = turns.join(
+        labels,
+        (turns.conv_id == labels.conv_id)
+        & (labels.lts >= turns.ts - F.expr(f"INTERVAL {max_skew}"))
+        & (labels.lts <= turns.ts + F.expr(f"INTERVAL {max_skew}")),
+        "inner",
+    ).select(turns.conv_id, "turn_idx", "role", "text", "ts", "label", "lts")
+    return (
+        joined.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -182,3 +182,44 @@ def test_stateful_assembly_overflow_cap(spark, tmp_path):
     assert list(got["completed_by"]) == ["overflow"]
     assert got.iloc[0]["n_turns"] == 12  # everything buffered so far emits
     assert got.iloc[0]["conv_text"].startswith("t0\nt1\n")
+
+
+def test_stream_stream_join_enrichment(spark, tmp_path):
+    from janet_spark.streaming import enrich_with_label_stream
+
+    turns_dir = str(tmp_path / "turns")
+    labels_dir = str(tmp_path / "labels")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    base = pd.Timestamp("2024-01-01T12:00:00")
+
+    turns = pd.DataFrame(
+        {
+            "conv_id": ["A", "A", "B"],
+            "turn_idx": [0, 1, 0],
+            "role": ["user"] * 3,
+            "text": ["a0", "a1", "b0"],
+            "tool": [""] * 3,
+            "ts": [base, base + pd.Timedelta(minutes=5), base],
+        }
+    )
+    _write_batch(spark, turns, turns_dir)
+    # A's label arrives within the skew window; B's label is 3 hours stale
+    labels = pd.DataFrame(
+        {
+            "conv_id": ["A", "B"],
+            "label": ["good", "stale"],
+            "lts": [base + pd.Timedelta(minutes=30), base - pd.Timedelta(hours=3)],
+        }
+    )
+    spark.createDataFrame(
+        labels, "conv_id string, label string, lts timestamp"
+    ).coalesce(1).write.mode("append").parquet(labels_dir)
+
+    q = enrich_with_label_stream(spark, turns_dir, labels_dir, out, ckpt)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out).toPandas().sort_values(["conv_id", "turn_idx"])
+    # both A turns enriched (label within 1h of each), B excluded (3h skew)
+    assert list(got["conv_id"]) == ["A", "A"]
+    assert set(got["label"]) == {"good"}
+    assert list(got["turn_idx"]) == [0, 1]
