@@ -52,7 +52,15 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
 
-    spark = build_session("oracle-check", master="local[8]", shuffle_partitions=16)
+    # parallelism overridable so the gate can be re-run at adversarial
+    # partition counts — results must be partition-invariant
+    import os
+
+    spark = build_session(
+        "oracle-check",
+        master=os.environ.get("ORACLE_CHECK_MASTER", "local[8]"),
+        shuffle_partitions=int(os.environ.get("ORACLE_CHECK_SHUFFLE", "16")),
+    )
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
