@@ -305,6 +305,111 @@ WHERE round(inter::double / (c1.n + c2.n - inter), 4) >= {_JACCARD_THRESHOLD}
 ORDER BY d1, d2
 """
 
+def connected_components(edges: DataFrame, src: str = "d1", dst: str = "d2", max_iter: int = 50) -> DataFrame:
+    """Min-label propagation over an undirected edge list: returns
+    (node, component) where component = the smallest node id reachable.
+    This is the ITERATIVE step real dedup pipelines run after pair mining
+    (keep one doc per near-dup cluster).
+
+    Scale shape: each iteration is one equi-join of the current labels
+    against the (symmetrized) edge list plus a min-aggregate — all
+    shuffle-partitionable; the loop runs until a fixpoint, i.e. O(graph
+    diameter) iterations (near-dup clusters are shallow — dozens of docs,
+    diameter of a few). Convergence is checked with a count of changed
+    labels; intermediate frames persist so each iteration reuses the last
+    instead of recomputing the lineage from scratch (and are unpersisted
+    as soon as superseded — the loop holds at most two label tables)."""
+    sym = edges.selectExpr(f"{src} AS a", f"{dst} AS b").unionByName(
+        edges.selectExpr(f"{dst} AS a", f"{src} AS b")
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .persist()
+    )
+    labels.count()  # materialize
+    for _ in range(max_iter):
+        neighbor_min = (
+            labels.join(sym, labels.node == sym.a)
+            .groupBy(F.col("b").alias("node"))
+            .agg(F.min("component").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+                ).alias("component"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERING: exact-Jaccard pairs -> connected components ->
+    (doc_id, cluster_rep, cluster_size, keep). The step after pair mining
+    in a real dedup run: one keeper per cluster (min doc_id), everything
+    else marked for drop. The component computation is iterative
+    min-label propagation (see connected_components); the DuckDB oracle
+    recomputes components independently with a recursive CTE."""
+    pairs = q_ngram_jaccard_pairs(spark, sf_dir).select("d1", "d2")
+    comps = connected_components(pairs)
+    sizes = comps.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        comps.join(sizes, "component")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("component").alias("cluster_rep"),
+            "cluster_size",
+            (F.col("node") == F.col("component")).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _dedup_clusters_oracle() -> str:
+    # reuse the exact-Jaccard pair SQL as the edge CTE, then enumerate
+    # reachability with a recursive CTE (UNION dedup bounds the walk) and
+    # take the min reachable id as the component representative
+    pair_sql = ORACLE_NGRAM_JACCARD_PAIRS.replace("ORDER BY d1, d2", "")
+    return f"""
+WITH RECURSIVE pairs AS ({pair_sql}),
+edges AS (
+  SELECT d1 AS a, d2 AS b FROM pairs
+  UNION ALL
+  SELECT d2 AS a, d1 AS b FROM pairs
+),
+walk(src, node) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT w.src, e.b FROM walk w JOIN edges e ON e.a = w.node
+),
+comp AS (
+  SELECT src AS doc_id, min(node) AS cluster_rep FROM walk GROUP BY src
+),
+sizes AS (
+  SELECT cluster_rep, count(*) AS cluster_size FROM comp GROUP BY cluster_rep
+)
+SELECT c.doc_id, c.cluster_rep, s.cluster_size,
+       c.doc_id = c.cluster_rep AS keep
+FROM comp c JOIN sizes s USING (cluster_rep)
+ORDER BY doc_id
+"""
+
+
 # MinHash parameters: 64 permutations in 16 bands x 4 rows. At
 # jaccard >= 0.8 the miss probability per pair is (1 - 0.8^4)^16 ~ 2e-4,
 # so candidate recall is effectively exact and the verified output equals
@@ -1001,6 +1106,7 @@ TEXT_QUERIES = {
     "quality_scores": (q_quality_scores, ORACLE_QUALITY_SCORES),
     "exact_dedup": (q_exact_dedup, ORACLE_EXACT_DEDUP),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, ORACLE_NGRAM_JACCARD_PAIRS),
+    "dedup_clusters": (q_dedup_clusters, _dedup_clusters_oracle()),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, ORACLE_NGRAM_JACCARD_PAIRS),
     "simhash": (q_simhash, ORACLE_SIMHASH),
     "ann_cosine_topk": (q_ann_cosine_topk, ORACLE_ANN_COSINE_TOPK),

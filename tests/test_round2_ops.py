@@ -642,3 +642,27 @@ def test_transcript_format_roundtrips(spark, tmp_path):
             assert [norm(t) for t in got] == [norm(t) for t in want], fmt
         else:
             assert got == want, fmt
+
+
+# ---------------------------------------------------------------------------
+# connected components: chain, clique, isolated pair — exact labels
+# ---------------------------------------------------------------------------
+
+
+def test_connected_components_known_graph(spark):
+    from janet_spark.queries_text import connected_components
+
+    # components: chain {1-2-3-4}, triangle {10,11,12}, pair {20,21}
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (11, 12), (12, 10), (21, 20)],
+        "d1 long, d2 long",
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+    }
