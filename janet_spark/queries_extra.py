@@ -749,6 +749,132 @@ ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# stratified (per-group rate) deterministic sampling — language rebalancing
+# ---------------------------------------------------------------------------
+
+# downsample the dominant language, keep the tail: the standard corpus
+# rebalancing move. Rates in units of /256 so the md5-byte gate is exact.
+_STRATA_RATES = {"en": 32, "de": 128, "fr": 128, "es": 128}  # /256
+_STRATA_DEFAULT = 224  # /256 for any other language
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Per-stratum deterministic sampling: each language keeps a different
+    fraction (dominant 'en' downsampled 8x, tail languages kept at much
+    higher rates) through the same md5-byte gate as `hash_sample` — so the
+    rebalanced corpus is reproducible in any engine and stable under
+    repartitioning, unlike `df.sampleBy` (RNG, partitioning-dependent).
+    The rate lookup is a broadcast-free CASE expression: pure projection,
+    no shuffle, pushdown-friendly."""
+    docs = t(spark, sf_dir, "documents")
+    gate = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10)
+        .cast("int")
+    )
+    rate = F.lit(_STRATA_DEFAULT)
+    for lang, r in _STRATA_RATES.items():
+        rate = F.when(F.col("lang") == lang, r).otherwise(rate)
+    return (
+        docs.filter(gate < rate)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .orderBy("lang")
+    )
+
+
+def _strata_oracle() -> str:
+    cases = " ".join(
+        f"WHEN '{lang}' THEN {r}" for lang, r in _STRATA_RATES.items()
+    )
+    byte = (
+        "(strpos('0123456789abcdef', substr(md5(cast(doc_id AS varchar)), 1, 1)) - 1) * 16"
+        " + strpos('0123456789abcdef', substr(md5(cast(doc_id AS varchar)), 2, 1)) - 1"
+    )
+    return f"""
+SELECT lang, count(*) AS n_kept
+FROM documents
+WHERE {byte} < CASE lang {cases} ELSE {_STRATA_DEFAULT} END
+GROUP BY lang ORDER BY lang
+"""
+
+
+ORACLE_STRATIFIED_SAMPLE = _strata_oracle()
+
+
+# ---------------------------------------------------------------------------
+# unpivot + rank-function family (Catalyst built-ins exercised for coverage)
+# ---------------------------------------------------------------------------
+
+
+def q_unpivot_doc_stats(spark, sf_dir):
+    """UNPIVOT (melt): wide per-doc stats to long (doc_id, stat, value)
+    rows — the inverse of pivot, one narrow Expand, no shuffle."""
+    docs = t(spark, sf_dir, "documents")
+    wide = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("chars"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("words"),
+        F.length(F.regexp_replace(F.col("text"), r"[^.!?]", "")).cast("long").alias(
+            "sentences"
+        ),
+    )
+    return wide.unpivot(
+        "doc_id", ["chars", "words", "sentences"], "stat", "value"
+    ).orderBy("doc_id", "stat")
+
+
+ORACLE_UNPIVOT_DOC_STATS = """
+WITH wide AS (
+  SELECT doc_id, cast(n_chars AS bigint) AS chars,
+         cast(len(string_split(text, ' ')) AS bigint) AS words,
+         cast(length(regexp_replace(text, '[^.!?]', '', 'g')) AS bigint) AS sentences
+  FROM documents
+)
+SELECT doc_id, stat, value FROM (
+  SELECT doc_id, 'chars' AS stat, chars AS value FROM wide
+  UNION ALL SELECT doc_id, 'words', words FROM wide
+  UNION ALL SELECT doc_id, 'sentences', sentences FROM wide
+) ORDER BY doc_id, stat
+"""
+
+
+def q_rank_functions(spark, sf_dir):
+    """The rank-function family over one window: rank, dense_rank,
+    percent_rank, cume_dist, ntile(4) of customers by balance within
+    market segment."""
+    cust = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), "c_custkey")
+    return (
+        cust.select(
+            "c_mktsegment",
+            "c_custkey",
+            F.round("c_acctbal", 4).alias("bal"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.round(F.percent_rank().over(w), 6).alias("prnk"),
+            F.round(F.cume_dist().over(w), 6).alias("cdist"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .filter(F.col("rnk") <= 30)
+        .orderBy("c_mktsegment", "rnk", "c_custkey")
+    )
+
+
+ORACLE_RANK_FUNCTIONS = """
+SELECT c_mktsegment, c_custkey, round(c_acctbal, 4) AS bal,
+       rank() OVER w AS rnk,
+       dense_rank() OVER w AS drnk,
+       round(percent_rank() OVER w, 6) AS prnk,
+       round(cume_dist() OVER w, 6) AS cdist,
+       ntile(4) OVER w AS quartile
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+QUALIFY rnk <= 30
+ORDER BY c_mktsegment, rnk, c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
 # pivot + set operations (Catalyst built-ins exercised for coverage)
 # ---------------------------------------------------------------------------
 
@@ -1272,4 +1398,7 @@ EXTRA_QUERIES = {
     "curation_pipeline": (q_curation_pipeline, ORACLE_CURATION_PIPELINE),
     "event_type_pivot": (q_event_type_pivot, ORACLE_EVENT_TYPE_PIVOT),
     "set_ops_users": (q_set_ops_users, ORACLE_SET_OPS_USERS),
+    "stratified_sample": (q_stratified_sample, ORACLE_STRATIFIED_SAMPLE),
+    "unpivot_doc_stats": (q_unpivot_doc_stats, ORACLE_UNPIVOT_DOC_STATS),
+    "rank_functions": (q_rank_functions, ORACLE_RANK_FUNCTIONS),
 }
