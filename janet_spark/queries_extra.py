@@ -749,6 +749,59 @@ ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# correlated LATERAL subquery (per-row top-k without a global window)
+# ---------------------------------------------------------------------------
+
+
+def q_lateral_top_orders(spark, sf_dir):
+    """Per-customer top-2 orders via a correlated LATERAL subquery — the
+    SQL-surface alternative to the window top-k (`latest_event_per_user`):
+    useful when the outer side is already filtered small (here: the
+    20 richest customers), because the lateral probe touches only their
+    orders instead of windowing the whole fact table. Catalyst decorrelates
+    the lateral into a join + window over the SEMI-restricted fact — the
+    plan you'd write by hand."""
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    cust.createOrReplaceTempView("_lat_customer")
+    orders.createOrReplaceTempView("_lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, o.price
+        FROM (
+          SELECT c_custkey FROM _lat_customer
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 20
+        ) c,
+        LATERAL (
+          SELECT o_orderkey, round(o_totalprice, 4) AS price
+          FROM _lat_orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 2
+        ) o
+        ORDER BY c.c_custkey, o.price DESC, o.o_orderkey
+        """
+    )
+
+
+ORACLE_LATERAL_TOP_ORDERS = """
+SELECT c.c_custkey, o.o_orderkey, o.price
+FROM (
+  SELECT c_custkey FROM customer
+  ORDER BY c_acctbal DESC, c_custkey LIMIT 20
+) c,
+LATERAL (
+  SELECT o_orderkey, round(o_totalprice, 4) AS price
+  FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey
+  LIMIT 2
+) o
+ORDER BY c.c_custkey, o.price DESC, o.o_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
 # stratified (per-group rate) deterministic sampling — language rebalancing
 # ---------------------------------------------------------------------------
 
@@ -1398,6 +1451,7 @@ EXTRA_QUERIES = {
     "curation_pipeline": (q_curation_pipeline, ORACLE_CURATION_PIPELINE),
     "event_type_pivot": (q_event_type_pivot, ORACLE_EVENT_TYPE_PIVOT),
     "set_ops_users": (q_set_ops_users, ORACLE_SET_OPS_USERS),
+    "lateral_top_orders": (q_lateral_top_orders, ORACLE_LATERAL_TOP_ORDERS),
     "stratified_sample": (q_stratified_sample, ORACLE_STRATIFIED_SAMPLE),
     "unpivot_doc_stats": (q_unpivot_doc_stats, ORACLE_UNPIVOT_DOC_STATS),
     "rank_functions": (q_rank_functions, ORACLE_RANK_FUNCTIONS),
