@@ -107,6 +107,16 @@ def main() -> None:
         "flaky_enrichment",
         "lang_id",
         "ann_ivf_topk",
+        "dedup_clusters",
+        "curation_pipeline",
+        "event_type_pivot",
+        "set_ops_users",
+        "stratified_sample",
+        "unpivot_doc_stats",
+        "rank_functions",
+        "lateral_top_orders",
+        "image_header_probe",
+        "authorized_events",
     ]
     ext_timings: dict[str, float] = {}
     for name in extended:
