@@ -8,8 +8,12 @@ scan throughput (one task per tiny file, footer overhead, NN pressure)
 and is the canonical "small files problem". `compact_dir` rewrites a
 partition directory into ~target-sized files using the same two-phase
 contract as the data path: write compacted output to a staging dir,
-verify row count, then atomically swap — a crash mid-compaction leaves
-the original directory untouched.
+verify row count, then swap. A crash anywhere before the swap leaves the
+original untouched; a crash INSIDE the two-rename swap leaves the
+original intact under the backup name, and the next invocation restores
+it before doing anything else (see the recovery block). Staging/backup
+names are _-prefixed so Spark's file index never discovers them as bogus
+partitions of the parent table.
 
 Sizing: the file count is computed from the directory's actual on-disk
 bytes divided by the target file size (parquet-encoded bytes, so the
@@ -67,6 +71,23 @@ def compact_dir(
                 "compact each leaf partition directory individually"
             )
 
+    # staging/backup live as SIBLINGS with a leading-underscore name:
+    # Spark's file index ignores _-prefixed entries, so a crash mid-
+    # compaction cannot leak half-written or duplicate data into parent-
+    # table partition discovery (a name like 'day=1__compacting' WOULD be
+    # discovered as a bogus partition value).
+    parent, leaf = os.path.split(os.path.abspath(path))
+    staging = os.path.join(parent, f"_compact_tmp_{leaf}")
+    backup = os.path.join(parent, f"_compact_bak_{leaf}")
+
+    # crash recovery from a previous attempt: if the swap was interrupted
+    # between the two renames, the original lives at `backup` and `path`
+    # is missing — restore it; stale staging/backup leftovers are removed
+    if os.path.isdir(backup) and not os.path.isdir(path):
+        os.rename(backup, path)
+    shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(backup, ignore_errors=True)
+
     n_files, total_bytes = dir_parquet_stats(path)
     target_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
     if n_files <= max(target_files, 1):
@@ -79,7 +100,6 @@ def compact_dir(
 
     df = spark.read.parquet(path)
     n_rows = df.count()
-    staging = f"{path}__compacting"
     out = df.repartition(target_files) if shuffle else df.coalesce(target_files)
     out.write.mode("overwrite").parquet(staging)
 
@@ -89,7 +109,6 @@ def compact_dir(
         raise RuntimeError(
             f"compaction verify failed: {staged_rows} staged rows != {n_rows}"
         )
-    backup = f"{path}__precompact"
     os.rename(path, backup)
     os.rename(staging, path)
     shutil.rmtree(backup)

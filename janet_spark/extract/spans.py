@@ -126,9 +126,11 @@ def find_matches(
             # span trims the padding spaces (slice(1,-1)); the scan resumes
             # from the end of the FULL padded match (JS exec lastIndex), so
             # adjacent matches sharing one separator space are skipped —
-            # the reference's quirk, replicated deliberately
+            # the reference's quirk, replicated deliberately. The zero-width
+            # guard still applies: a passthrough RegExp with whole_words=True
+            # can match zero-width, which would otherwise loop forever.
             out.append((idx, start + 1, end - 1))
-            pos = end
+            pos = end if end > start else end + 1
         else:
             out.append((idx, start, end))
             pos = end if end > start else end + 1  # zero-width guard

@@ -70,6 +70,15 @@ def _compiled_rules() -> list[tuple[re.Pattern, str]]:
 # tab, or a typographic ligature)
 _LITERAL_TRIGGER = re.compile("[\r\t\u00a0\ufb00-\ufb06]")
 
+# Both canonicalizers gate the literal-replace pass on _LITERAL_TRIGGER,
+# while the generated SQL dialects apply every replace unconditionally \u2014
+# so every find string MUST contain a trigger character or the Python
+# paths silently skip a rule the oracles still apply.
+for _find, _ in LITERAL_REPLACES:
+    assert _LITERAL_TRIGGER.search(_find), (
+        "LITERAL_REPLACES entry not covered by _LITERAL_TRIGGER: " + repr(_find)
+    )
+
 
 @lru_cache(maxsize=1)
 def _rules_with_triggers() -> list[tuple[re.Pattern, re.Pattern, str]]:

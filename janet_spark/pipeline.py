@@ -200,7 +200,15 @@ def run_job(
     # extra pass). Observation metrics are global aggregates, so the
     # per-bucket split is pivoted into 2*n_buckets conditional sums —
     # bounded by the constant bucket count, merged map-side like any
-    # partial agg.
+    # partial agg. CAVEAT: accumulator-backed metrics drop FAILED task
+    # attempts but can double-count under SPECULATIVE execution (two
+    # successful attempts of one task), so when speculation is on we fall
+    # back to the exact post-write aggregation — stats feed lineage
+    # reporting only (resume keys off row presence, never these counts),
+    # but they should still be exact whenever the engine can promise it.
+    speculative = (
+        spark.conf.get("spark.speculation", "false").lower() == "true"
+    )
     from pyspark.sql import Observation
 
     obs = Observation(f"bucket_stats_{run_id}")
@@ -216,8 +224,9 @@ def run_job(
         )
 
     staging = f"{output_path}/_staging_{run_id}"
+    to_write = extracted if speculative else extracted.observe(obs, *metric_exprs)
     (
-        extracted.observe(obs, *metric_exprs)
+        to_write
         # one shuffle keyed on (bucket, conv-salt): co-locates each bucket
         # into at most WRITE_SALT files while keeping a conversation in one
         # file; replaces the old full-input pre-extract shuffle
@@ -240,17 +249,38 @@ def run_job(
         .parquet(staging)
     )
 
-    metrics = obs.get  # blocks until the write action reports
-    # sums are NULL when zero rows flowed (fully-resumed rerun) -> `or 0`
-    bucket_stats = {
-        b: {
-            "n_turns": int(metrics[f"t{b}"] or 0),
-            "n_ok": int(metrics[f"o{b}"] or 0),
-            "started_at": started,
+    if speculative:
+        # exact fallback: one column-pruned pass over the staged output
+        stats_rows = (
+            spark.read.schema(extracted.schema)
+            .parquet(staging)
+            .groupBy("part_bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n_turns"),
+                F.sum(F.col("ok").cast("long")).alias("n_ok"),
+            )
+            .collect()
+        )
+        bucket_stats = {
+            int(r["part_bucket"]): {
+                "n_turns": int(r["n_turns"]),
+                "n_ok": int(r["n_ok"]),
+                "started_at": started,
+            }
+            for r in stats_rows
         }
-        for b in range(n_buckets)
-        if int(metrics[f"t{b}"] or 0) > 0
-    }
+    else:
+        metrics = obs.get  # blocks until the write action reports
+        # sums are NULL when zero rows flowed -> `or 0`
+        bucket_stats = {
+            b: {
+                "n_turns": int(metrics[f"t{b}"] or 0),
+                "n_ok": int(metrics[f"o{b}"] or 0),
+                "started_at": started,
+            }
+            for b in range(n_buckets)
+            if int(metrics[f"t{b}"] or 0) > 0
+        }
 
     ckpt.backup_manifest(
         output_path,

@@ -319,8 +319,13 @@ def connected_components(edges: DataFrame, src: str = "d1", dst: str = "d2", max
     labels; intermediate frames persist so each iteration reuses the last
     instead of recomputing the lineage from scratch (and are unpersisted
     as soon as superseded — the loop holds at most two label tables)."""
-    sym = edges.selectExpr(f"{src} AS a", f"{dst} AS b").unionByName(
-        edges.selectExpr(f"{dst} AS a", f"{src} AS b")
+    sym = (
+        edges.selectExpr(f"{src} AS a", f"{dst} AS b")
+        .unionByName(edges.selectExpr(f"{dst} AS a", f"{src} AS b"))
+        # persisted: every iteration joins against sym; without this each
+        # round would recompute the full upstream edge-mining lineage
+        # (for dedup_clusters that is the whole Jaccard pair query)
+        .persist()
     )
     labels = (
         sym.select(F.col("a").alias("node"))
@@ -355,6 +360,9 @@ def connected_components(edges: DataFrame, src: str = "d1", dst: str = "d2", max
         labels = new_labels
         if changed == 0:
             break
+    # the final labels frame is materialized (the convergence count), so
+    # dropping sym's cache is safe — downstream consumers read labels
+    sym.unpersist()
     return labels
 
 

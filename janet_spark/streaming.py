@@ -26,9 +26,9 @@ from pyspark.sql.streaming import StreamingQuery
 
 from janet_spark.extract.udfs import EXTRACT_OUTPUT_DDL, extract_turns_iter
 
-TRANSCRIPT_DDL = (
-    "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
-)
+# single canonical home for the transcript schema (sources.py); re-exported
+# here so existing imports keep working without a second copy to drift
+from janet_spark.sources import TRANSCRIPT_DDL  # noqa: F401
 
 
 def read_transcript_stream(spark: SparkSession, input_dir: str) -> DataFrame:
@@ -142,6 +142,7 @@ def assemble_conversations_stream(
     checkpoint_dir: str,
     quiet_timeout_ms: int | None = None,
     max_open_turns: int = MAX_OPEN_TURNS,
+    processing_interval: str | None = None,
 ) -> StreamingQuery:
     """Custom stateful operator: cross-micro-batch conversation assembly
     via ``applyInPandasWithState``. A conversation's turns may arrive over
@@ -152,12 +153,14 @@ def assemble_conversations_stream(
     runs still assembles completely.
 
     ``quiet_timeout_ms`` enables processing-time expiry of quiet
-    conversations (emitted with completed_by='timeout'). Leave it None for
-    AvailableNow drain jobs: a pending timeout forces the trigger to keep
-    scheduling micro-batches until every registered timeout has fired, so
-    the "drain and stop" run would instead idle for the whole timeout —
-    use it only with continuous (processing-time) triggers, where it is
-    the state-store GC that stops open-conversation state growing forever.
+    conversations (emitted with completed_by='timeout') and REQUIRES a
+    continuous trigger — pass ``processing_interval`` (e.g. "30 seconds")
+    with it. Under the default AvailableNow drain trigger a pending
+    timeout would force the trigger to keep scheduling micro-batches until
+    every registered timeout fires, so the "drain and stop" run would idle
+    for the whole timeout window; the combination is rejected loudly.
+    Under a continuous trigger the timeout is the state-store GC that
+    stops open-conversation state growing forever.
 
     The reference has no streaming analog (its inngest queue enriches whole
     documents, ``apps/web/lib/inngest/functions.ts:17-43``); this is the
@@ -165,6 +168,13 @@ def assemble_conversations_stream(
     per-conversation and dropped on emit, so state-store size is bounded by
     the number of OPEN conversations, not the stream length; the shuffle
     key is conv_id — the same key the batch reassembly buckets on."""
+    if quiet_timeout_ms is not None and processing_interval is None:
+        raise ValueError(
+            "quiet_timeout_ms needs a continuous trigger: pass "
+            "processing_interval (e.g. '30 seconds'); under AvailableNow a "
+            "pending timeout would keep the drain scheduling micro-batches "
+            "until it fires"
+        )
     stream = read_transcript_stream(spark, input_dir)
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -180,14 +190,17 @@ def assemble_conversations_stream(
         outputMode="append",
         timeoutConf=timeout_conf,
     )
-    return (
+    writer = (
         assembled.writeStream.format("parquet")
         .option("path", output_dir)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
     )
+    if processing_interval is not None:
+        writer = writer.trigger(processingTime=processing_interval)
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def windowed_turn_counts(

@@ -76,6 +76,9 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {e}")
             failures.append(name)
             continue
+        finally:
+            # release persist()-ed intermediates some queries cache
+            spark.catalog.clearCache()
         if name not in oracles:
             print(f"ok*   {name}: rows={len(sdf)} (rows-only, no oracle) "
                   f"[{time.time()-t0:.1f}s]")

@@ -26,7 +26,7 @@ def test_point_lookup_zero_shuffles_pushed_filter(spark):
     fn, _ = RELATIONAL_QUERIES["point_lookup"]
     plan = _plan(fn(spark, SF))
     assert _shuffles(plan) == 0, plan
-    assert "PushedFilters: [" in plan and "IsNotNull" in plan or "EqualTo" in plan, plan
+    assert "PushedFilters: [" in plan and ("IsNotNull" in plan or "EqualTo" in plan), plan
 
 
 def test_revenue_by_region_broadcasts_all_dims(spark):

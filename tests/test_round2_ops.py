@@ -666,3 +666,14 @@ def test_connected_components_known_graph(spark):
         10: 10, 11: 10, 12: 10,
         20: 20, 21: 20,
     }
+
+
+def test_whole_words_zero_width_pattern_terminates():
+    # a passthrough RegExp that can match zero-width, combined with
+    # whole_words=True, must terminate (regression: the whole_words branch
+    # lacked the zero-width guard and looped forever)
+    from janet_spark.extract.spans import find_matches, normalize_single_keyword
+
+    nk = normalize_single_keyword(re.compile("a*"), whole_words=True)
+    matches = find_matches("bbb", nk.pattern, nk.whole_words)
+    assert len(matches) == 4  # zero-width at 0,1,2,3 — and it RETURNED
