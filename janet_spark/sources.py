@@ -48,13 +48,34 @@ _FMT_OPTS = {"csv": _CSV_OPTS, "json": _JSON_OPTS}
 
 
 def read_transcripts(spark: SparkSession, path: str, format: str = "parquet") -> DataFrame:
-    """Read a transcript table with the PINNED schema (never inferred)."""
+    """Read a transcript table onto the PINNED schema (never inferred).
+
+    Text formats (csv/json) take the schema as the READER schema — there
+    is nothing else to parse against. Self-describing formats (parquet/
+    orc) must NOT: forcing a narrower reader type than the file's physical
+    type is a hard read error (e.g. a producer that wrote turn_idx as
+    INT64 vs the contract's int32), so they read natively and the contract
+    is enforced by an explicit cast-projection — missing columns fail
+    loudly, wider integers narrow deterministically."""
     if format not in _FORMATS:
         raise ValueError(f"unsupported format {format!r}; one of {_FORMATS}")
-    reader = spark.read.schema(TRANSCRIPT_DDL)
-    for k, v in _FMT_OPTS.get(format, {}).items():
-        reader = reader.option(k, v)
-    return reader.format(format).load(path)
+    if format in ("csv", "json"):
+        reader = spark.read.schema(TRANSCRIPT_DDL)
+        for k, v in _FMT_OPTS.get(format, {}).items():
+            reader = reader.option(k, v)
+        return reader.format(format).load(path)
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    contract = StructType.fromDDL(TRANSCRIPT_DDL)
+    df = spark.read.format(format).load(path)
+    missing = [f.name for f in contract.fields if f.name not in df.columns]
+    if missing:
+        raise ValueError(f"{path} is missing transcript columns: {missing}")
+    return df.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in contract.fields]
+    )
 
 
 def write_transcripts(

@@ -677,3 +677,31 @@ def test_whole_words_zero_width_pattern_terminates():
     nk = normalize_single_keyword(re.compile("a*"), whole_words=True)
     matches = find_matches("bbb", nk.pattern, nk.whole_words)
     assert len(matches) == 4  # zero-width at 0,1,2,3 — and it RETURNED
+
+
+def test_read_transcripts_casts_wider_parquet_types(spark, tmp_path):
+    # a producer that wrote turn_idx as bigint must still load onto the
+    # int32 contract (cast-projection, not reader-schema coercion — the
+    # latter is a hard parquet read error)
+    from janet_spark.sources import read_transcripts
+
+    p = str(tmp_path / "wide")
+    spark.range(5).selectExpr(
+        "concat('c', id) AS conv_id",
+        "id AS turn_idx",  # bigint
+        "'user' AS role",
+        "concat('t', id) AS text",
+        "'' AS tool",
+        "timestamp'2024-01-01' AS ts",
+    ).write.parquet(p)
+    df = read_transcripts(spark, p, format="parquet")
+    assert dict(df.dtypes)["turn_idx"] == "int"
+    assert df.count() == 5
+
+    # missing contract column fails loudly
+    import pytest as _pytest
+
+    p2 = str(tmp_path / "missing")
+    spark.range(3).selectExpr("concat('c', id) AS conv_id").write.parquet(p2)
+    with _pytest.raises(ValueError, match="missing transcript columns"):
+        read_transcripts(spark, p2, format="parquet")
