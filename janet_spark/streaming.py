@@ -31,13 +31,24 @@ from janet_spark.extract.udfs import EXTRACT_OUTPUT_DDL, extract_turns_iter
 from janet_spark.sources import TRANSCRIPT_DDL  # noqa: F401
 
 
+# Streaming file sources REQUIRE a reader schema (no inference), and a
+# reader type narrower than a file's physical type is a hard parquet read
+# error — so the stream reads integer columns at their WIDEST (parquet
+# upcasts int32 -> long fine, never the reverse) and casts down onto the
+# contract, tolerating producers that wrote turn_idx as either int or long.
+_WIDE_TRANSCRIPT_DDL = (
+    "conv_id string, turn_idx long, role string, text string, tool string, ts timestamp"
+)
+
+
 def read_transcript_stream(spark: SparkSession, input_dir: str) -> DataFrame:
-    """File-source stream over a transcript landing directory. Schema is
-    pinned (streaming sources cannot infer), matching input_hint."""
+    """File-source stream over a transcript landing directory, pinned to
+    the transcript contract (widest-read + cast-down; see above)."""
     return (
-        spark.readStream.schema(TRANSCRIPT_DDL)
+        spark.readStream.schema(_WIDE_TRANSCRIPT_DDL)
         .option("maxFilesPerTrigger", 64)
         .parquet(input_dir)
+        .withColumn("turn_idx", F.col("turn_idx").cast("int"))
     )
 
 

@@ -223,3 +223,26 @@ def test_stream_stream_join_enrichment(spark, tmp_path):
     assert list(got["conv_id"]) == ["A", "A"]
     assert set(got["label"]) == {"good"}
     assert list(got["turn_idx"]) == [0, 1]
+
+
+def test_stream_reads_int64_turn_idx_producer(spark, tmp_path):
+    # a producer that wrote turn_idx as bigint must stream cleanly onto
+    # the int contract (widest-read + cast-down in read_transcript_stream)
+    from janet_spark.streaming import incremental_extract
+
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    spark.range(6).selectExpr(
+        "concat('c', id % 2) AS conv_id",
+        "id AS turn_idx",  # bigint on disk
+        "'user' AS role",
+        "concat('body ', id) AS text",
+        "'' AS tool",
+        "timestamp'2024-01-01' AS ts",
+    ).coalesce(1).write.parquet(landing)
+    q = incremental_extract(spark, landing, out, ckpt)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 6
+    assert dict(got.dtypes)["turn_idx"] == "int"
