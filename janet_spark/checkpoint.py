@@ -78,6 +78,44 @@ def resume_filter(df: DataFrame, done: set[int], bucket_col: str = "part_bucket"
     return df.filter(~F.col(bucket_col).isin(sorted(done)))
 
 
+def check_bucket_config(output_path: str, n_buckets: int) -> None:
+    """Pin the bucketing config to the output directory: lineage bucket
+    ids only mean anything in the n_buckets-space that produced them, so
+    resuming with a DIFFERENT n_buckets would anti-filter the wrong rows —
+    silently skipping never-committed work and duplicating committed work.
+    The first run writes a marker; later runs must match it or fail loudly."""
+    marker = os.path.join(output_path, "_bucket_config.json")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            prior = json.load(f)
+        if prior.get("n_buckets") != n_buckets:
+            raise ValueError(
+                f"output {output_path} was bucketed with n_buckets="
+                f"{prior.get('n_buckets')}; resuming with n_buckets={n_buckets} "
+                "would corrupt resume — use the original value"
+            )
+        return
+    os.makedirs(output_path, exist_ok=True)
+    with open(marker, "w") as f:
+        json.dump({"n_buckets": n_buckets}, f)
+
+
+def clean_stale_staging(output_path: str, current_run_id: str) -> list[str]:
+    """Remove `_staging_*` dirs left by crashed runs. Runs are single-
+    writer (the reference's batch model), so any staging dir not owned by
+    the CURRENT run is a dead remnant — without this, every crash-resume
+    cycle would leave a full copy of its uncommitted buckets on disk."""
+    removed = []
+    if not os.path.isdir(output_path):
+        return removed
+    keep = f"_staging_{current_run_id}"
+    for name in os.listdir(output_path):
+        if name.startswith("_staging_") and name != keep:
+            shutil.rmtree(os.path.join(output_path, name), ignore_errors=True)
+            removed.append(name)
+    return removed
+
+
 def backup_manifest(output_path: str, run_id: str, payload: dict) -> str:
     """Timestamped manifest write (K3; reference timestamps with
     toISOString().replace(/[:.]/g,'-'), rename.ts:7)."""

@@ -36,9 +36,6 @@ EXTRACT_OUTPUT_DDL = (
     "blocks_kept int, blocks_dropped int, span_count int, ok boolean"
 )
 
-_PASSTHROUGH = ["conv_id", "turn_idx", "role", "ts"]
-
-
 def extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     """Extract one Arrow batch. Input columns: conv_id, turn_idx, role,
     text, tool, ts. Output: EXTRACT_OUTPUT_DDL.
@@ -52,7 +49,13 @@ def extract_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     n = len(pdf)
     positions = {ix: i for i, ix in enumerate(pdf.index)}
     text = pdf["text"].fillna("").astype(str)
-    tool = pdf["tool"].fillna("").astype(str) if "tool" in pdf else pd.Series([""] * n)
+    tool = (
+        pdf["tool"].fillna("").astype(str)
+        if "tool" in pdf
+        # substitute Series must carry the BATCH's index — the fallback
+        # loop indexes it by pdf.index labels, not positions
+        else pd.Series([""] * n, index=pdf.index)
+    )
 
     extracted = np.full(n, "", dtype=object)
     spans: list[list[dict]] = [[] for _ in range(n)]

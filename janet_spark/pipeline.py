@@ -170,6 +170,11 @@ def run_job(
     run_id = run_id or ckpt.new_run_id()
     started = datetime.now(timezone.utc)
 
+    # refuse to resume with a different bucketing (wrong-space anti-join),
+    # and clear staging remnants from crashed prior runs
+    ckpt.check_bucket_config(output_path, n_buckets)
+    ckpt.clean_stale_staging(output_path, run_id)
+
     work = transcripts.withColumn("part_bucket", partition_bucket("conv_id", n_buckets))
     done = ckpt.completed_buckets(spark, output_path)
     work = ckpt.resume_filter(work, done)

@@ -705,3 +705,62 @@ def test_read_transcripts_casts_wider_parquet_types(spark, tmp_path):
     spark.range(3).selectExpr("concat('c', id) AS conv_id").write.parquet(p2)
     with _pytest.raises(ValueError, match="missing transcript columns"):
         read_transcripts(spark, p2, format="parquet")
+
+
+# ---------------------------------------------------------------------------
+# checkpoint robustness: null conv_id, n_buckets pin, stale staging cleanup
+# ---------------------------------------------------------------------------
+
+
+def test_run_job_handles_null_conv_id(spark, tmp_path):
+    from datetime import datetime
+
+    from janet_spark.pipeline import read_output, run_job
+
+    ts = datetime(2024, 1, 1)
+    rows = [
+        ("c-1", 0, "user", "hello world", "", ts),
+        (None, 0, "user", "orphan row", "", ts),  # degenerate but real
+        ("c-2", 0, "user", "more text", "", ts),
+    ]
+    tr = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    out = str(tmp_path / "out")
+    s = run_job(spark, tr, out, n_buckets=4)
+    assert s["n_turns"] == 3  # the null-key row committed, not crashed on
+    assert read_output(spark, out).count() == 3
+
+
+def test_run_job_rejects_changed_n_buckets(spark, tmp_path):
+    import pytest as _pytest
+
+    from janet_spark.pipeline import run_job
+    from janet_spark.synthetic import make_transcripts
+
+    pdf, _ = make_transcripts(n_convs=10, base_turns=4)
+    tr = spark.createDataFrame(pdf)
+    out = str(tmp_path / "out")
+    run_job(spark, tr, out, n_buckets=8)
+    with _pytest.raises(ValueError, match="n_buckets"):
+        run_job(spark, tr, out, n_buckets=16)
+
+
+def test_stale_staging_cleaned_on_next_run(spark, tmp_path):
+    import os
+
+    from janet_spark.pipeline import run_job
+    from janet_spark.synthetic import make_transcripts
+
+    pdf, _ = make_transcripts(n_convs=10, base_turns=4)
+    tr = spark.createDataFrame(pdf)
+    out = str(tmp_path / "out")
+    # crashed run leaves staging behind
+    with pytest.raises(RuntimeError, match="injected"):
+        run_job(spark, tr, out, n_buckets=8, fail_after_n_buckets=2)
+    stale = [d for d in os.listdir(out) if d.startswith("_staging_")]
+    assert stale  # remnant exists
+    # the resume run clears it and completes
+    run_job(spark, tr, out, n_buckets=8)
+    assert not [d for d in os.listdir(out) if d.startswith("_staging_")]
