@@ -139,14 +139,19 @@ def strip_html(
         closing = m.group(1) == "/"
         self_closing = m.group(4) == "/" or name in VOID_TAGS
         if closing:
+            # leave the boilerplate scope BEFORE flushing: the flushed
+            # block (the nav/footer content) already carries its
+            # boilerplate flag from add_text, but the fresh block flush()
+            # creates must NOT inherit it — bare text right after
+            # </nav>/</footer> is body content, not boilerplate
+            if name in BOILERPLATE_TAGS and boiler_depth > 0:
+                boiler_depth -= 1
             if name in BLOCK_TAGS or name in BOILERPLATE_TAGS:
                 flush()
             else:
                 cur.inner_tags += 1
             if name == "a" and anchor_depth > 0:
                 anchor_depth -= 1
-            if name in BOILERPLATE_TAGS and boiler_depth > 0:
-                boiler_depth -= 1
             # pop to matching open tag if present (tolerant of bad nesting)
             if name in stack:
                 while stack and stack[-1] != name:
@@ -155,7 +160,11 @@ def strip_html(
                     stack.pop()
         elif self_closing:
             if name == "br":
-                add_text("\n", m.start(), m.end())
+                # a literal line separator INSIDE the block — appended
+                # directly (add_text's whitespace guard would degrade it
+                # to ' '); canonicalization preserves single newlines
+                if cur.pieces:
+                    cur.pieces.append("\n")
             else:
                 cur.inner_tags += 1
         else:
@@ -180,6 +189,9 @@ def strip_html(
     for b in blocks:
         keep, text = _classify(b)
         if not text:
+            # canonicalized-to-empty: counts as dropped per the module
+            # contract (rare — reachable only via exotic whitespace)
+            dropped += 1
             continue
         if keep:
             kept += 1

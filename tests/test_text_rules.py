@@ -160,3 +160,20 @@ def test_spark_sql_dialect_matches_python(spark):
         for r in df.select(F.expr(spark_canonicalize_sql("t"))).collect()
     ]
     assert got == [canonicalize_str(s) for s in samples]
+
+
+def test_text_after_closing_boilerplate_is_body_content():
+    # regression: the fresh block created when </nav> closes must NOT
+    # inherit the boilerplate flag — bare text after a closing nav/footer
+    # is article content
+    html = "<nav>menu</nav>Real article content<p>second para</p>"
+    text, spans, kept, dropped = strip_html(html)
+    assert text == "Real article content\nsecond para"
+    assert kept == 2 and dropped == 1
+
+
+def test_br_produces_line_break():
+    # regression: <br> used to degrade to ' ' via add_text's whitespace
+    # guard; it must survive as a line separator
+    text, _, _, _ = strip_html("<p>line one<br>line two</p>")
+    assert text == "line one\nline two"
