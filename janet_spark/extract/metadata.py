@@ -18,7 +18,9 @@ from janet_spark.extract.rename import (
     extract_org,
 )
 
-_MONEY = re.compile(r"\$\s?\d{1,3}(?:,\d{3})*(?:\.\d{2})?")
+# grouped amounts first ($1,234.56), then ungrouped ($12345.67) — the old
+# grouped-only pattern truncated '$12345.67' to '$123' via the \d{1,3} prefix
+_MONEY = re.compile(r"\$\s?\d{1,3}(?:,\d{3})+(?:\.\d{2})?|\$\s?\d+(?:\.\d{2})?")
 _JSON_BLOB = re.compile(r"\{[\s\S]*\}")
 
 

@@ -76,34 +76,65 @@ DOCTYPE_VOCAB = [
 
 _DOC_NUMBER = re.compile(r"\b(\d{5,12})\b")
 
+# vocabulary matchers compiled once with WORD BOUNDARIES — raw substring
+# matching misfires inside unrelated words ('irs' in 'first', 'citi' in
+# 'city'), which on real text would invent an issuing organization
+_ORG_PATTERNS = [
+    (org, re.compile(r"\b" + re.escape(org) + r"\b", re.IGNORECASE))
+    for org in ORG_VOCAB
+]
+_DOCTYPE_PATTERNS = [
+    (dt, re.compile(r"\b" + re.escape(dt) + r"\b", re.IGNORECASE))
+    for dt in DOCTYPE_VOCAB
+]
+
+
+def _valid_date(year: int, month: int, day: int) -> bool:
+    import datetime as _dt
+
+    try:
+        _dt.date(year, month, day)
+        return True
+    except ValueError:
+        return False
+
 
 def extract_date(text: str) -> str | None:
-    """First recognized date, formatted YYYY-MM-DD (dashes per the target
-    format spec — openai.ts:37 'Dates should be formatted as YYYY-MM-DD')."""
+    """First recognized VALID date, formatted YYYY-MM-DD (dashes per the
+    target format spec — openai.ts:37 'Dates should be formatted as
+    YYYY-MM-DD'). Every candidate is calendar-validated; a slash date
+    whose first field cannot be a month falls back to D/M/Y before being
+    rejected ('31/12/2024' is December 31st, not month 31)."""
     m = _DATE_TEXTUAL.search(text)
     if m:
-        return f"{int(m.group(3)):04d}-{MONTHS[m.group(1).lower()]:02d}-{int(m.group(2)):02d}"
+        y, mo, d = int(m.group(3)), MONTHS[m.group(1).lower()], int(m.group(2))
+        if _valid_date(y, mo, d):
+            return f"{y:04d}-{mo:02d}-{d:02d}"
     m = _DATE_SLASH.search(text)
     if m:
-        return f"{int(m.group(3)):04d}-{int(m.group(1)):02d}-{int(m.group(2)):02d}"
+        a, b, y = int(m.group(1)), int(m.group(2)), int(m.group(3))
+        if _valid_date(y, a, b):  # M/D/Y (the reference's locale)
+            return f"{y:04d}-{a:02d}-{b:02d}"
+        if _valid_date(y, b, a):  # D/M/Y fallback
+            return f"{y:04d}-{b:02d}-{a:02d}"
     m = _DATE_ISO.search(text)
     if m:
-        return m.group(0)
+        y, mo, d = int(m.group(1)), int(m.group(2)), int(m.group(3))
+        if _valid_date(y, mo, d):
+            return m.group(0)
     return None
 
 
 def extract_org(text: str) -> str | None:
-    low = text.lower()
-    for org in ORG_VOCAB:
-        if org.lower() in low:
+    for org, pat in _ORG_PATTERNS:
+        if pat.search(text):
             return org
     return None
 
 
 def extract_doctype(text: str) -> str | None:
-    low = text.lower()
-    for dt in DOCTYPE_VOCAB:  # ordered most-specific first
-        if dt.lower() in low:
+    for dt, pat in _DOCTYPE_PATTERNS:  # ordered most-specific first
+        if pat.search(text):
             return dt
     return None
 

@@ -360,6 +360,13 @@ def connected_components(edges: DataFrame, src: str = "d1", dst: str = "d2", max
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iter} "
+            "iterations (component diameter exceeds the cap) — raising "
+            "instead of returning silently-wrong partial labels; increase "
+            "max_iter for unusually deep near-dup chains"
+        )
     # the final labels frame is materialized (the convergence count), so
     # dropping sym's cache is safe — downstream consumers read labels
     sym.unpersist()
@@ -427,8 +434,13 @@ _MH_BANDS = 16
 _MH_ROWS = _MH_PERMS // _MH_BANDS
 _MH_PRIME = (1 << 61) - 1
 _rng = np.random.RandomState(42)
-_MH_A = _rng.randint(1, _MH_PRIME, size=_MH_PERMS, dtype=np.int64)
-_MH_B = _rng.randint(0, _MH_PRIME, size=_MH_PERMS, dtype=np.int64)
+# coefficient bounds keep the affine form EXACT in int64: h < 2^32 (crc32),
+# A < 2^30 => h*A < 2^62, + B < 2^61 stays under 2^63 — no silent wraparound,
+# so the hash really is the mod-Mersenne-prime family the recall analysis
+# below assumes (with A drawn up to the prime, products overflowed int64 and
+# the 2e-4 miss bound had no basis)
+_MH_A = _rng.randint(1, 1 << 30, size=_MH_PERMS, dtype=np.int64)
+_MH_B = _rng.randint(0, 1 << 61, size=_MH_PERMS, dtype=np.int64)
 
 
 def _minhash_signature(shingles: list[str]) -> np.ndarray:
@@ -872,9 +884,12 @@ FROM hits ORDER BY conv_id, turn_idx, match_idx
 # rename + metadata UDFs with injected golden content
 # ---------------------------------------------------------------------------
 
-_INJECT = " FEBRUARY 25, 2024 TRAVELERS Notice of Cancellation 612266004"
+# PREPENDED (not appended): suggest_name truncates content to 10,000
+# chars mirroring the reference's LLM-input cap, so a trailing marker
+# would silently fall outside the window on long documents
+_INJECT = "FEBRUARY 25, 2024 TRAVELERS Notice of Cancellation 612266004 "
 _SPARK_CONTENT = (
-    f"CASE WHEN doc_id % 3 = 0 THEN concat(text, '{_INJECT}') ELSE text END"
+    f"CASE WHEN doc_id % 3 = 0 THEN concat('{_INJECT}', text) ELSE text END"
 )
 _DUCK_EXPECTED_NAME = (
     "CASE WHEN doc_id % 3 = 0 "

@@ -764,3 +764,54 @@ def test_stale_staging_cleaned_on_next_run(spark, tmp_path):
     # the resume run clears it and completes
     run_job(spark, tr, out, n_buckets=8)
     assert not [d for d in os.listdir(out) if d.startswith("_staging_")]
+
+
+# ---------------------------------------------------------------------------
+# rename/metadata library semantics on realistic text (review regressions)
+# ---------------------------------------------------------------------------
+
+
+def test_vocab_matching_respects_word_boundaries():
+    from janet_spark.extract.rename import extract_org, suggest_name
+
+    # 'irs' inside 'first' / 'citi' inside 'city' must NOT match
+    assert extract_org("My first visit to the city went well") is None
+    assert extract_org("a notice from the IRS arrived") == "IRS"
+    # end-to-end: no (date, org) -> total-function fallback to original
+    assert (
+        suggest_name("a.pdf", "My first visit to the city on 2024-01-02, ref 1234567")
+        == "a.pdf"
+    )
+
+
+def test_money_regex_handles_ungrouped_amounts():
+    from janet_spark.extract.metadata import _MONEY
+
+    assert _MONEY.findall("Total due $12345.67 and $1,500.00 and $75") == [
+        "$12345.67",
+        "$1,500.00",
+        "$75",
+    ]
+
+
+def test_extract_date_validates_calendars():
+    from janet_spark.extract.rename import extract_date
+
+    assert extract_date("due 31/12/2024") == "2024-12-31"  # D/M/Y fallback
+    assert extract_date("on 12/31/2024") == "2024-12-31"  # M/D/Y primary
+    assert extract_date("February 31, 2024 nonsense") is None  # impossible day
+    assert extract_date("bad iso 2024-13-45 here") is None
+    assert extract_date("March 5, 2023") == "2023-03-05"
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    import pytest as _pytest
+
+    from janet_spark.queries_text import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "d1 long, d2 long"
+    )
+    # diameter 10 chain with max_iter=3 must raise, not return wrong labels
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=3)
