@@ -166,20 +166,14 @@ ORDER BY l_orderkey, l_linenumber
 
 
 def q_ordered_concat(spark, sf_dir):
+    from janet_spark.reassemble import _ordered_concat
+
     li = t(spark, sf_dir, "lineitem")
     return (
         li.withColumn("flag", F.concat("l_returnflag", "l_linestatus"))
         .groupBy("l_orderkey")
         .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("l_linenumber"), F.col("flag").alias("f")))
-                    ),
-                    lambda s: s.getField("f"),
-                ),
-                "",
-            ).alias("flags_concat"),
+            _ordered_concat("l_linenumber", "flag", "").alias("flags_concat"),
             F.count(F.lit(1)).alias("n_lines"),
         )
         .orderBy("l_orderkey")

@@ -255,6 +255,24 @@ def _shingle_df(docs: DataFrame) -> DataFrame:
     )
 
 
+def _jaccard_filter(inter: DataFrame, counts: DataFrame) -> DataFrame:
+    """Shared tail of both near-dup pair queries: per-pair shingle
+    intersection counts + per-doc shingle counts -> thresholded Jaccard.
+    ONE implementation so the LSH query can never drift from the exact
+    query it is oracle-checked against."""
+    c1 = counts.select(F.col("doc_id").alias("d1"), F.col("n_sh").alias("n1"))
+    c2 = counts.select(F.col("doc_id").alias("d2"), F.col("n_sh").alias("n2"))
+    jac = F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))
+    return (
+        inter.join(c1, "d1")
+        .join(c2, "d2")
+        .withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+        .select("d1", "d2", "jaccard")
+        .orderBy("d1", "d2")
+    )
+
+
 def q_ngram_jaccard_pairs(spark, sf_dir):
     """Near-dup pairs by exact n-gram Jaccard (explode -> equi-join on
     shingle -> count). This is the exact baseline; the LSH query below is
@@ -269,17 +287,7 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
         .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    c1 = counts.select(F.col("doc_id").alias("d1"), F.col("n_sh").alias("n1"))
-    c2 = counts.select(F.col("doc_id").alias("d2"), F.col("n_sh").alias("n2"))
-    jac = F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))
-    return (
-        inter.join(c1, "d1")
-        .join(c2, "d2")
-        .withColumn("jaccard", F.round(jac, 4))
-        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
-        .select("d1", "d2", "jaccard")
-        .orderBy("d1", "d2")
-    )
+    return _jaccard_filter(inter, counts)
 
 
 ORACLE_NGRAM_JACCARD_PAIRS = f"""
@@ -558,17 +566,7 @@ def q_minhash_lsh_pairs(spark, sf_dir, hot_bucket_cap=_LSH_HOT_BUCKET_CAP):
         .groupBy("d1", "d2")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    c1 = counts.select(F.col("doc_id").alias("d1"), F.col("n_sh").alias("n1"))
-    c2 = counts.select(F.col("doc_id").alias("d2"), F.col("n_sh").alias("n2"))
-    jac = F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))
-    return (
-        inter.join(c1, "d1")
-        .join(c2, "d2")
-        .withColumn("jaccard", F.round(jac, 4))
-        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
-        .select("d1", "d2", "jaccard")
-        .orderBy("d1", "d2")
-    )
+    return _jaccard_filter(inter, counts)
 
 
 def q_simhash(spark, sf_dir):
