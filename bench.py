@@ -135,7 +135,11 @@ def main() -> None:
             first_map=ext_timings_first,
         )
 
-    out = {
+    # Full per-query detail goes to a file; the PRINTED line stays compact
+    # (<1 KB) so the driver's tail-capture window always parses it —
+    # round 2's detail-laden line overflowed that window and the round was
+    # recorded with "parsed": null (VERDICT r2, "What's wrong" #2).
+    detail = {
         "metric": "headline_suite_sec",
         "value": round(sum(timings.values()), 3),
         "value_first": round(sum(timings_first.values()), 3),
@@ -150,6 +154,24 @@ def main() -> None:
         "extraction_turns": n_turns,
         "extraction_turns_per_sec": round(n_turns / timings["extract_pipeline"], 1),
         "cpus": int(cpus),
+    }
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    os.makedirs(bench_dir, exist_ok=True)
+    with open(os.path.join(bench_dir, "bench_detail.json"), "w") as f:
+        json.dump(detail, f, indent=2)
+
+    out = {
+        "metric": "headline_suite_sec",
+        "value": detail["value"],
+        "value_first": detail["value_first"],
+        "unit": "sec",
+        "extended_value": detail["extended_value"],
+        "extraction_turns_per_sec": detail["extraction_turns_per_sec"],
+        "n_queries": len(timings) + len(ext_timings),
+        "sf": sf_dir,
+        "cpus": int(cpus),
+        "detail": "BENCH/bench_detail.json",
+        "queries": timings,
     }
     print(json.dumps(out))
 

@@ -129,7 +129,15 @@ def find_matches(
             # the reference's quirk, replicated deliberately. The zero-width
             # guard still applies: a passthrough RegExp with whole_words=True
             # can match zero-width, which would otherwise loop forever.
-            out.append((idx, start + 1, end - 1))
+            # The trim only applies to a boundary char that IS the padding
+            # space: a passthrough compiled pattern (never space-padded) with
+            # whole_words=True would otherwise yield corrupted spans like
+            # (start+1, end-1) on a short/zero-width match — padded-path
+            # matches always start and end with a literal space, so their
+            # spans are unchanged. end is clamped to >= start.
+            s_trim = start + 1 if end > start and text[start] == " " else start
+            e_trim = end - 1 if end > start and text[end - 1] == " " else end
+            out.append((idx, s_trim, max(e_trim, s_trim)))
             pos = end if end > start else end + 1
         else:
             out.append((idx, start, end))

@@ -254,7 +254,7 @@ def run_job(
         .parquet(staging)
     )
 
-    if speculative:
+    def exact_bucket_stats() -> dict:
         # exact fallback: one column-pruned pass over the staged output
         stats_rows = (
             spark.read.schema(extracted.schema)
@@ -266,7 +266,7 @@ def run_job(
             )
             .collect()
         )
-        bucket_stats = {
+        return {
             int(r["part_bucket"]): {
                 "n_turns": int(r["n_turns"]),
                 "n_ok": int(r["n_ok"]),
@@ -274,6 +274,9 @@ def run_job(
             }
             for r in stats_rows
         }
+
+    if speculative:
+        bucket_stats = exact_bucket_stats()
     else:
         metrics = obs.get  # blocks until the write action reports
         # sums are NULL when zero rows flowed -> `or 0`
@@ -286,6 +289,19 @@ def run_job(
             for b in range(n_buckets)
             if int(metrics[f"t{b}"] or 0) > 0
         }
+        # Speculation isn't the only way accumulator metrics double-count:
+        # a STAGE RE-ATTEMPT (e.g. shuffle fetch failure on a real cluster)
+        # re-runs already-successful tasks and their observe() sums merge
+        # twice. Cross-check the observed total against the staged row
+        # count — parquet count() is metadata-only (footer row counts, no
+        # data scan), so this probe is cheap at any scale — and fall back
+        # to the exact per-bucket aggregation on any mismatch. Resume is
+        # unaffected either way (it keys off row presence, not counts);
+        # this keeps the lineage stats exact whenever they are published.
+        observed_total = sum(s["n_turns"] for s in bucket_stats.values())
+        staged_total = spark.read.schema(extracted.schema).parquet(staging).count()
+        if observed_total != staged_total:
+            bucket_stats = exact_bucket_stats()
 
     ckpt.backup_manifest(
         output_path,

@@ -193,7 +193,17 @@ def q_search_index_projection(spark, sf_dir):
         # label array serialized to a flat string so the driver's row
         # canonicalizer (pandas sort + hash) can handle it — the index
         # document itself would carry the array; the join key is the CSV.
-        F.array_join(F.array(F.col("lang"), F.col("source")), ",").alias("labels"),
+        # Inputs are coalesced because Spark's array_join SKIPS null
+        # elements while DuckDB's `||` null-propagates — without the
+        # coalesce on BOTH sides the oracle gate silently depends on the
+        # test data containing no NULL lang/source.
+        F.array_join(
+            F.array(
+                F.coalesce(F.col("lang"), F.lit("")),
+                F.coalesce(F.col("source"), F.lit("")),
+            ),
+            ",",
+        ).alias("labels"),
         F.length("text").alias("text_len"),
     ).orderBy("doc_id")
 
@@ -205,7 +215,7 @@ SELECT doc_id,
          CASE WHEN doc_id % 3 = 1 THEN 'Document ' || doc_id END,
          'doc-' || doc_id || '.pdf') AS title,
        substring(text, 1, 10000) AS content,
-       lang || ',' || source AS labels,
+       coalesce(lang, '') || ',' || coalesce(source, '') AS labels,
        length(text) AS text_len
 FROM documents ORDER BY doc_id
 """
@@ -493,10 +503,15 @@ def q_langs_per_source(spark, sf_dir):
     serialized with array_join so the driver's row canonicalizer can sort
     and hash the column (lists are unhashable in its pandas path)."""
     docs = t(spark, sf_dir, "documents")
+    # lang is coalesced to '' on BOTH sides: collect_set and DuckDB's
+    # string_agg both drop NULL elements, but pinning the behavior with an
+    # explicit sentinel keeps the gate meaningful if either engine's NULL
+    # handling (or the test data) ever changes
+    lang = F.coalesce(F.col("lang"), F.lit(""))
     return (
         docs.groupBy("source")
         .agg(
-            F.array_join(F.sort_array(F.collect_set("lang")), ",").alias("langs"),
+            F.array_join(F.sort_array(F.collect_set(lang)), ",").alias("langs"),
             F.count(F.lit(1)).alias("n_docs"),
         )
         .orderBy("source")
@@ -504,7 +519,8 @@ def q_langs_per_source(spark, sf_dir):
 
 
 ORACLE_LANGS_PER_SOURCE = """
-SELECT source, string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs,
+SELECT source,
+       string_agg(DISTINCT coalesce(lang, ''), ',' ORDER BY coalesce(lang, '')) AS langs,
        count(*) AS n_docs
 FROM documents GROUP BY source ORDER BY source
 """
@@ -596,7 +612,10 @@ def q_image_header_probe(spark, sf_dir):
         be32(w),
         be32(h),
         F.unhex(F.lit("0806000000")),  # bit depth / color / compression...
-        F.encode("text", "utf-8"),  # body stand-in
+        # body stand-in; coalesced because concat null-propagates — a NULL
+        # text would null the whole payload and the parse, while the oracle
+        # computes dimensions arithmetically (non-null) from doc_id
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "utf-8"),
     )
     assets = docs.select(F.col("doc_id").alias("asset_id"), payload.alias("payload"))
     parse32 = lambda pos: F.conv(
@@ -614,7 +633,7 @@ ORACLE_IMAGE_HEADER_PROBE = """
 SELECT doc_id AS asset_id,
        cast(doc_id % 640 + 1 AS int) AS parsed_w,
        cast(doc_id % 480 + 1 AS int) AS parsed_h,
-       8 + 4 + 4 + 4 + 4 + 5 + octet_length(encode(text)) AS n_bytes
+       8 + 4 + 4 + 4 + 4 + 5 + octet_length(encode(coalesce(text, ''))) AS n_bytes
 FROM documents ORDER BY asset_id
 """
 

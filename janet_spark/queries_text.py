@@ -13,6 +13,7 @@ omitted and pytest carries the semantics.
 
 from __future__ import annotations
 
+import logging
 import zlib
 from collections.abc import Iterator
 
@@ -342,22 +343,30 @@ def connected_components(edges: DataFrame, src: str = "d1", dst: str = "d2", max
         .persist()
     )
     labels.count()  # materialize
-    for _ in range(max_iter):
+    n_iters = 0
+    for it in range(max_iter):
         neighbor_min = (
             labels.join(sym, labels.node == sym.a)
             .groupBy(F.col("b").alias("node"))
             .agg(F.min("component").alias("nmin"))
         )
-        new_labels = (
-            labels.join(neighbor_min, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
-                ).alias("component"),
-            )
-            .persist()
+        new_labels = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            F.least(
+                F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+            ).alias("component"),
         )
+        # persist() stops per-iteration RECOMPUTE but the logical plan still
+        # nests one join+agg layer per iteration — at depth ~50 Catalyst
+        # analysis/optimization time grows superlinearly and dwarfs
+        # execution on deep graphs. localCheckpoint(eager) every few
+        # iterations truncates the lineage to a leaf over the materialized
+        # blocks, keeping plan size (and per-iteration planning time) flat
+        # regardless of graph diameter.
+        if (it + 1) % 5 == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.persist()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -366,6 +375,7 @@ def connected_components(edges: DataFrame, src: str = "d1", dst: str = "d2", max
         )
         labels.unpersist()
         labels = new_labels
+        n_iters = it + 1
         if changed == 0:
             break
     else:
@@ -378,17 +388,20 @@ def connected_components(edges: DataFrame, src: str = "d1", dst: str = "d2", max
     # the final labels frame is materialized (the convergence count), so
     # dropping sym's cache is safe — downstream consumers read labels
     sym.unpersist()
+    # convergence behavior must be observable at scale (a 40-iteration run
+    # on a supposedly-shallow dedup graph is a data-quality signal, not
+    # just slowness)
+    logging.getLogger(__name__).info(
+        "connected_components converged in %d iteration(s)", n_iters
+    )
     return labels
 
 
-def q_dedup_clusters(spark, sf_dir):
-    """Near-dup CLUSTERING: exact-Jaccard pairs -> connected components ->
-    (doc_id, cluster_rep, cluster_size, keep). The step after pair mining
-    in a real dedup run: one keeper per cluster (min doc_id), everything
-    else marked for drop. The component computation is iterative
-    min-label propagation (see connected_components); the DuckDB oracle
-    recomputes components independently with a recursive CTE."""
-    pairs = q_ngram_jaccard_pairs(spark, sf_dir).select("d1", "d2")
+def _clusters_from_pairs(pairs: DataFrame) -> DataFrame:
+    """Shared clustering tail: near-dup edge list -> connected components ->
+    (doc_id, cluster_rep, cluster_size, keep) with one keeper per cluster
+    (min doc_id). ONE implementation so the exact and LSH compositions can
+    never drift from the recursive-CTE oracle they share."""
     comps = connected_components(pairs)
     sizes = comps.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
@@ -401,6 +414,29 @@ def q_dedup_clusters(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERING: exact-Jaccard pairs -> connected components ->
+    (doc_id, cluster_rep, cluster_size, keep). The step after pair mining
+    in a real dedup run: one keeper per cluster (min doc_id), everything
+    else marked for drop. The component computation is iterative
+    min-label propagation (see connected_components); the DuckDB oracle
+    recomputes components independently with a recursive CTE."""
+    pairs = q_ngram_jaccard_pairs(spark, sf_dir).select("d1", "d2")
+    return _clusters_from_pairs(pairs)
+
+
+def q_dedup_clusters_lsh(spark, sf_dir):
+    """The SCALE-PATH clustering composition a 100-TB dedup run actually
+    executes: MinHash-LSH pair mining (bucketed, hot-bucket-capped — see
+    q_minhash_lsh_pairs) -> connected components -> one keeper per cluster.
+    Below the hot-bucket cap the LSH pair set equals the exact-Jaccard pair
+    set (recall ~1 - 2e-4 per pair at the 16x4 banding), so the SAME
+    recursive-CTE oracle as q_dedup_clusters verifies this end to end —
+    the quadratic exact miner never runs here."""
+    pairs = q_minhash_lsh_pairs(spark, sf_dir).select("d1", "d2")
+    return _clusters_from_pairs(pairs)
 
 
 def _dedup_clusters_oracle() -> str:
@@ -1128,6 +1164,7 @@ TEXT_QUERIES = {
     "exact_dedup": (q_exact_dedup, ORACLE_EXACT_DEDUP),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, ORACLE_NGRAM_JACCARD_PAIRS),
     "dedup_clusters": (q_dedup_clusters, _dedup_clusters_oracle()),
+    "dedup_clusters_lsh": (q_dedup_clusters_lsh, _dedup_clusters_oracle()),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, ORACLE_NGRAM_JACCARD_PAIRS),
     "simhash": (q_simhash, ORACLE_SIMHASH),
     "ann_cosine_topk": (q_ann_cosine_topk, ORACLE_ANN_COSINE_TOPK),

@@ -273,12 +273,11 @@ def enrich_with_label_stream(
     is therefore proportional to the skew window's row rate, independent
     of total stream length — the same bounded-state principle as the
     assembler's cap above."""
-    turns = (
-        spark.readStream.schema(TRANSCRIPT_DDL)
-        .option("maxFilesPerTrigger", 64)
-        .parquet(turns_dir)
-        .withWatermark("ts", max_skew)
-    )
+    # the turns side reuses read_transcript_stream's widest-read + cast-down
+    # contract — pinning the narrow int schema here would hard-fail on a
+    # producer that wrote turn_idx as int64, which the assembler path above
+    # deliberately tolerates (the two readers must never diverge)
+    turns = read_transcript_stream(spark, turns_dir).withWatermark("ts", max_skew)
     labels = (
         spark.readStream.schema("conv_id string, label string, lts timestamp")
         .option("maxFilesPerTrigger", 64)
