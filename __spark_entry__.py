@@ -27,7 +27,9 @@ _PRIORITY = [
     # new in round 3
     "ranked_search",
     "fuzzy_search",
+    "typo_ranked_search",
     "token_counts_bpe",
+    "token_counts_bpe_jvm",
     "dedup_clusters_lsh",
     # unrecorded by the round-2 driver run (all 18 judge-verified in r2)
     "match_navigation",

@@ -38,6 +38,7 @@ def main() -> None:
     from janet_spark.queries_relational import RELATIONAL_QUERIES
     from janet_spark.queries_text import TEXT_QUERIES
     from janet_spark.reassemble import reassemble_conversations
+    from janet_spark.search import SEARCH_QUERIES
     from janet_spark.session import build_session
 
     spark = build_session(
@@ -80,7 +81,12 @@ def main() -> None:
     )
     n_turns = transcripts.count()
 
-    registry = {**RELATIONAL_QUERIES, **TEXT_QUERIES, **EXTRA_QUERIES}
+    registry = {
+        **RELATIONAL_QUERIES,
+        **TEXT_QUERIES,
+        **EXTRA_QUERIES,
+        **SEARCH_QUERIES,
+    }
     headline = [
         "manifest_upsert",
         "match_offsets_sql",
@@ -106,6 +112,12 @@ def main() -> None:
     # round-2+ operators, timed the same way but totaled separately so the
     # headline `value` stays comparable with earlier rounds' 17-query suite
     extended = [
+        "ranked_search",
+        "fuzzy_search",
+        "typo_ranked_search",
+        "token_counts_bpe",
+        "token_counts_bpe_jvm",
+        "dedup_clusters_lsh",
         "asof_join",
         "range_join_banded",
         "pii_scrub",

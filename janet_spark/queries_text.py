@@ -189,6 +189,77 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_token_counts_bpe(spark, sf_dir):
+    """Real subword token counting: the frozen-merges BPE tokenizer
+    (janet_spark/extract/bpe.py) over every word of every document,
+    vectorized in an Arrow batch with an lru_cache over the word
+    vocabulary (corpus words repeat massively, so the cache turns the
+    merge chain into a dict lookup per word). The DuckDB oracle recomputes
+    every count through the rendered 48-replace chain — only the merges
+    TABLE is shared, never a precomputed count."""
+    from janet_spark.extract.bpe import count_text
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            counts = [count_text(x or "") for x in pdf["text"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "bpe_tokens": [c[0] for c in counts],
+                    "n_words": [c[1] for c in counts],
+                }
+            )
+
+    return docs.mapInPandas(
+        run, schema="doc_id long, bpe_tokens long, n_words long"
+    ).orderBy("doc_id")
+
+
+def q_token_counts_bpe_jvm(spark, sf_dir):
+    """The SAME tokenizer rendered as one pure Spark-SQL expression
+    (transform + the 48-replace chain per word + aggregate-sum — JVM
+    whole-stage codegen, zero Python), against the same DuckDB oracle.
+    The JVM/Arrow A/B twin of clean_canonicalize vs clean_canonicalize_jvm."""
+    from janet_spark.extract.bpe import TOKEN_SPLIT, spark_word_token_count_sql
+
+    docs = t(spark, sf_dir, "documents")
+    words = f"filter(split(lower(coalesce(text, '')), '{TOKEN_SPLIT}'), x -> x != '')"
+    chain = spark_word_token_count_sql("w")
+    return docs.select(
+        "doc_id",
+        F.expr(
+            f"aggregate(transform({words}, w -> {chain}), 0L, (acc, x) -> acc + x)"
+        ).alias("bpe_tokens"),
+        F.expr(f"cast(size({words}) AS long)").alias("n_words"),
+    ).orderBy("doc_id")
+
+
+def _token_counts_bpe_oracle() -> str:
+    from janet_spark.extract.bpe import TOKEN_SPLIT, duckdb_word_token_count_sql
+
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                '{TOKEN_SPLIT}'), x -> x != '')) AS word
+  FROM documents
+), tc AS (
+  SELECT doc_id,
+         cast(sum({duckdb_word_token_count_sql('word')}) AS bigint) AS bpe_tokens,
+         cast(count(*) AS bigint) AS n_words
+  FROM w GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(tc.bpe_tokens, 0) AS bpe_tokens,
+       coalesce(tc.n_words, 0) AS n_words
+FROM documents d LEFT JOIN tc USING (doc_id) ORDER BY doc_id
+"""
+
+
+ORACLE_TOKEN_COUNTS_BPE = _token_counts_bpe_oracle()
+
+
 def q_quality_scores(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
@@ -328,12 +399,23 @@ def connected_components(edges: DataFrame, src: str = "d1", dst: str = "d2", max
     labels; intermediate frames persist so each iteration reuses the last
     instead of recomputing the lineage from scratch (and are unpersisted
     as soon as superseded — the loop holds at most two label tables)."""
+    # lineage CUT at the loop entrance, not merely persisted: the upstream
+    # pair-mining DAG (for the LSH composition: signatures, bucket census,
+    # candidate join, verify) would otherwise ride along INSIDE every
+    # iteration's logical plan — persist() substitutes an InMemoryRelation
+    # but that relation still carries its full cached plan, and because
+    # each iteration references the previous frame twice the carried tree
+    # compounds until Catalyst analysis time (measured: 4s -> 15s per
+    # 47-row iteration at sf0.01) dwarfs execution. localCheckpoint
+    # truncates to a LogicalRDD leaf: materialized exactly once, and every
+    # loop plan starts from a leaf.
+    edges = edges.localCheckpoint(eager=True)
     sym = (
         edges.selectExpr(f"{src} AS a", f"{dst} AS b")
         .unionByName(edges.selectExpr(f"{dst} AS a", f"{src} AS b"))
         # persisted: every iteration joins against sym; without this each
-        # round would recompute the full upstream edge-mining lineage
-        # (for dedup_clusters that is the whole Jaccard pair query)
+        # round would recompute the edge scan (cheap over the checkpoint
+        # leaf, but the loop reads it every iteration)
         .persist()
     )
     labels = (
@@ -345,25 +427,27 @@ def connected_components(edges: DataFrame, src: str = "d1", dst: str = "d2", max
     labels.count()  # materialize
     n_iters = 0
     for it in range(max_iter):
-        neighbor_min = (
+        # new label per node = min(own label, labels of all neighbors):
+        # ONE equi-join + union + min-agg — one fewer shuffle per iteration
+        # than the join/agg/left-join formulation, and `labels` enters the
+        # plan twice (join side + union side) instead of three times, which
+        # halves the per-iteration logical-plan fan-out below
+        candidates = (
             labels.join(sym, labels.node == sym.a)
-            .groupBy(F.col("b").alias("node"))
-            .agg(F.min("component").alias("nmin"))
+            .select(F.col("b").alias("node"), "component")
+            .unionByName(labels.select("node", "component"))
         )
-        new_labels = labels.join(neighbor_min, "node", "left").select(
-            "node",
-            F.least(
-                F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
-            ).alias("component"),
+        new_labels = candidates.groupBy("node").agg(
+            F.min("component").alias("component")
         )
-        # persist() stops per-iteration RECOMPUTE but the logical plan still
-        # nests one join+agg layer per iteration — at depth ~50 Catalyst
-        # analysis/optimization time grows superlinearly and dwarfs
-        # execution on deep graphs. localCheckpoint(eager) every few
-        # iterations truncates the lineage to a leaf over the materialized
-        # blocks, keeping plan size (and per-iteration planning time) flat
+        # persist() stops per-iteration RECOMPUTE but the LOGICAL plan still
+        # nests: each iteration references the previous labels frame twice,
+        # so the printed/analyzed tree doubles per iteration — at depth ~50
+        # Catalyst analysis time dwarfs execution. localCheckpoint(eager)
+        # every 3 iterations truncates the lineage to a LogicalRDD leaf
+        # over the materialized blocks, capping the tree at 2^3 references
         # regardless of graph diameter.
-        if (it + 1) % 5 == 0:
+        if (it + 1) % 3 == 0:
             new_labels = new_labels.localCheckpoint(eager=True)
         else:
             new_labels = new_labels.persist()
@@ -386,8 +470,8 @@ def connected_components(edges: DataFrame, src: str = "d1", dst: str = "d2", max
             "max_iter for unusually deep near-dup chains"
         )
     # the final labels frame is materialized (the convergence count), so
-    # dropping sym's cache is safe — downstream consumers read labels
-    sym.unpersist()
+    # dropping the edge caches is safe — downstream consumers read labels
+    sym.unpersist()  # the edges checkpoint blocks free when the RDD is GC'd
     # convergence behavior must be observable at scale (a 40-iteration run
     # on a supposedly-shallow dedup graph is a data-quality signal, not
     # just slowness)
@@ -1160,6 +1244,8 @@ TEXT_QUERIES = {
     "clean_canonicalize_jvm": (q_clean_canonicalize_jvm, ORACLE_CLEAN_CANONICALIZE),
     "html_strip": (q_html_strip, ORACLE_HTML_STRIP),
     "token_counts": (q_token_counts, ORACLE_TOKEN_COUNTS),
+    "token_counts_bpe": (q_token_counts_bpe, ORACLE_TOKEN_COUNTS_BPE),
+    "token_counts_bpe_jvm": (q_token_counts_bpe_jvm, ORACLE_TOKEN_COUNTS_BPE),
     "quality_scores": (q_quality_scores, ORACLE_QUALITY_SCORES),
     "exact_dedup": (q_exact_dedup, ORACLE_EXACT_DEDUP),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, ORACLE_NGRAM_JACCARD_PAIRS),

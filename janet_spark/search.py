@@ -302,7 +302,183 @@ ORDER BY term, rank
 """
 
 
+# ---------------------------------------------------------------------------
+# the full Meili parity composition: typo-tolerant RANKED search
+# ---------------------------------------------------------------------------
+
+# query texts carry single-edit typos; the tenant filters are the same
+# conjunctive pair as _SEARCH_QUERIES
+_TYPO_QUERIES = [
+    (1, "merje sort algorithm", "src7", "en"),
+    (2, "spak data pipeline", "src18", "en"),
+    (3, "the tabble scan quary", "src6", "en"),
+]
+
+_TYPO_DAMP = 0.5  # score multiplier per edit: exact-before-typo ranking
+
+
+def q_typo_ranked_search(spark, sf_dir):
+    """What the reference's search route actually serves in one call:
+    typo-tolerant, ranked, tenant-filtered top-10. Composition of the two
+    operators above: each query term expands symspell-style to vocabulary
+    words within edit distance 1 (deletion-key equi-join + Levenshtein
+    verify — never a cross join against the vocabulary), each matched word
+    scores BM25 damped by 0.5^distance (Meili's exact-before-typo rule),
+    and per (query, matched word) the BEST expansion wins (min distance).
+    The oracle recomputes the expansion by brute-force Levenshtein and the
+    scores in closed form, so both the neighborhood completeness and the
+    damped scoring are value-checked."""
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", "lang", F.explode(_tokens(F.col("text"))).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "source", "lang", "tok").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = docs.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+        dl.agg(F.avg("dl").alias("avgdl"))
+    )
+    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+
+    queries = spark.createDataFrame(
+        _TYPO_QUERIES, "q_id int, q_text string, f_source string, f_lang string"
+    )
+    terms = queries.select(
+        "q_id",
+        "f_source",
+        "f_lang",
+        F.explode(F.array_distinct(_tokens(F.col("q_text")))).alias("term"),
+    )
+    term_keys = terms.select(
+        "q_id",
+        "f_source",
+        "f_lang",
+        "term",
+        F.explode(F.expr(_DELETES_EXPR.format(w="term"))).alias("key"),
+    )
+    vocab_keys = df_t.select(
+        "tok", "df", F.explode(F.expr(_DELETES_EXPR.format(w="tok"))).alias("key")
+    )
+    expanded = (
+        vocab_keys.join(F.broadcast(term_keys), "key")
+        .select("q_id", "f_source", "f_lang", "term", "tok", "df")
+        .distinct()
+        .withColumn("dist", F.levenshtein("term", "tok"))
+        .filter(F.col("dist") <= 1)
+        # best expansion per (query, matched word): min distance across the
+        # query's terms — an exact hit must not also score as someone
+        # else's typo
+        .groupBy("q_id", "f_source", "f_lang", "tok")
+        .agg(F.min("dist").alias("dist"), F.first("df").alias("df"))
+    )
+    term_idf = expanded.crossJoin(F.broadcast(stats)).select(
+        "q_id",
+        "f_source",
+        "f_lang",
+        "tok",
+        (
+            F.pow(F.lit(_TYPO_DAMP), F.col("dist"))
+            * F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            )
+        ).alias("idf"),
+        "avgdl",
+    )
+    matched = tf.join(
+        F.broadcast(term_idf),
+        (tf.tok == term_idf.tok)
+        & (tf.source == term_idf.f_source)
+        & (tf.lang == term_idf.f_lang),
+    ).select("q_id", "doc_id", "tf", "idf", "avgdl")
+    contrib = matched.join(dl, "doc_id").withColumn(
+        "contrib",
+        F.col("idf")
+        * F.col("tf")
+        * (_BM25_K1 + 1)
+        / (
+            F.col("tf")
+            + _BM25_K1 * ((1 - _BM25_B) + _BM25_B * F.col("dl") / F.col("avgdl"))
+        ),
+    )
+    scored = contrib.groupBy("q_id", "doc_id").agg(
+        F.round(F.sum("contrib"), 4).alias("score")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("q_id", "rank", "doc_id", "score")
+        .orderBy("q_id", "rank")
+    )
+
+
+def _typo_queries_values_sql() -> str:
+    rows = ", ".join(
+        f"({q}, '{text}', '{src}', '{lang}')"
+        for q, text, src, lang in _TYPO_QUERIES
+    )
+    return f"queries(q_id, q_text, f_source, f_lang) AS (VALUES {rows})"
+
+
+ORACLE_TYPO_RANKED_SEARCH = f"""
+WITH {_typo_queries_values_sql()},
+toks AS (
+  SELECT doc_id, source, lang,
+         unnest({_DUCK_TOKENS.format(col='text')}) AS tok
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, source, lang, tok, count(*) AS tf FROM toks GROUP BY ALL
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT avg(dl) FROM dl) AS avgdl
+),
+dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+terms AS (
+  SELECT DISTINCT q_id, f_source, f_lang,
+         unnest({_DUCK_TOKENS.format(col='q_text')}) AS term
+  FROM queries
+),
+expanded AS (
+  SELECT t.q_id, t.f_source, t.f_lang, v.tok,
+         min(levenshtein(t.term, v.tok)) AS dist, first(v.df) AS df
+  FROM terms t CROSS JOIN dft v
+  WHERE levenshtein(t.term, v.tok) <= 1
+  GROUP BY 1, 2, 3, 4
+),
+term_idf AS (
+  SELECT e.q_id, e.f_source, e.f_lang, e.tok,
+         pow({_TYPO_DAMP}, e.dist)
+           * ln(1 + (s.n_docs - e.df + 0.5) / (e.df + 0.5)) AS idf,
+         s.avgdl
+  FROM expanded e CROSS JOIN stats s
+),
+contrib AS (
+  SELECT ti.q_id, f.doc_id,
+         ti.idf * f.tf * ({_BM25_K1} + 1)
+           / (f.tf + {_BM25_K1} * ((1 - {_BM25_B}) + {_BM25_B} * l.dl / ti.avgdl))
+           AS c
+  FROM term_idf ti
+  JOIN tf f ON f.tok = ti.tok AND f.source = ti.f_source AND f.lang = ti.f_lang
+  JOIN dl l ON l.doc_id = f.doc_id
+),
+scored AS (
+  SELECT q_id, doc_id, round(sum(c), 4) AS score FROM contrib GROUP BY 1, 2
+)
+SELECT q_id, cast(row_number() OVER w AS int) AS rank, doc_id, score
+FROM scored
+WINDOW w AS (PARTITION BY q_id ORDER BY score DESC, doc_id ASC)
+QUALIFY row_number() OVER w <= {_TOP_K}
+ORDER BY q_id, rank
+"""
+
+
 SEARCH_QUERIES = {
     "ranked_search": (q_ranked_search, ORACLE_RANKED_SEARCH),
     "fuzzy_search": (q_fuzzy_search, ORACLE_FUZZY_SEARCH),
+    "typo_ranked_search": (q_typo_ranked_search, ORACLE_TYPO_RANKED_SEARCH),
 }

@@ -1,0 +1,233 @@
+"""Round-3 operator tests: BM25 ranked search, symspell fuzzy search, BPE
+token counting, connected-components lineage truncation, and the ADVICE
+fixes (whole-words span trim on passthrough patterns, NULL-semantics
+pinning with actual NULL rows)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_goldens():
+    from janet_spark.extract.bpe import bpe_tokens, count_text
+
+    # pinned against the frozen merges table: trained words merge into
+    # few subwords, unseen words fall back toward characters
+    assert bpe_tokens("batch") == ("batch",)
+    assert bpe_tokens("customer") == ("customer",)
+    assert bpe_tokens("data") == ("d", "at", "a")
+    # word never seen in training: still tokenizes (char fallback + any
+    # applicable merges), never raises
+    toks = bpe_tokens("zzqx")
+    assert "".join(toks) == "zzqx"
+    # counts are a pure function of the word multiset
+    n_tok, n_words = count_text("batch customer batch")
+    assert n_words == 3
+    assert n_tok == 3
+    assert count_text("") == (0, 0)
+    # mixed separators collapse under the shared token split
+    assert count_text("batch,customer;batch")[1] == 3
+
+
+def test_bpe_single_pass_replace_semantics():
+    """The defined apply semantics are ONE left-to-right replace per merge
+    (both Python str.replace and SQL replace()); the overlap quirk on
+    repeated pairs is deliberate, deterministic, and identical in both
+    engines — pinned here so nobody 'fixes' one side only."""
+    from janet_spark.extract.bpe_merges import MERGES
+
+    s = " a a a a "
+    a, b = "a", "a"
+    out = s.replace(f" {a} {b} ", f" {a+b} ")
+    # single pass: the shared separator space is consumed by the first
+    # match, so the second pair survives as singles
+    assert out == " aa a a "
+    # the frozen table must not contain duplicate merges (each pair's
+    # single pass runs exactly once)
+    assert len(MERGES) == len(set(MERGES))
+
+
+def test_bpe_jvm_matches_python(spark):
+    from janet_spark.queries_text import q_token_counts_bpe, q_token_counts_bpe_jvm
+
+    py = {r["doc_id"]: (r["bpe_tokens"], r["n_words"])
+          for r in q_token_counts_bpe(spark, SF).collect()}
+    jvm = {r["doc_id"]: (r["bpe_tokens"], r["n_words"])
+           for r in q_token_counts_bpe_jvm(spark, SF).collect()}
+    assert py == jvm and len(py) > 0
+
+
+# ---------------------------------------------------------------------------
+# ranked + fuzzy search
+# ---------------------------------------------------------------------------
+
+
+def test_ranked_search_scores_and_filters(spark):
+    from janet_spark.queries_relational import t
+    from janet_spark.search import _SEARCH_QUERIES, q_ranked_search
+
+    rows = q_ranked_search(spark, SF).collect()
+    assert rows, "ranked search returned no hits"
+    filters = {q: (src, lang) for q, _, src, lang in _SEARCH_QUERIES}
+    docs = {
+        r["doc_id"]: (r["source"], r["lang"])
+        for r in t(spark, SF, "documents").select("doc_id", "source", "lang").collect()
+    }
+    by_q: dict[int, list] = {}
+    for r in rows:
+        assert r["score"] > 0
+        # conjunctive tenant filter: every hit satisfies BOTH clauses
+        assert docs[r["doc_id"]] == filters[r["q_id"]]
+        by_q.setdefault(r["q_id"], []).append(r)
+    for hits in by_q.values():
+        assert len(hits) <= 10
+        ranks = [h["rank"] for h in hits]
+        assert ranks == list(range(1, len(hits) + 1))
+        scores = [h["score"] for h in hits]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_fuzzy_search_finds_each_edit_class(spark):
+    from janet_spark.search import q_fuzzy_search
+
+    rows = q_fuzzy_search(spark, SF).collect()
+    top = {r["term"]: r for r in rows if r["rank"] == 1}
+    # substitution, deletion, insertion, exact
+    assert top["merje"]["match_word"] == "merge" and top["merje"]["dist"] == 1
+    assert top["spak"]["match_word"] == "spark" and top["spak"]["dist"] == 1
+    assert top["tabble"]["match_word"] == "table" and top["tabble"]["dist"] == 1
+    assert top["window"]["match_word"] == "window" and top["window"]["dist"] == 0
+    assert top["quary"]["match_word"] == "query" and top["quary"]["dist"] == 1
+
+
+def test_typo_ranked_search_exact_before_typo(spark):
+    """The damped composition: a typo'd query still ranks documents, and
+    an exact term's contribution is NOT damped (dist 0 -> damp^0 = 1)."""
+    from janet_spark.search import _TYPO_QUERIES, q_typo_ranked_search
+
+    rows = q_typo_ranked_search(spark, SF).collect()
+    by_q = {}
+    for r in rows:
+        assert r["score"] > 0
+        by_q.setdefault(r["q_id"], []).append(r)
+    # every query (all of which carry at least one typo) produced hits
+    assert set(by_q) == {q for q, *_ in _TYPO_QUERIES}
+    for hits in by_q.values():
+        assert [h["rank"] for h in hits] == list(range(1, len(hits) + 1))
+
+
+def test_fuzzy_neighborhood_no_distance2_leak(spark):
+    """Deletion keys overgenerate ('ab'/'ba' share key 'a'); the verify
+    stage must drop every candidate beyond distance 1."""
+    from janet_spark.search import q_fuzzy_search
+
+    assert all(r["dist"] <= 1 for r in q_fuzzy_search(spark, SF).collect())
+
+
+# ---------------------------------------------------------------------------
+# connected components: lineage truncation
+# ---------------------------------------------------------------------------
+
+
+def test_connected_components_deep_path_bounded_plan(spark):
+    from janet_spark.queries_text import connected_components
+
+    # path graph 0-1-2-...-21: min-label needs ~21 iterations to reach the
+    # far end — deep enough that un-truncated lineage would nest 21 layers
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(21)], "d1 long, d2 long"
+    )
+    labels = connected_components(edges, max_iter=50)
+    rows = labels.collect()
+    assert {r["node"] for r in rows} == set(range(22))
+    assert {r["component"] for r in rows} == {0}
+    # localCheckpoint every 3 iterations truncates the logical plan to a
+    # LogicalRDD leaf: the final plan's join count is bounded by the
+    # checkpoint-interval constant (labels enters each iteration's plan
+    # twice -> at most 2^2 join nodes above the last checkpoint leaf),
+    # NOT by graph diameter (untruncated, this 22-iteration run nests
+    # thousands of textual join nodes)
+    plan = labels._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Join") <= 8, f"plan kept {plan.count('Join')} join layers"
+
+
+# ---------------------------------------------------------------------------
+# ADVICE fixes
+# ---------------------------------------------------------------------------
+
+
+def test_passthrough_pattern_whole_words_spans_not_corrupted():
+    """A compiled-pattern passthrough was never space-padded, so the
+    whole-words trim must not corrupt its spans (pre-fix: a match at 0
+    yielded (1, end-1), and a zero-width match yielded (1, -1))."""
+    from janet_spark.extract.spans import find_matches, normalize_single_keyword
+
+    nk = normalize_single_keyword(re.compile("so"), whole_words=True)
+    assert find_matches("sort merge sort", nk.pattern, nk.whole_words) == [
+        (0, 0, 2),
+        (1, 11, 13),
+    ]
+    # zero-width passthrough with whole_words: spans clamp to empty, never
+    # negative, and the scan still terminates
+    zk = normalize_single_keyword(re.compile("x*"), whole_words=True)
+    spans = find_matches("ab", zk.pattern, zk.whole_words)
+    assert all(s <= e for _, s, e in spans)
+    # the padded-string path is unchanged: both boundary chars ARE spaces
+    nk2 = normalize_single_keyword("merge", whole_words=True)
+    assert find_matches("big merge now", nk2.pattern, nk2.whole_words) == [(0, 4, 9)]
+
+
+def test_null_rows_pin_null_semantics(spark, tmp_path):
+    """Run the three NULL-sensitive queries over a fixture WITH NULL
+    text/lang/source rows and compare against DuckDB directly — the gate
+    the advisor noted was masked by all-non-NULL test data."""
+    import duckdb
+    import pandas as pd
+
+    from janet_spark.queries_extra import (
+        ORACLE_IMAGE_HEADER_PROBE,
+        ORACLE_LANGS_PER_SOURCE,
+        ORACLE_SEARCH_INDEX_PROJECTION,
+        q_image_header_probe,
+        q_langs_per_source,
+        q_search_index_projection,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": ["alpha beta", None, "gamma", None],
+            "lang": ["en", None, "de", None],
+            "source": ["s1", "s1", None, None],
+            "n_chars": [10, 0, 5, 0],
+        }
+    )
+    sf = str(tmp_path)
+    spark.createDataFrame(pdf).repartition(2).write.parquet(f"{sf}/documents.parquet")
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'"
+    )
+    for q_fn, oracle in [
+        (q_search_index_projection, ORACLE_SEARCH_INDEX_PROJECTION),
+        (q_langs_per_source, ORACLE_LANGS_PER_SOURCE),
+        (q_image_header_probe, ORACLE_IMAGE_HEADER_PROBE),
+    ]:
+        got = q_fn(spark, sf).toPandas()
+        want = con.sql(oracle).df()
+        cols = sorted(got.columns)
+        assert cols == sorted(want.columns)
+        g = got[cols].astype(str).sort_values(cols).reset_index(drop=True)
+        w = want[cols].astype(str).sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(g, w)
