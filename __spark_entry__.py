@@ -28,6 +28,7 @@ _PRIORITY = [
     "ranked_search",
     "fuzzy_search",
     "typo_ranked_search",
+    "top_terms_per_doc",
     "token_counts_bpe",
     "token_counts_bpe_jvm",
     "dedup_clusters_lsh",

@@ -115,6 +115,7 @@ def main() -> None:
         "ranked_search",
         "fuzzy_search",
         "typo_ranked_search",
+        "top_terms_per_doc",
         "token_counts_bpe",
         "token_counts_bpe_jvm",
         "dedup_clusters_lsh",

@@ -69,6 +69,31 @@ def _queries_df(spark: SparkSession) -> DataFrame:
     )
 
 
+def _index_relations(docs: DataFrame):
+    """The three shared index relations every search-family operator is
+    built from — postings tf(doc, term, tf), doc lengths dl(doc, dl), and
+    doc frequency df(term, df) — plus corpus stats. In a production index
+    build these materialize ONCE as bucketed tables (DEPLOYMENT.md); here
+    the postings frame persists because three consumers (dl, df, the
+    scoring join) would otherwise each re-run the corpus explode+groupBy.
+    dl is derived from the postings (sum of per-term counts == token
+    count), not from a second pass over the exploded tokens."""
+    toks = docs.select(
+        "doc_id", "source", "lang", F.explode(_tokens(F.col("text"))).alias("tok")
+    )
+    # source/lang ride along (functionally dependent on doc_id) so the
+    # tenant filter needs no extra join against the docs table
+    tf = toks.groupBy("doc_id", "source", "lang", "tok").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).persist()
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = docs.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+        dl.agg(F.avg("dl").alias("avgdl"))
+    )
+    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    return tf, dl, stats, df_t
+
+
 def q_ranked_search(spark, sf_dir):
     """BM25 top-10 per query (k1=1.2, b=0.75), idf = ln(1 + (N-df+.5)/(df+.5)).
 
@@ -77,20 +102,7 @@ def q_ranked_search(spark, sf_dir):
     is shared; ``filter`` narrows hits, not statistics). Ties break on
     (rounded score DESC, doc_id ASC) so the ordering is engine-portable."""
     docs = t(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", "source", "lang", F.explode(_tokens(F.col("text"))).alias("tok")
-    )
-    # postings: term frequency per (doc, token). source/lang ride along
-    # (functionally dependent on doc_id) so the tenant filter needs no
-    # extra join against the docs table.
-    tf = toks.groupBy("doc_id", "source", "lang", "tok").agg(
-        F.count(F.lit(1)).alias("tf")
-    )
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = docs.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
-        dl.agg(F.avg("dl").alias("avgdl"))
-    )
-    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    tf, dl, stats, df_t = _index_relations(docs)
 
     terms = _queries_df(spark).select(
         "q_id",
@@ -329,17 +341,7 @@ def q_typo_ranked_search(spark, sf_dir):
     scores in closed form, so both the neighborhood completeness and the
     damped scoring are value-checked."""
     docs = t(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", "source", "lang", F.explode(_tokens(F.col("text"))).alias("tok")
-    )
-    tf = toks.groupBy("doc_id", "source", "lang", "tok").agg(
-        F.count(F.lit(1)).alias("tf")
-    )
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = docs.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
-        dl.agg(F.avg("dl").alias("avgdl"))
-    )
-    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    tf, dl, stats, df_t = _index_relations(docs)
 
     queries = spark.createDataFrame(
         _TYPO_QUERIES, "q_id int, q_text string, f_source string, f_lang string"
@@ -477,8 +479,73 @@ ORDER BY q_id, rank
 """
 
 
+# ---------------------------------------------------------------------------
+# per-document keywords: top-5 terms by tf-idf
+# ---------------------------------------------------------------------------
+
+
+def q_top_terms_per_doc(spark, sf_dir):
+    """Index-building companion to ranked_search: the 5 most
+    characteristic terms per document by tf-idf (smoothed idf =
+    ln(N / (1 + df)), tf normalized by doc length), deterministic
+    tie-break (weight DESC, term ASC). Bounded output: doc_id < 50. Same
+    postings/df/stats building blocks as BM25 — in a real index build all
+    three materialize once and serve every search-family operator."""
+    docs = t(spark, sf_dir, "documents")
+    tf, dl, _stats, df_t = _index_relations(docs)
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    weighted = (
+        tf.filter(F.col("doc_id") < 50)
+        .join(dl, "doc_id")
+        .join(df_t, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "weight",
+            F.round(
+                (F.col("tf") / F.col("dl"))
+                * F.log(F.col("n_docs") / (F.lit(1.0) + F.col("df"))),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("weight"), F.asc("tok"))
+    return (
+        weighted.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("doc_id", "rank", F.col("tok").alias("term"), "weight")
+        .orderBy("doc_id", "rank")
+    )
+
+
+ORACLE_TOP_TERMS_PER_DOC = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_DUCK_TOKENS.format(col='text')}) AS tok FROM documents
+),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+weighted AS (
+  SELECT f.doc_id, f.tok,
+         round((f.tf / CAST(l.dl AS DOUBLE))
+               * ln(n.n_docs / (1.0 + d.df)), 6) AS weight
+  FROM tf f
+  JOIN dl l ON l.doc_id = f.doc_id
+  JOIN dft d ON d.tok = f.tok
+  CROSS JOIN n
+  WHERE f.doc_id < 50
+)
+SELECT doc_id, cast(row_number() OVER w AS int) AS rank, tok AS term, weight
+FROM weighted
+WINDOW w AS (PARTITION BY doc_id ORDER BY weight DESC, tok ASC)
+QUALIFY row_number() OVER w <= 5
+ORDER BY doc_id, rank
+"""
+
+
 SEARCH_QUERIES = {
     "ranked_search": (q_ranked_search, ORACLE_RANKED_SEARCH),
     "fuzzy_search": (q_fuzzy_search, ORACLE_FUZZY_SEARCH),
     "typo_ranked_search": (q_typo_ranked_search, ORACLE_TYPO_RANKED_SEARCH),
+    "top_terms_per_doc": (q_top_terms_per_doc, ORACLE_TOP_TERMS_PER_DOC),
 }

@@ -58,6 +58,33 @@ def test_scan_pruning_projection_reaches_parquet(spark):
     assert sorted(cols) == ["l_orderkey", "l_quantity"], plan
 
 
+def test_ranked_search_broadcast_scoring_topk(spark):
+    """BM25 plan shape: per-term idf and the query terms broadcast into the
+    postings join (map-side scoring — the corpus-sized tables never shuffle
+    for the term match), no Python stage anywhere, and the per-query top-10
+    window prunes partial results via WindowGroupLimit."""
+    from janet_spark.search import SEARCH_QUERIES
+
+    fn, _ = SEARCH_QUERIES["ranked_search"]
+    plan = _plan(fn(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_fuzzy_search_no_cartesian_against_vocab(spark):
+    """SymSpell candidate generation must stay an equi-join on deletion
+    keys: a literal distance join would plan a nested-loop/cartesian
+    product against the vocabulary."""
+    from janet_spark.search import SEARCH_QUERIES
+
+    fn, _ = SEARCH_QUERIES["fuzzy_search"]
+    plan = _plan(fn(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
 def test_extraction_is_narrow_no_pre_shuffle(spark):
     """The flagship plan property: extraction maps directly over the scan,
     so the section from parquet scan to the Python stage contains NO

@@ -126,6 +126,21 @@ def test_typo_ranked_search_exact_before_typo(spark):
         assert [h["rank"] for h in hits] == list(range(1, len(hits) + 1))
 
 
+def test_top_terms_per_doc_ranks_and_weights(spark):
+    from janet_spark.search import q_top_terms_per_doc
+
+    rows = q_top_terms_per_doc(spark, SF).collect()
+    assert rows
+    by_doc = {}
+    for r in rows:
+        assert r["doc_id"] < 50
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for hits in by_doc.values():
+        assert [h["rank"] for h in hits] == list(range(1, len(hits) + 1))
+        weights = [h["weight"] for h in hits]
+        assert weights == sorted(weights, reverse=True)
+
+
 def test_fuzzy_neighborhood_no_distance2_leak(spark):
     """Deletion keys overgenerate ('ab'/'ba' share key 'a'); the verify
     stage must drop every candidate beyond distance 1."""
