@@ -29,6 +29,8 @@ _PRIORITY = [
     "fuzzy_search",
     "typo_ranked_search",
     "top_terms_per_doc",
+    "search_with_snippets",
+    "index_incremental_merge",
     "token_counts_bpe",
     "token_counts_bpe_jvm",
     "dedup_clusters_lsh",

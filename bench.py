@@ -116,6 +116,8 @@ def main() -> None:
         "fuzzy_search",
         "typo_ranked_search",
         "top_terms_per_doc",
+        "search_with_snippets",
+        "index_incremental_merge",
         "token_counts_bpe",
         "token_counts_bpe_jvm",
         "dedup_clusters_lsh",

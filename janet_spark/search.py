@@ -543,9 +543,136 @@ ORDER BY doc_id, rank
 """
 
 
+# ---------------------------------------------------------------------------
+# result snippets: what the reference viewer renders around a hit
+# ---------------------------------------------------------------------------
+
+_SNIPPET_BEFORE = 20
+_SNIPPET_LEN = 60
+
+
+def q_search_with_snippets(spark, sf_dir):
+    """Serving composition: BM25 top-10 hits joined back to their source
+    text, each with the earliest query-term occurrence (char offset, the
+    T3/W2 span machinery's output) and a fixed-window snippet around it —
+    the row the reference viewer renders (hit + highlight position +
+    context). The per-hit work joins only the top-k survivors (q x 10
+    rows) against the docs table, so text is fetched for hits alone —
+    never materialized corpus-wide."""
+    hits = q_ranked_search(spark, sf_dir)
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", F.lower(F.coalesce(F.col("text"), F.lit(""))).alias("lt")
+    )
+    terms = _queries_df(spark).select(
+        "q_id", F.explode(F.array_distinct(_tokens(F.col("q_text")))).alias("term")
+    )
+    with_text = hits.join(docs, "doc_id")
+    occ = (
+        with_text.join(F.broadcast(terms), "q_id")
+        # instr via expr: both args are columns (F.locate takes only a
+        # literal needle); Spark instr and DuckDB strpos agree on 1-based
+        # positions with 0 = not found
+        .withColumn("pos", F.expr("instr(lt, term)"))
+        .filter(F.col("pos") > 0)
+        .groupBy("q_id", "rank", "doc_id", "score", "lt")
+        .agg(F.min("pos").alias("first_pos"))
+    )
+    return occ.select(
+        "q_id",
+        "rank",
+        "doc_id",
+        "score",
+        "first_pos",
+        F.substring(
+            F.col("lt"),
+            F.greatest(F.col("first_pos") - _SNIPPET_BEFORE, F.lit(1)),
+            _SNIPPET_LEN,
+        ).alias("snippet"),
+    ).orderBy("q_id", "rank")
+
+
+ORACLE_SEARCH_WITH_SNIPPETS = f"""
+WITH {_queries_values_sql()},
+hits AS ({ORACLE_RANKED_SEARCH.replace("ORDER BY q_id, rank", "")}),
+terms AS (
+  SELECT DISTINCT q_id, unnest({_DUCK_TOKENS.format(col='q_text')}) AS term
+  FROM queries
+),
+occ AS (
+  SELECT h.q_id, h.rank, h.doc_id, h.score,
+         lower(coalesce(d.text, '')) AS lt,
+         min(strpos(lower(coalesce(d.text, '')), t.term)) AS first_pos
+  FROM hits h
+  JOIN documents d ON d.doc_id = h.doc_id
+  JOIN terms t ON t.q_id = h.q_id
+  WHERE strpos(lower(coalesce(d.text, '')), t.term) > 0
+  GROUP BY 1, 2, 3, 4, 5
+)
+SELECT q_id, rank, doc_id, score, cast(first_pos AS int) AS first_pos,
+       substring(lt, greatest(first_pos - {_SNIPPET_BEFORE}, 1), {_SNIPPET_LEN})
+         AS snippet
+FROM occ ORDER BY q_id, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# incremental index maintenance: the df/tf MERGE is additive
+# ---------------------------------------------------------------------------
+
+
+def q_index_incremental_merge(spark, sf_dir):
+    """The index-refresh contract DEPLOYMENT.md claims: doc frequency (and
+    by the same construction tf) updates by ADDITIVE merge — build the df
+    table over the already-indexed corpus slice and the newly-arrived
+    slice separately, full-outer-join on term and sum. The oracle computes
+    df over the FULL corpus in one pass, so the merge's correctness (no
+    term lost or double-counted across the split, outer-join null
+    handling) is value-checked. Split = deterministic doc_id % 10 (the
+    'delta' is every 10th doc — what the resume anti-join would feed an
+    incremental refresh)."""
+    docs = t(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 10 != 0)
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+
+    def df_of(d: DataFrame, name: str) -> DataFrame:
+        toks = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
+        return (
+            toks.distinct()
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    merged = (
+        df_of(base, "df_base")
+        .join(df_of(delta, "df_delta"), "tok", "full_outer")
+        .select(
+            "tok",
+            (
+                F.coalesce(F.col("df_base"), F.lit(0))
+                + F.coalesce(F.col("df_delta"), F.lit(0))
+            ).alias("df"),
+        )
+    )
+    return merged.orderBy("tok")
+
+
+ORACLE_INDEX_INCREMENTAL_MERGE = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest({_DUCK_TOKENS.format(col='text')}) AS tok
+  FROM documents
+)
+SELECT tok, count(*) AS df FROM toks GROUP BY tok ORDER BY tok
+"""
+
+
 SEARCH_QUERIES = {
     "ranked_search": (q_ranked_search, ORACLE_RANKED_SEARCH),
     "fuzzy_search": (q_fuzzy_search, ORACLE_FUZZY_SEARCH),
     "typo_ranked_search": (q_typo_ranked_search, ORACLE_TYPO_RANKED_SEARCH),
     "top_terms_per_doc": (q_top_terms_per_doc, ORACLE_TOP_TERMS_PER_DOC),
+    "search_with_snippets": (q_search_with_snippets, ORACLE_SEARCH_WITH_SNIPPETS),
+    "index_incremental_merge": (
+        q_index_incremental_merge,
+        ORACLE_INDEX_INCREMENTAL_MERGE,
+    ),
 }
