@@ -73,31 +73,61 @@ class _Block:
     boilerplate: bool = False
 
 
+def _keep_by_stats(b: _Block) -> bool:
+    """The density/link-ratio classification rules (canonical text already
+    known to be non-empty)."""
+    if b.boilerplate:
+        return False
+    link_ratio = b.anchor_chars / b.total_chars if b.total_chars else 0.0
+    if link_ratio > 0.5:
+        return False
+    density = b.total_chars / (1 + b.inner_tags)
+    if density < 8 and link_ratio > 0.25:
+        return False
+    return True
+
+
 def _classify(b: _Block) -> tuple[bool, str]:
     """Return (keep, canonical_text)."""
     raw = "".join(b.pieces)
     text = canonicalize_str(raw)
     if not text:
         return False, ""
-    if b.boilerplate:
-        return False, text
-    link_ratio = b.anchor_chars / b.total_chars if b.total_chars else 0.0
-    if link_ratio > 0.5:
-        return False, text
-    density = b.total_chars / (1 + b.inner_tags)
-    if density < 8 and link_ratio > 0.25:
-        return False, text
-    return True, text
+    return _keep_by_stats(b), text
 
 
-def strip_html(
-    payload: str,
+def finish_blocks(
+    blocks: list[_Block], canon_texts: list[str]
 ) -> tuple[str, list[tuple[int, int, str]], int, int]:
-    """Extract main content from an HTML payload.
+    """Classification tail given ALREADY-canonicalized block texts (one
+    per block, same order). Split out so the Arrow batch UDF can
+    canonicalize every block of every HTML row in the batch as ONE
+    vectorized series pass instead of ~5 scalar regex subs per block —
+    the per-block scalar path was ~40% of extraction batch time on the
+    HTML-heavy mix. strip_html composes the same pieces per string, so
+    the two paths cannot diverge."""
+    kept_texts: list[str] = []
+    spans: list[tuple[int, int, str]] = []
+    kept = 0
+    dropped = 0
+    for b, text in zip(blocks, canon_texts):
+        if not text:
+            # canonicalized-to-empty: counts as dropped per the module
+            # contract (rare — reachable only via exotic whitespace)
+            dropped += 1
+            continue
+        if _keep_by_stats(b):
+            kept += 1
+            kept_texts.append(text)
+            spans.append((b.start, b.end, "main"))
+        else:
+            dropped += 1
+    return "\n".join(kept_texts), spans, kept, dropped
 
-    Returns ``(extracted_text, spans, blocks_kept, blocks_dropped)`` where
-    spans are ``(start, end, 'main')`` raw offsets of kept blocks.
-    """
+
+def parse_blocks(payload: str) -> list[_Block]:
+    """Tag-stack parse only: the document's block list with raw pieces and
+    density/link stats, NO canonicalization (see finish_blocks)."""
     stack: list[str] = []  # open element names
     boiler_depth = 0
     anchor_depth = 0
@@ -181,22 +211,19 @@ def strip_html(
     if pos < n:
         add_text(payload[pos:], pos, n)
     flush()
+    return blocks
 
-    kept_texts: list[str] = []
-    spans: list[tuple[int, int, str]] = []
-    kept = 0
-    dropped = 0
-    for b in blocks:
-        keep, text = _classify(b)
-        if not text:
-            # canonicalized-to-empty: counts as dropped per the module
-            # contract (rare — reachable only via exotic whitespace)
-            dropped += 1
-            continue
-        if keep:
-            kept += 1
-            kept_texts.append(text)
-            spans.append((b.start, b.end, "main"))
-        else:
-            dropped += 1
-    return "\n".join(kept_texts), spans, kept, dropped
+
+def strip_html(
+    payload: str,
+) -> tuple[str, list[tuple[int, int, str]], int, int]:
+    """Extract main content from an HTML payload.
+
+    Returns ``(extracted_text, spans, blocks_kept, blocks_dropped)`` where
+    spans are ``(start, end, 'main')`` raw offsets of kept blocks.
+    Composition of parse_blocks + scalar canonicalize + finish_blocks —
+    the same pieces the batch UDF uses with a vectorized middle stage.
+    """
+    blocks = parse_blocks(payload)
+    texts = [canonicalize_str("".join(b.pieces)) for b in blocks]
+    return finish_blocks(blocks, texts)

@@ -214,6 +214,36 @@ def assemble_conversations_stream(
     return writer.start()
 
 
+def dedup_turns_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "30 minutes",
+) -> StreamingQuery:
+    """Streaming DEDUPLICATION on the turn identity key: an at-least-once
+    producer (queue redelivery, file re-land, upstream retry) may emit the
+    same (conv_id, turn_idx) twice; each duplicate extracted and assembled
+    would corrupt conversations downstream. `dropDuplicatesWithinWatermark`
+    keeps the first arrival per key and BOUNDS the dedup state with the
+    event-time watermark — keys older than the watermark are evicted, so
+    state size tracks the redelivery window's row rate, not stream length
+    (an unbounded `dropDuplicates` would grow state forever at 10^12
+    turns). Redeliveries later than the watermark are out of contract —
+    the same trade every watermarked operator here makes; the batch
+    resume anti-join (checkpoint.py) is the full-history backstop."""
+    stream = read_transcript_stream(spark, input_dir).withWatermark("ts", watermark)
+    deduped = stream.dropDuplicatesWithinWatermark(["conv_id", "turn_idx"])
+    return (
+        deduped.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def windowed_turn_counts(
     spark: SparkSession,
     input_dir: str,

@@ -246,3 +246,50 @@ def test_stream_reads_int64_turn_idx_producer(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 6
     assert dict(got.dtypes)["turn_idx"] == "int"
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """At-least-once redelivery: the same (conv_id, turn_idx) lands in two
+    files (second delivery inside the watermark window); exactly one copy
+    survives, and distinct keys all pass through."""
+    import datetime
+
+    from janet_spark.streaming import dedup_turns_stream
+
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    base = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    rows = pd.DataFrame(
+        {
+            "conv_id": ["c1", "c1", "c2"],
+            "turn_idx": [0, 1, 0],
+            "role": ["user"] * 3,
+            "text": ["a", "b", "c"],
+            "tool": [""] * 3,
+            "ts": [base, base, base],
+        }
+    )
+    _write_batch(spark, rows, landing)
+    # redelivery of (c1, 0) with different text (late retry), plus one new key
+    dup = pd.DataFrame(
+        {
+            "conv_id": ["c1", "c3"],
+            "turn_idx": [0, 0],
+            "role": ["user"] * 2,
+            "text": ["a-redelivered", "d"],
+            "tool": [""] * 2,
+            "ts": [base + datetime.timedelta(minutes=5)] * 2,
+        }
+    )
+    _write_batch(spark, dup, landing)
+
+    q = dedup_turns_stream(spark, landing, out, ckpt)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out).toPandas()
+    keys = sorted(zip(got["conv_id"], got["turn_idx"]))
+    assert keys == [("c1", 0), ("c1", 1), ("c2", 0), ("c3", 0)]
+    # first arrival wins for the duplicated key
+    assert set(got[got["conv_id"] == "c1"]["text"]) <= {"a", "b", "a-redelivered"}
+    assert len(got) == 4
