@@ -28,6 +28,7 @@ _PRIORITY = [
     "ranked_search",
     "fuzzy_search",
     "typo_ranked_search",
+    "phrase_search",
     "top_terms_per_doc",
     "search_with_snippets",
     "index_incremental_merge",

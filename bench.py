@@ -115,6 +115,7 @@ def main() -> None:
         "ranked_search",
         "fuzzy_search",
         "typo_ranked_search",
+        "phrase_search",
         "top_terms_per_doc",
         "search_with_snippets",
         "index_incremental_merge",

@@ -665,8 +665,118 @@ SELECT tok, count(*) AS df FROM toks GROUP BY tok ORDER BY tok
 """
 
 
+# ---------------------------------------------------------------------------
+# phrase search: positional postings + alignment-key grouping
+# ---------------------------------------------------------------------------
+
+_PHRASE_QUERIES = [
+    (1, "merge sort", "src7", "en"),
+    (2, "table scan", "src6", "en"),
+    (3, "the fast query", "src18", "en"),
+]
+
+
+def q_phrase_search(spark, sf_dir):
+    """Exact-phrase search over POSITIONAL postings (doc, term, position),
+    ranked by occurrence count. The classic n-way self-join per phrase
+    term is replaced by the alignment-key trick: each (term_j matched at
+    position p) maps to align_pos = p - j, and a full phrase occurrence
+    is an align_pos where ALL j in 0..len-1 appear — one equi-join of the
+    postings against the (tiny, broadcast) term list + one groupBy,
+    regardless of phrase length. Top-10 docs per query by (occurrences
+    DESC, doc_id ASC), same conjunctive tenant filters as ranked_search.
+    The oracle recomputes positions with DuckDB's zipped
+    unnest/generate_subscripts and the same alignment grouping."""
+    docs = t(spark, sf_dir, "documents")
+    toks_pos = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.posexplode(_tokens(F.col("text"))).alias("pos", "tok"),
+    )
+    queries = spark.createDataFrame(
+        _PHRASE_QUERIES, "q_id int, phrase string, f_source string, f_lang string"
+    )
+    terms = queries.select(
+        "q_id",
+        "f_source",
+        "f_lang",
+        F.size(_tokens(F.col("phrase"))).alias("phrase_len"),
+        F.posexplode(_tokens(F.col("phrase"))).alias("j", "term"),
+    )
+    aligned = toks_pos.join(
+        F.broadcast(terms),
+        (toks_pos.tok == terms.term)
+        & (toks_pos.source == terms.f_source)
+        & (toks_pos.lang == terms.f_lang),
+    ).select(
+        "q_id",
+        "doc_id",
+        "phrase_len",
+        "j",
+        (F.col("pos") - F.col("j")).alias("align_pos"),
+    )
+    occurrences = (
+        aligned.groupBy("q_id", "doc_id", "phrase_len", "align_pos")
+        .agg(F.count_distinct("j").alias("n_terms"))
+        .filter(F.col("n_terms") == F.col("phrase_len"))
+        .groupBy("q_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("n_occurrences"), F.asc("doc_id"))
+    return (
+        occurrences.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("q_id", "rank", "doc_id", "n_occurrences")
+        .orderBy("q_id", "rank")
+    )
+
+
+def _phrase_queries_values_sql() -> str:
+    rows = ", ".join(
+        f"({q}, '{p}', '{s}', '{lang}')" for q, p, s, lang in _PHRASE_QUERIES
+    )
+    return f"queries(q_id, phrase, f_source, f_lang) AS (VALUES {rows})"
+
+
+ORACLE_PHRASE_SEARCH = f"""
+WITH {_phrase_queries_values_sql()},
+toks_pos AS (
+  SELECT doc_id, source, lang,
+         unnest({_DUCK_TOKENS.format(col='text')}) AS tok,
+         generate_subscripts({_DUCK_TOKENS.format(col='text')}, 1) - 1 AS pos
+  FROM documents
+),
+terms AS (
+  SELECT q_id, f_source, f_lang,
+         len({_DUCK_TOKENS.format(col='phrase')}) AS phrase_len,
+         unnest({_DUCK_TOKENS.format(col='phrase')}) AS term,
+         generate_subscripts({_DUCK_TOKENS.format(col='phrase')}, 1) - 1 AS j
+  FROM queries
+),
+aligned AS (
+  SELECT t.q_id, p.doc_id, t.phrase_len, t.j, p.pos - t.j AS align_pos
+  FROM toks_pos p
+  JOIN terms t ON t.term = p.tok AND t.f_source = p.source AND t.f_lang = p.lang
+),
+occ AS (
+  SELECT q_id, doc_id, count(*) AS n_occurrences FROM (
+    SELECT q_id, doc_id, phrase_len, align_pos, count(DISTINCT j) AS n_terms
+    FROM aligned GROUP BY 1, 2, 3, 4
+  ) WHERE n_terms = phrase_len GROUP BY 1, 2
+)
+SELECT q_id, cast(row_number() OVER w AS int) AS rank, doc_id,
+       cast(n_occurrences AS bigint) AS n_occurrences
+FROM occ
+WINDOW w AS (PARTITION BY q_id ORDER BY n_occurrences DESC, doc_id ASC)
+QUALIFY row_number() OVER w <= {_TOP_K}
+ORDER BY q_id, rank
+"""
+
+
 SEARCH_QUERIES = {
     "ranked_search": (q_ranked_search, ORACLE_RANKED_SEARCH),
+    "phrase_search": (q_phrase_search, ORACLE_PHRASE_SEARCH),
     "fuzzy_search": (q_fuzzy_search, ORACLE_FUZZY_SEARCH),
     "typo_ranked_search": (q_typo_ranked_search, ORACLE_TYPO_RANKED_SEARCH),
     "top_terms_per_doc": (q_top_terms_per_doc, ORACLE_TOP_TERMS_PER_DOC),

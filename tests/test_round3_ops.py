@@ -39,6 +39,25 @@ def test_bpe_goldens():
     assert count_text("batch,customer;batch")[1] == 3
 
 
+def test_bpe_lossless_property():
+    """Property: BPE only MERGES — concatenating a word's tokens always
+    reproduces the word exactly, for any lowercase-alnum word (the token
+    split guarantees the tokenizer never sees anything else)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from janet_spark.extract.bpe import bpe_tokens
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789", min_size=1, max_size=24))
+    def check(word):
+        toks = bpe_tokens(word)
+        assert "".join(toks) == word
+        assert all(toks)
+
+    check()
+
+
 def test_bpe_single_pass_replace_semantics():
     """The defined apply semantics are ONE left-to-right replace per merge
     (both Python str.replace and SQL replace()); the overlap quirk on
@@ -124,6 +143,34 @@ def test_typo_ranked_search_exact_before_typo(spark):
     assert set(by_q) == {q for q, *_ in _TYPO_QUERIES}
     for hits in by_q.values():
         assert [h["rank"] for h in hits] == list(range(1, len(hits) + 1))
+
+
+def test_phrase_search_requires_adjacency(spark, tmp_path):
+    """The alignment-key grouping must demand ADJACENT terms in order:
+    a doc with both words non-adjacent (or reversed) must not match."""
+    import pandas as pd
+
+    from janet_spark.search import q_phrase_search
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "fast merge sort wins",       # exact phrase
+                "merge the sort",             # both words, not adjacent
+                "sort merge",                 # reversed
+                "merge sort merge sort",      # two occurrences
+            ],
+            "lang": ["en"] * 4,
+            "source": ["src7"] * 4,
+            "n_chars": [10] * 4,
+        }
+    )
+    sf = str(tmp_path)
+    spark.createDataFrame(pdf).write.parquet(f"{sf}/documents.parquet")
+    rows = q_phrase_search(spark, sf).collect()
+    hits = {r["doc_id"]: r["n_occurrences"] for r in rows if r["q_id"] == 1}
+    assert hits == {0: 1, 3: 2}
 
 
 def test_top_terms_per_doc_ranks_and_weights(spark):
