@@ -244,6 +244,77 @@ def dedup_turns_stream(
     )
 
 
+DOCS_DDL = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def update_index_stream(
+    spark: SparkSession,
+    input_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Streaming search-index maintenance: each micro-batch of newly-landed
+    documents computes its per-term doc-frequency DELTA and merges it
+    additively into the df table (the contract `index_incremental_merge`
+    value-checks in batch). foreachBatch rewrites the merged vocabulary
+    table through a staging dir + atomic directory swap — the vocabulary
+    is orders of magnitude smaller than the corpus, so a full rewrite per
+    batch stays cheap at ANY corpus size (it scales with distinct terms,
+    not documents).
+
+    Delivery note: the swap makes each batch's merge atomic against
+    readers, and the stream checkpoint prevents re-reading input files —
+    but a crash BETWEEN the swap and the checkpoint commit would re-merge
+    one batch (at-least-once). Production closes that with Iceberg
+    `MERGE INTO` keyed on batchId (DEPLOYMENT.md); the batch resume
+    anti-join remains the full-rebuild backstop."""
+    import os
+    import shutil
+
+    from janet_spark.search import _tokens
+
+    stream = (
+        spark.readStream.schema(DOCS_DDL)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(input_dir)
+    )
+
+    def merge_batch(batch_df, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        delta = (
+            batch_df.select(
+                "doc_id",
+                F.explode(F.array_distinct(_tokens(F.col("text")))).alias("tok"),
+            )
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("df"))
+        )
+        if os.path.isdir(index_dir):
+            existing = sess.read.schema("tok string, df long").parquet(index_dir)
+            merged = existing.join(delta, "tok", "full_outer").select(
+                "tok",
+                (
+                    F.coalesce(existing.df, F.lit(0)) + F.coalesce(delta.df, F.lit(0))
+                ).alias("df"),
+            )
+        else:
+            merged = delta.select("tok", F.col("df").cast("long").alias("df"))
+        staging = f"{index_dir}__staging"
+        merged.write.mode("overwrite").parquet(staging)
+        old = f"{index_dir}__old"
+        if os.path.isdir(index_dir):
+            os.rename(index_dir, old)
+        os.rename(staging, index_dir)
+        shutil.rmtree(old, ignore_errors=True)
+
+    return (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def windowed_turn_counts(
     spark: SparkSession,
     input_dir: str,

@@ -293,3 +293,51 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     # first arrival wins for the duplicated key
     assert set(got[got["conv_id"] == "c1"]["text"]) <= {"a", "b", "a-redelivered"}
     assert len(got) == 4
+
+
+def test_update_index_stream_additive_merge(spark, tmp_path):
+    """Two document batches drained separately must yield the SAME df
+    table as one pass over all documents — the streaming side of the
+    additive-merge contract (index_incremental_merge pins the batch
+    side)."""
+    from pyspark.sql import functions as F
+
+    from janet_spark.search import _tokens
+    from janet_spark.streaming import update_index_stream
+
+    landing = str(tmp_path / "docs")
+    index = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_docs(rows):
+        pdf = pd.DataFrame(
+            rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+        )
+        spark.createDataFrame(
+            pdf, schema="doc_id long, text string, lang string, source string, n_chars long"
+        ).coalesce(1).write.mode("append").parquet(landing)
+
+    write_docs([(0, "spark merge sort", "en", "s1", 16), (1, "merge table", "en", "s1", 11)])
+    q = update_index_stream(spark, landing, index, ckpt)
+    q.awaitTermination(120)
+    write_docs([(2, "table scan spark spark", "en", "s1", 22), (3, "sort", "en", "s1", 4)])
+    q = update_index_stream(spark, landing, index, ckpt)
+    q.awaitTermination(120)
+
+    got = {
+        r["tok"]: r["df"]
+        for r in spark.read.parquet(index).collect()
+    }
+    want = {
+        r["tok"]: r["df"]
+        for r in (
+            spark.read.parquet(landing)
+            .select("doc_id", F.explode(F.array_distinct(_tokens(F.col("text")))).alias("tok"))
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .collect()
+        )
+    }
+    assert got == want
+    # 'spark' appears twice in doc 2 but counts once (df, not tf)
+    assert got["spark"] == 2 and got["merge"] == 2 and got["sort"] == 2
