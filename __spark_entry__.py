@@ -35,6 +35,7 @@ _PRIORITY = [
     "token_counts_bpe",
     "token_counts_bpe_jvm",
     "dedup_clusters_lsh",
+    "doc_fingerprint_jvm",
     # unrecorded by the round-2 driver run (all 18 judge-verified in r2)
     "match_navigation",
     "disjunctive_upsert",
