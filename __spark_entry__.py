@@ -36,6 +36,8 @@ _PRIORITY = [
     "token_counts_bpe_jvm",
     "dedup_clusters_lsh",
     "doc_fingerprint_jvm",
+    "quality_repetition",
+    "chunk_dedup",
     # unrecorded by the round-2 driver run (all 18 judge-verified in r2)
     "match_navigation",
     "disjunctive_upsert",

@@ -122,6 +122,8 @@ def main() -> None:
         "token_counts_bpe",
         "token_counts_bpe_jvm",
         "dedup_clusters_lsh",
+        "quality_repetition",
+        "chunk_dedup",
         "asof_join",
         "range_join_banded",
         "pii_scrub",

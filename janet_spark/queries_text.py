@@ -311,6 +311,210 @@ SELECT md5(substr(text, 1, 24)) AS dup_key, count(*) AS n_dups,
 FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY dup_key
 """
 
+
+def _gram_array(words, n: int):
+    """Array of the word n-grams of `words`, in order, JVM-side. Empty when
+    the doc has fewer than n words (sequence is built over at least one
+    index, then sliced back down — Spark's sequence(1, 0) would count
+    DOWNWARD, so the guard cannot be the sequence bound itself)."""
+    cnt = F.greatest(F.size(words) - (n - 1), F.lit(0))
+    built = F.transform(
+        F.sequence(F.lit(1), F.greatest(cnt, F.lit(1))),
+        lambda i: F.array_join(F.slice(words, i, n), " "),
+    )
+    return F.slice(built, 1, cnt)
+
+
+def q_quality_repetition(spark, sf_dir):
+    """Gopher-style repetition quality metrics (Rae et al. 2021, app. A1.1):
+    per-doc duplicate-word fraction, most-common-2-gram occurrence fraction
+    and duplicate-5-gram fraction — the standard repetition gates a
+    training-data curation pipeline applies before dedup.
+
+    Scale shape: ONE tagged explode -> (doc_id, n, gram) groupBy (map-side
+    combinable counts) -> per-(doc, n) aggregate -> conditional-aggregation
+    pivot back to columns. A single shuffle keyed on (doc_id, n, gram) no
+    matter how many n-gram orders are measured; no per-doc collect, no
+    Python. Adding an order is one more unionByName branch, not a new
+    shuffle."""
+    docs = t(spark, sf_dir, "documents")
+    words = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+
+    def tagged(n: int) -> DataFrame:
+        arr = words if n == 1 else _gram_array(words, n)
+        return docs.select(
+            "doc_id", F.lit(n).alias("n"), F.explode(arr).alias("gram")
+        )
+
+    grams = tagged(1).unionByName(tagged(2)).unionByName(tagged(5))
+    per_n = (
+        grams.groupBy("doc_id", "n", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id", "n")
+        .agg(
+            F.sum("c").alias("total"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("c").alias("top"),
+        )
+    )
+    ratio = F.col("n_distinct") / F.col("total")
+    metrics = per_n.groupBy("doc_id").agg(
+        F.round(1 - F.max(F.when(F.col("n") == 1, ratio)), 4).alias("dup_word_frac"),
+        F.round(
+            F.coalesce(
+                F.max(F.when(F.col("n") == 2, F.col("top") / F.col("total"))),
+                F.lit(0.0),
+            ),
+            4,
+        ).alias("top_bigram_frac"),
+        F.round(
+            F.coalesce(1 - F.max(F.when(F.col("n") == 5, ratio)), F.lit(0.0)), 4
+        ).alias("dup_5gram_frac"),
+    )
+    # every doc yields at least one n=1 gram (split('') is ['']), so
+    # `metrics` already covers every doc_id — no doc-table re-join needed
+    return metrics.select(
+        "doc_id", "dup_word_frac", "top_bigram_frac", "dup_5gram_frac"
+    ).orderBy("doc_id")
+
+
+ORACLE_QUALITY_REPETITION = """
+WITH d AS (
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS arr FROM documents
+), g AS (
+  SELECT doc_id, n, unnest(grams) AS gram FROM (
+    SELECT doc_id, 1 AS n, arr AS grams FROM d
+    UNION ALL
+    SELECT doc_id, 2 AS n,
+           list_transform(generate_series(1, greatest(len(arr) - 1, 0)),
+                          i -> array_to_string(arr[i:i+1], ' ')) FROM d
+    UNION ALL
+    SELECT doc_id, 5 AS n,
+           list_transform(generate_series(1, greatest(len(arr) - 4, 0)),
+                          i -> array_to_string(arr[i:i+4], ' ')) FROM d
+  )
+), c AS (
+  SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY 1, 2, 3
+), p AS (
+  SELECT doc_id, n, sum(c) AS total, count(*) AS n_distinct, max(c) AS top
+  FROM c GROUP BY 1, 2
+), m AS (
+  SELECT doc_id,
+         round(1 - max(CASE WHEN n = 1 THEN n_distinct / total::double END), 4)
+           AS dup_word_frac,
+         round(coalesce(max(CASE WHEN n = 2 THEN top / total::double END), 0), 4)
+           AS top_bigram_frac,
+         round(coalesce(1 - max(CASE WHEN n = 5 THEN n_distinct / total::double END), 0), 4)
+           AS dup_5gram_frac
+  FROM p GROUP BY doc_id
+)
+SELECT d2.doc_id, m.dup_word_frac, m.top_bigram_frac, m.dup_5gram_frac
+FROM documents d2 LEFT JOIN m USING (doc_id) ORDER BY doc_id
+"""
+
+
+_CHUNK_WORDS = 8
+
+
+def q_chunk_dedup(spark, sf_dir):
+    """Corpus-level boilerplate removal (CCNet-style, Wenzek et al. 2020):
+    split every document into consecutive non-overlapping 8-word chunks,
+    drop any chunk that appears in MORE THAN ONE distinct document
+    (cross-doc repetition = boilerplate; within-doc repeats are kept —
+    that is `quality_repetition`'s business), and reconstruct each
+    document's remaining text in original chunk order.
+
+    Scale shape: posexplode -> chunk-frequency groupBy (map-side
+    combinable, countDistinct doc_id) -> the frequent set is SMALL by the
+    Zipf head (it is the boilerplate), so it broadcasts and the anti-join
+    evaluates map-side against the chunk stream — no chunk-keyed shuffle of
+    the full corpus on the drop path. Reassembly is one groupBy(doc_id)
+    with array_sort on (pos, chunk) structs, the same ordered-concat shape
+    as conversation reassembly. At 100 TB the only all-data shuffles are
+    the frequency count (combined map-side) and the per-doc rebuild."""
+    docs = t(spark, sf_dir, "documents")
+    words = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    n_chunks = F.ceil(F.size(words) / F.lit(_CHUNK_WORDS)).cast("long")
+    chunk_arr = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),  # size(words) >= 1 so n_chunks >= 1
+        lambda i: F.array_join(
+            F.slice(words, i * _CHUNK_WORDS + 1, _CHUNK_WORDS), " "
+        ),
+    )
+    chunks = docs.select("doc_id", F.posexplode(chunk_arr).alias("cpos", "chunk"))
+    shared = (
+        chunks.groupBy("chunk")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("chunk")
+    )
+    # Flag-and-filter instead of anti-join-then-rejoin: a broadcast LEFT
+    # join marks boilerplate chunks map-side, and ONE groupBy(doc_id) both
+    # rebuilds the kept text and counts kept/dropped — every doc has >= 1
+    # chunk row, so no doc-table re-join is needed to stay total.
+    flagged = chunks.join(
+        F.broadcast(shared.withColumn("is_shared", F.lit(True))), "chunk", "left"
+    )
+    kept_row = F.col("is_shared").isNull()
+    one, zero = F.lit(1).cast("long"), F.lit(0).cast("long")
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.filter(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    F.col("cpos"),
+                                    F.col("chunk"),
+                                    F.coalesce("is_shared", F.lit(False)).alias(
+                                        "drop"
+                                    ),
+                                )
+                            )
+                        ),
+                        lambda s: ~s["drop"],
+                    ),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.sum(F.when(kept_row, one).otherwise(zero)).alias("n_chunks_kept"),
+            F.sum(F.when(kept_row, zero).otherwise(one)).alias("n_chunks_dropped"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_CHUNK_DEDUP = """
+WITH w AS (
+  SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS word,
+         generate_subscripts(string_split(coalesce(text, ''), ' '), 1) - 1 AS pos
+  FROM documents
+), c AS (
+  SELECT doc_id, pos // 8 AS cpos, string_agg(word, ' ' ORDER BY pos) AS chunk
+  FROM w GROUP BY doc_id, pos // 8
+), shared AS (
+  SELECT chunk FROM c GROUP BY chunk HAVING count(DISTINCT doc_id) > 1
+), kept AS (
+  SELECT c.* FROM c ANTI JOIN shared USING (chunk)
+), r AS (
+  SELECT doc_id, string_agg(chunk, ' ' ORDER BY cpos) AS clean_text,
+         count(*) AS n_chunks_kept
+  FROM kept GROUP BY doc_id
+), tot AS (
+  SELECT doc_id, count(*) AS n_chunks FROM c GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(r.clean_text, '') AS clean_text,
+       coalesce(r.n_chunks_kept, 0) AS n_chunks_kept,
+       tot.n_chunks - coalesce(r.n_chunks_kept, 0) AS n_chunks_dropped
+FROM documents d JOIN tot USING (doc_id) LEFT JOIN r USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 _JACCARD_THRESHOLD = 0.8
 _SHINGLE_WORDS = 5
 
@@ -1309,7 +1513,9 @@ TEXT_QUERIES = {
     "token_counts_bpe": (q_token_counts_bpe, ORACLE_TOKEN_COUNTS_BPE),
     "token_counts_bpe_jvm": (q_token_counts_bpe_jvm, ORACLE_TOKEN_COUNTS_BPE),
     "quality_scores": (q_quality_scores, ORACLE_QUALITY_SCORES),
+    "quality_repetition": (q_quality_repetition, ORACLE_QUALITY_REPETITION),
     "exact_dedup": (q_exact_dedup, ORACLE_EXACT_DEDUP),
+    "chunk_dedup": (q_chunk_dedup, ORACLE_CHUNK_DEDUP),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, ORACLE_NGRAM_JACCARD_PAIRS),
     "dedup_clusters": (q_dedup_clusters, _dedup_clusters_oracle()),
     "dedup_clusters_lsh": (q_dedup_clusters_lsh, _dedup_clusters_oracle()),

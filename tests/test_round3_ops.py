@@ -293,3 +293,88 @@ def test_null_rows_pin_null_semantics(spark, tmp_path):
         g = got[cols].astype(str).sort_values(cols).reset_index(drop=True)
         w = want[cols].astype(str).sort_values(cols).reset_index(drop=True)
         pd.testing.assert_frame_equal(g, w)
+
+
+def test_quality_repetition_and_chunk_dedup_edges(spark, tmp_path):
+    """Pin the curation operators' semantics on a hand-checkable fixture
+    with NULL text, an empty doc, a sub-5-word doc (no 5-grams), a doc
+    that repeats a chunk only WITHIN itself (must be kept), and two docs
+    sharing a chunk (must be dropped from both) — then cross-check the
+    same fixture against the DuckDB oracles."""
+    import duckdb
+    import pandas as pd
+
+    from janet_spark.queries_text import (
+        ORACLE_CHUNK_DEDUP,
+        ORACLE_QUALITY_REPETITION,
+        q_chunk_dedup,
+        q_quality_repetition,
+    )
+
+    boiler = "the quick brown fox jumps over lazy dogs"  # exactly 8 words
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4, 5],
+            "text": [
+                None,  # NULL -> treated as ''
+                "",  # empty -> 1 empty word, 1 empty chunk
+                "one two three",  # <5 words: no 5-grams
+                f"{boiler} unique tail words here",  # shares chunk with 4
+                f"{boiler} other trailing content now",  # shares chunk with 3
+                f"{boiler} {boiler} solo within doc repeat",  # within-doc only... shares with 3/4 too
+            ],
+            "lang": ["en"] * 6,
+            "source": ["s"] * 6,
+            "n_chars": [0, 0, 13, 40, 40, 60],
+        }
+    )
+    sf = str(tmp_path)
+    spark.createDataFrame(pdf).repartition(2).write.parquet(f"{sf}/documents.parquet")
+
+    rep = {r["doc_id"]: r for r in (row.asDict() for row in q_quality_repetition(spark, sf).collect())}
+    # doc 2: three distinct words, no repeats anywhere
+    assert rep[2]["dup_word_frac"] == 0.0
+    assert rep[2]["dup_5gram_frac"] == 0.0
+    # doc 5 repeats the 8-word boiler phrase twice: every boiler word is
+    # duplicated, its 5-grams repeat, and the top bigram occurs twice
+    assert rep[5]["dup_word_frac"] > 0.3
+    assert rep[5]["dup_5gram_frac"] > 0.0
+    # doc 2's 2 bigrams each occur once -> trivially 1/2 (tiny docs score
+    # high by construction; Gopher gates length first). doc 5: 20 words ->
+    # 19 bigrams, top one ("dogs the", inside the doubled phrase... any of
+    # the boiler-internal bigrams) occurs exactly twice.
+    assert rep[2]["top_bigram_frac"] == 0.5
+    assert rep[5]["top_bigram_frac"] == round(2 / 19, 4)
+
+    ded = {r["doc_id"]: r for r in (row.asDict() for row in q_chunk_dedup(spark, sf).collect())}
+    # the shared leading 8-word chunk is dropped from every doc carrying it
+    for d in (3, 4):
+        assert ded[d]["n_chunks_dropped"] >= 1
+        assert boiler not in ded[d]["clean_text"]
+        assert ded[d]["clean_text"]  # the unique tail survives
+    # doc 2 shares nothing: fully kept, text unchanged
+    assert ded[2] == {
+        "doc_id": 2,
+        "clean_text": "one two three",
+        "n_chunks_kept": 1,
+        "n_chunks_dropped": 0,
+    }
+    # NULL and empty doc are total-function outputs, not missing rows
+    assert ded[0]["clean_text"] == "" and ded[1]["n_chunks_kept"] in (0, 1)
+
+    # full oracle cross-check on this adversarial fixture
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'"
+    )
+    for q_fn, oracle in [
+        (q_quality_repetition, ORACLE_QUALITY_REPETITION),
+        (q_chunk_dedup, ORACLE_CHUNK_DEDUP),
+    ]:
+        got = q_fn(spark, sf).toPandas()
+        want = con.sql(oracle).df()
+        cols = sorted(got.columns)
+        assert cols == sorted(want.columns)
+        g = got[cols].astype(str).sort_values(cols).reset_index(drop=True)
+        w = want[cols].astype(str).sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(g, w)
