@@ -38,6 +38,8 @@ _PRIORITY = [
     "doc_fingerprint_jvm",
     "quality_repetition",
     "chunk_dedup",
+    "decontaminate",
+    "lm_score",
     # unrecorded by the round-2 driver run (all 18 judge-verified in r2)
     "match_navigation",
     "disjunctive_upsert",

@@ -124,6 +124,8 @@ def main() -> None:
         "dedup_clusters_lsh",
         "quality_repetition",
         "chunk_dedup",
+        "decontaminate",
+        "lm_score",
         "asof_join",
         "range_join_banded",
         "pii_scrub",

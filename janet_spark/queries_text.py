@@ -515,6 +515,109 @@ ORDER BY doc_id
 """
 
 
+_DECONTAM_GRAM = 8
+_EVAL_MOD = 11  # doc_id % 11 == 0 -> held-out eval set (deterministic)
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 app. C / PaLM-style): flag every
+    TRAINING document sharing any sliding 8-word-gram with the held-out
+    EVAL set (here the deterministic doc_id % 11 slice standing in for a
+    benchmark suite). Output is the removal list — contaminated doc_id +
+    how many distinct eval grams it hits — which downstream curation
+    anti-joins away; emitting only hits avoids any doc-sized re-join.
+
+    Scale shape: the eval side is tiny by definition (benchmarks are
+    thousands of docs, the corpus is billions), so its distinct gram set
+    BROADCASTS and the contamination check is a map-side hash probe over
+    the exploded training grams; the only shuffle is the per-doc hit
+    count (map-side combinable)."""
+    docs = t(spark, sf_dir, "documents")
+    words = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    grams = F.array_distinct(_gram_array(words, _DECONTAM_GRAM))
+    is_eval = F.col("doc_id") % _EVAL_MOD == 0
+    eval_grams = (
+        docs.filter(is_eval)
+        .select(F.explode(grams).alias("gram"))
+        .distinct()
+    )
+    train_grams = docs.filter(~is_eval).select(
+        "doc_id", F.explode(grams).alias("gram")
+    )
+    return (
+        train_grams.join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit_grams"))
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_DECONTAMINATE = """
+WITH d AS (
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS arr FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           list_transform(generate_series(1, greatest(len(arr) - 7, 0)),
+                          i -> array_to_string(arr[i:i+7], ' ')))) AS gram
+  FROM d
+), ev AS (
+  SELECT DISTINCT gram FROM g WHERE doc_id % 11 = 0
+)
+SELECT g.doc_id, count(*) AS n_hit_grams
+FROM g JOIN ev USING (gram)
+WHERE g.doc_id % 11 != 0
+GROUP BY g.doc_id ORDER BY doc_id
+"""
+
+
+def q_lm_score(spark, sf_dir):
+    """Unigram-LM typicality scoring — the oracle-checkable proxy for
+    CCNet's KenLM perplexity filter (Wenzek et al. 2020): per-doc mean
+    word cross-entropy -avg(log2 p(w)) under the corpus's own unigram
+    distribution. Low = head-vocabulary boilerplate, high = rare-token
+    noise; curation keeps the middle band.
+
+    Scale shape: pass 1 builds the unigram table with a map-side-combinable
+    word count; pass 2 re-explodes and joins each word occurrence to its
+    probability via BROADCAST (word vocabularies grow ~ sqrt corpus —
+    Heaps' law — and a production KenLM is likewise a broadcast artifact),
+    then one per-doc aggregate. No doc-sized joins, no Python."""
+    docs = t(spark, sf_dir, "documents")
+    words = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    occ = docs.select("doc_id", F.explode(words).alias("word"))
+    vocab = occ.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    total = occ.count()  # scalar: one job, folded into the plan as a literal
+    scored = occ.join(F.broadcast(vocab), "word").select(
+        "doc_id", (-F.log2(F.col("c") / F.lit(float(total)))).alias("bits")
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.round(F.sum("bits") / F.count(F.lit(1)), 4).alias("xent_bits"),
+            F.count(F.lit(1)).alias("n_words"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_LM_SCORE = """
+WITH occ AS (
+  SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS word
+  FROM documents
+), vocab AS (
+  SELECT word, count(*) AS c FROM occ GROUP BY word
+), tot AS (
+  SELECT count(*)::double AS n FROM occ
+)
+SELECT occ.doc_id,
+       round(sum(-log2(vocab.c / tot.n)) / count(*), 4) AS xent_bits,
+       count(*) AS n_words
+FROM occ JOIN vocab USING (word), tot
+GROUP BY occ.doc_id ORDER BY doc_id
+"""
+
+
 _JACCARD_THRESHOLD = 0.8
 _SHINGLE_WORDS = 5
 
@@ -1516,6 +1619,8 @@ TEXT_QUERIES = {
     "quality_repetition": (q_quality_repetition, ORACLE_QUALITY_REPETITION),
     "exact_dedup": (q_exact_dedup, ORACLE_EXACT_DEDUP),
     "chunk_dedup": (q_chunk_dedup, ORACLE_CHUNK_DEDUP),
+    "decontaminate": (q_decontaminate, ORACLE_DECONTAMINATE),
+    "lm_score": (q_lm_score, ORACLE_LM_SCORE),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, ORACLE_NGRAM_JACCARD_PAIRS),
     "dedup_clusters": (q_dedup_clusters, _dedup_clusters_oracle()),
     "dedup_clusters_lsh": (q_dedup_clusters_lsh, _dedup_clusters_oracle()),

@@ -378,3 +378,46 @@ def test_quality_repetition_and_chunk_dedup_edges(spark, tmp_path):
         g = got[cols].astype(str).sort_values(cols).reset_index(drop=True)
         w = want[cols].astype(str).sort_values(cols).reset_index(drop=True)
         pd.testing.assert_frame_equal(g, w)
+
+
+def test_decontaminate_and_lm_score_semantics(spark, tmp_path):
+    """Planted-contamination fixture: doc 0 is the eval doc (doc_id % 11
+    == 0); doc 12 copies an 8-word run from it (must be flagged with >= 1
+    hit), doc 13 shares only a 7-word run (must NOT be flagged — below
+    the 8-gram threshold), doc 22 is eval too and must never appear in
+    the removal list. lm_score: a doc made of corpus-frequent words must
+    score LOWER cross-entropy than a doc of corpus-unique words."""
+    import pandas as pd
+
+    from janet_spark.queries_text import q_decontaminate, q_lm_score
+
+    bench = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 12, 13, 22, 23, 24],
+            "text": [
+                f"{bench} iota kappa",  # eval doc carrying the 8-gram
+                f"prefix words {bench} suffix",  # full 8-gram copy -> hit
+                "alpha beta gamma delta epsilon zeta eta other",  # 7 shared
+                "unrelated eval content here now today maybe soon",  # eval
+                "common common common common word word word word",
+                "xylophone quixotic zephyr jabberwock vex fjord glyph nymph",
+            ],
+            "lang": ["en"] * 6,
+            "source": ["s"] * 6,
+            "n_chars": [1] * 6,
+        }
+    )
+    sf = str(tmp_path)
+    spark.createDataFrame(pdf).repartition(2).write.parquet(f"{sf}/documents.parquet")
+
+    removal = {r["doc_id"]: r["n_hit_grams"] for r in q_decontaminate(spark, sf).collect()}
+    assert removal.get(12, 0) >= 1  # full 8-gram overlap flagged
+    assert 13 not in removal  # 7-word overlap is below threshold
+    assert 0 not in removal and 22 not in removal  # eval docs never listed
+
+    scores = {r["doc_id"]: r["xent_bits"] for r in q_lm_score(spark, sf).collect()}
+    # doc 23 repeats each of 2 frequent words 4x; doc 24 is all-unique
+    # words -> strictly rarer unigrams -> strictly higher cross-entropy
+    assert scores[23] < scores[24]
+    assert all(v > 0 for v in scores.values())
