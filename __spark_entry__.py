@@ -40,6 +40,7 @@ _PRIORITY = [
     "chunk_dedup",
     "decontaminate",
     "lm_score",
+    "sequence_pack",
     # unrecorded by the round-2 driver run (all 18 judge-verified in r2)
     "match_navigation",
     "disjunctive_upsert",

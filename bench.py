@@ -126,6 +126,7 @@ def main() -> None:
         "chunk_dedup",
         "decontaminate",
         "lm_score",
+        "sequence_pack",
         "asof_join",
         "range_join_banded",
         "pii_scrub",

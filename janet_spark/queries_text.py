@@ -618,6 +618,83 @@ GROUP BY occ.doc_id ORDER BY doc_id
 """
 
 
+_PACK_BUDGET = 512  # tokens per packed training sequence
+_PACK_BLOCK = 100  # doc_ids per prefix-sum block (see scale note below)
+
+
+def q_sequence_pack(spark, sf_dir):
+    """Deterministic contiguous sequence packing: assign documents, in
+    doc_id order, to fixed-token-budget training sequences — each doc
+    lands in the sequence where its exclusive running token total falls
+    (docs stay whole; a doc straddling the boundary belongs to the
+    sequence it starts in). The currency of a pretraining pipeline:
+    packing decides batch shapes and padding waste.
+
+    Scale shape: a global running sum is NOT a global window (that is one
+    reducer holding the corpus). This is the classic two-level distributed
+    prefix sum: (1) cumsum within contiguous doc_id blocks — shuffle keyed
+    by block, every partition bounded at _PACK_BLOCK rows; (2) per-block
+    totals (one tiny row per block) get their own exclusive cumsum on the
+    small side and BROADCAST back as block offsets. At 10^12 docs pick
+    block ~10^7 -> 10^5 offset rows; if blocks themselves outgrow one
+    task, the same construction nests once more. Result is identical to
+    the sequential scan by associativity — pinned by the block-size
+    invariance pytest."""
+    docs = t(spark, sf_dir, "documents")
+    words = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    d = docs.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_tokens"),
+        (F.col("doc_id") / _PACK_BLOCK).cast("long").alias("block"),
+    )
+    wb = (
+        Window.partitionBy("block")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    zero = F.lit(0).cast("long")
+    within = d.withColumn("cum_in_block", F.coalesce(F.sum("n_tokens").over(wb), zero))
+    # small side: one row per block; the partition-less window is the
+    # POINT (it is bounded at n_docs / _PACK_BLOCK rows, never corpus-sized)
+    wo = Window.orderBy("block").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        d.groupBy("block")
+        .agg(F.sum("n_tokens").alias("block_total"))
+        .withColumn("block_offset", F.coalesce(F.sum("block_total").over(wo), zero))
+        .select("block", "block_offset")
+    )
+    cum_before = F.col("block_offset") + F.col("cum_in_block")
+    return (
+        within.join(F.broadcast(offsets), "block")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.floor(cum_before / _PACK_BUDGET).alias("seq_id"),
+            (cum_before % _PACK_BUDGET).alias("seq_offset"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_SEQUENCE_PACK = """
+WITH d AS (
+  SELECT doc_id,
+         cast(len(string_split(coalesce(text, ''), ' ')) AS bigint) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         cast(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bigint)
+           AS cum_before
+  FROM d
+)
+SELECT doc_id, n_tokens,
+       cum_before // 512 AS seq_id,
+       cum_before % 512 AS seq_offset
+FROM c ORDER BY doc_id
+"""
+
+
 _JACCARD_THRESHOLD = 0.8
 _SHINGLE_WORDS = 5
 
@@ -1621,6 +1698,7 @@ TEXT_QUERIES = {
     "chunk_dedup": (q_chunk_dedup, ORACLE_CHUNK_DEDUP),
     "decontaminate": (q_decontaminate, ORACLE_DECONTAMINATE),
     "lm_score": (q_lm_score, ORACLE_LM_SCORE),
+    "sequence_pack": (q_sequence_pack, ORACLE_SEQUENCE_PACK),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, ORACLE_NGRAM_JACCARD_PAIRS),
     "dedup_clusters": (q_dedup_clusters, _dedup_clusters_oracle()),
     "dedup_clusters_lsh": (q_dedup_clusters_lsh, _dedup_clusters_oracle()),

@@ -421,3 +421,30 @@ def test_decontaminate_and_lm_score_semantics(spark, tmp_path):
     # words -> strictly rarer unigrams -> strictly higher cross-entropy
     assert scores[23] < scores[24]
     assert all(v > 0 for v in scores.values())
+
+
+def test_sequence_pack_block_invariance(spark):
+    """The two-level distributed prefix sum must equal the sequential
+    scan for ANY block size (associativity); run the same packing with a
+    tiny block (7 — many blocks, offsets path heavily exercised) and a
+    block larger than the corpus (10^9 — degenerates to one window) and
+    demand identical assignments, plus the packing invariants: seq_id is
+    non-decreasing in doc_id order and every seq_offset < budget when the
+    doc started inside the sequence."""
+    import janet_spark.queries_text as qt
+
+    base = qt.q_sequence_pack(spark, SF).collect()
+    orig = qt._PACK_BLOCK
+    try:
+        qt._PACK_BLOCK = 7
+        small = qt.q_sequence_pack(spark, SF).collect()
+        qt._PACK_BLOCK = 10**9
+        one = qt.q_sequence_pack(spark, SF).collect()
+    finally:
+        qt._PACK_BLOCK = orig
+    as_t = lambda rows: [tuple(r) for r in rows]
+    assert as_t(base) == as_t(small) == as_t(one)
+    seq_ids = [r["seq_id"] for r in base]
+    assert seq_ids == sorted(seq_ids)
+    assert all(0 <= r["seq_offset"] < qt._PACK_BUDGET for r in base)
+    assert seq_ids[-1] > 0  # the corpus actually spans multiple sequences
