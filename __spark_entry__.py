@@ -41,6 +41,7 @@ _PRIORITY = [
     "decontaminate",
     "lm_score",
     "sequence_pack",
+    "curation_pipeline_v2",
     # unrecorded by the round-2 driver run (all 18 judge-verified in r2)
     "match_navigation",
     "disjunctive_upsert",

@@ -127,6 +127,7 @@ def main() -> None:
         "decontaminate",
         "lm_score",
         "sequence_pack",
+        "curation_pipeline_v2",
         "asof_join",
         "range_join_banded",
         "pii_scrub",

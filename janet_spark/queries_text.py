@@ -436,6 +436,17 @@ def q_chunk_dedup(spark, sf_dir):
     as conversation reassembly. At 100 TB the only all-data shuffles are
     the frequency count (combined map-side) and the per-doc rebuild."""
     docs = t(spark, sf_dir, "documents")
+    return _chunk_rebuild(docs).orderBy("doc_id")
+
+
+def _chunk_rebuild(docs: DataFrame) -> DataFrame:
+    """The chunk-dedup engine over any (doc_id, text) frame: explode the
+    8-word chunk grid, census cross-doc chunks, and rebuild per doc.
+    Flag-and-filter instead of anti-join-then-rejoin: a broadcast LEFT
+    join marks boilerplate chunks map-side, and ONE groupBy(doc_id) both
+    rebuilds the kept text and counts kept/dropped — every doc has >= 1
+    chunk row, so no doc-table re-join is needed to stay total. Returns
+    doc_id, clean_text, n_chunks_kept, n_chunks_dropped (unordered)."""
     words = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
     n_chunks = F.ceil(F.size(words) / F.lit(_CHUNK_WORDS)).cast("long")
     chunk_arr = F.transform(
@@ -451,42 +462,32 @@ def q_chunk_dedup(spark, sf_dir):
         .filter(F.col("nd") > 1)
         .select("chunk")
     )
-    # Flag-and-filter instead of anti-join-then-rejoin: a broadcast LEFT
-    # join marks boilerplate chunks map-side, and ONE groupBy(doc_id) both
-    # rebuilds the kept text and counts kept/dropped — every doc has >= 1
-    # chunk row, so no doc-table re-join is needed to stay total.
     flagged = chunks.join(
         F.broadcast(shared.withColumn("is_shared", F.lit(True))), "chunk", "left"
     )
     kept_row = F.col("is_shared").isNull()
     one, zero = F.lit(1).cast("long"), F.lit(0).cast("long")
-    return (
-        flagged.groupBy("doc_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.filter(
-                        F.array_sort(
-                            F.collect_list(
-                                F.struct(
-                                    F.col("cpos"),
-                                    F.col("chunk"),
-                                    F.coalesce("is_shared", F.lit(False)).alias(
-                                        "drop"
-                                    ),
-                                )
+    return flagged.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("cpos"),
+                                F.col("chunk"),
+                                F.coalesce("is_shared", F.lit(False)).alias("drop"),
                             )
-                        ),
-                        lambda s: ~s["drop"],
+                        )
                     ),
-                    lambda s: s["chunk"],
+                    lambda s: ~s["drop"],
                 ),
-                " ",
-            ).alias("clean_text"),
-            F.sum(F.when(kept_row, one).otherwise(zero)).alias("n_chunks_kept"),
-            F.sum(F.when(kept_row, zero).otherwise(one)).alias("n_chunks_dropped"),
-        )
-        .orderBy("doc_id")
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.sum(F.when(kept_row, one).otherwise(zero)).alias("n_chunks_kept"),
+        F.sum(F.when(kept_row, zero).otherwise(one)).alias("n_chunks_dropped"),
     )
 
 
@@ -625,31 +626,15 @@ _PACK_BUDGET = 512  # tokens per packed training sequence
 _PACK_BLOCK = 100  # doc_ids per prefix-sum block (see scale note below)
 
 
-def q_sequence_pack(spark, sf_dir):
-    """Deterministic contiguous sequence packing: assign documents, in
-    doc_id order, to fixed-token-budget training sequences — each doc
-    lands in the sequence where its exclusive running token total falls
-    (docs stay whole; a doc straddling the boundary belongs to the
-    sequence it starts in). The currency of a pretraining pipeline:
-    packing decides batch shapes and padding waste.
-
-    Scale shape: a global running sum is NOT a global window (that is one
-    reducer holding the corpus). This is the classic two-level distributed
-    prefix sum: (1) cumsum within contiguous doc_id blocks — shuffle keyed
-    by block, every partition bounded at _PACK_BLOCK rows; (2) per-block
-    totals (one tiny row per block) get their own exclusive cumsum on the
-    small side and BROADCAST back as block offsets. At 10^12 docs pick
-    block ~10^7 -> 10^5 offset rows; if blocks themselves outgrow one
-    task, the same construction nests once more. Result is identical to
-    the sequential scan by associativity — pinned by the block-size
-    invariance pytest."""
-    docs = t(spark, sf_dir, "documents")
-    words = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
-    d = docs.select(
-        "doc_id",
-        F.size(words).cast("long").alias("n_tokens"),
-        (F.col("doc_id") / _PACK_BLOCK).cast("long").alias("block"),
-    )
+def _pack_sequences(d: DataFrame) -> DataFrame:
+    """Two-level distributed prefix sum over (doc_id, n_tokens long):
+    (1) cumsum within contiguous doc_id blocks — shuffle keyed by block,
+    every partition bounded at _PACK_BLOCK rows; (2) per-block totals
+    (one tiny row per block) get their own exclusive cumsum on the small
+    side and BROADCAST back as block offsets. Returns doc_id, n_tokens,
+    seq_id, seq_offset. Identical to the sequential scan by associativity
+    — pinned by the block-size-invariance pytest."""
+    d = d.withColumn("block", (F.col("doc_id") / _PACK_BLOCK).cast("long"))
     wb = (
         Window.partitionBy("block")
         .orderBy("doc_id")
@@ -669,14 +654,30 @@ def q_sequence_pack(spark, sf_dir):
     cum_before = F.col("block_offset") + F.col("cum_in_block")
     return (
         within.join(F.broadcast(offsets), "block")
-        .select(
-            "doc_id",
-            "n_tokens",
-            F.floor(cum_before / _PACK_BUDGET).alias("seq_id"),
-            (cum_before % _PACK_BUDGET).alias("seq_offset"),
-        )
-        .orderBy("doc_id")
+        .withColumn("seq_id", F.floor(cum_before / _PACK_BUDGET))
+        .withColumn("seq_offset", cum_before % _PACK_BUDGET)
+        .drop("block", "cum_in_block", "block_offset")
     )
+
+
+def q_sequence_pack(spark, sf_dir):
+    """Deterministic contiguous sequence packing: assign documents, in
+    doc_id order, to fixed-token-budget training sequences — each doc
+    lands in the sequence where its exclusive running token total falls
+    (docs stay whole; a doc straddling the boundary belongs to the
+    sequence it starts in). The currency of a pretraining pipeline:
+    packing decides batch shapes and padding waste.
+
+    Scale shape: a global running sum is NOT a global window (that is one
+    reducer holding the corpus) — see _pack_sequences. At 10^12 docs pick
+    block ~10^7 -> 10^5 offset rows; if blocks themselves outgrow one
+    task, the same construction nests once more."""
+    docs = t(spark, sf_dir, "documents")
+    words = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    d = docs.select("doc_id", F.size(words).cast("long").alias("n_tokens"))
+    return _pack_sequences(d).select(
+        "doc_id", "n_tokens", "seq_id", "seq_offset"
+    ).orderBy("doc_id")
 
 
 ORACLE_SEQUENCE_PACK = """
@@ -695,6 +696,129 @@ SELECT doc_id, n_tokens,
        cum_before // 512 AS seq_id,
        cum_before % 512 AS seq_offset
 FROM c ORDER BY doc_id
+"""
+
+
+_V2_MAX_DUP_WORD = 0.6
+_V2_MAX_XENT = 4.95
+
+
+def q_curation_pipeline_v2(spark, sf_dir):
+    """The full modern pretraining-curation stack as one composed Spark
+    job — the capstone showing the round-3 curation operators compose:
+
+      1. eval-slice exclusion (doc_id % 11 == 0 is never training data)
+      2. repetition gate (>= 10 words, dup-word fraction <= 0.6) — pure
+         expressions, fused into the scan by whole-stage codegen
+      3. benchmark decontamination — broadcast anti-join against the
+         sliding-8-gram removal list (q_decontaminate)
+      4. cross-doc boilerplate chunk removal + ordered rebuild
+         (_chunk_rebuild over the surviving docs); fully-boilerplate
+         docs (0 kept chunks) are dropped
+      5. unigram-LM band (cross-entropy over the survivors' raw words,
+         keep xent <= 4.95 bits — drops the rare-token tail)
+      6. deterministic sequence packing of the survivors by CLEAN token
+         count (_pack_sequences two-level prefix sum)
+
+    Every stage keeps the scale shape of its standalone operator: the
+    only corpus-sized shuffles are the chunk census, the per-doc rebuild,
+    the vocab count and the per-doc score — everything else is broadcast
+    or expression-level. The DuckDB oracle replays the identical chain as
+    one CTE stack, so stage ORDER is verified, not just each stage."""
+    docs = t(spark, sf_dir, "documents")
+    words = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    n_words = F.size(words)
+    dup_word_frac = 1 - F.size(F.array_distinct(words)) / n_words
+    train = docs.filter(
+        (F.col("doc_id") % _EVAL_MOD != 0)
+        & (n_words >= 10)
+        & (dup_word_frac <= _V2_MAX_DUP_WORD)
+    )
+    removal = q_decontaminate(spark, sf_dir).select("doc_id")
+    survivors = train.join(F.broadcast(removal), "doc_id", "left_anti")
+    rebuilt = _chunk_rebuild(survivors).filter(F.col("n_chunks_kept") > 0)
+    occ = survivors.select("doc_id", F.explode(words).alias("word"))
+    vocab = occ.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    total = occ.count()
+    xent = (
+        occ.join(F.broadcast(vocab), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(-F.log2(F.col("c") / F.lit(float(total))))
+                / F.count(F.lit(1)),
+                4,
+            ).alias("xent_bits")
+        )
+        .filter(F.col("xent_bits") <= _V2_MAX_XENT)
+    )
+    clean_tokens = F.size(F.split(F.col("clean_text"), " ")).cast("long")
+    scored = rebuilt.join(xent, "doc_id").select(
+        "doc_id", clean_tokens.alias("n_tokens"), "xent_bits"
+    )
+    return _pack_sequences(scored).select(
+        "doc_id", "n_tokens", "xent_bits", "seq_id", "seq_offset"
+    ).orderBy("doc_id")
+
+
+ORACLE_CURATION_PIPELINE_V2 = """
+WITH d AS (
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS arr FROM documents
+), train AS (
+  SELECT doc_id, arr FROM d
+  WHERE doc_id % 11 != 0 AND len(arr) >= 10
+    AND 1 - len(list_distinct(arr)) / len(arr)::double <= 0.6
+), g AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           list_transform(generate_series(1, greatest(len(arr) - 7, 0)),
+                          i -> array_to_string(arr[i:i+7], ' ')))) AS gram
+  FROM d
+), ev AS (
+  SELECT DISTINCT gram FROM g WHERE doc_id % 11 = 0
+), contaminated AS (
+  SELECT DISTINCT g.doc_id FROM g JOIN ev USING (gram) WHERE g.doc_id % 11 != 0
+), survivors AS (
+  SELECT train.* FROM train ANTI JOIN contaminated USING (doc_id)
+), w AS (
+  SELECT doc_id, unnest(arr) AS word, generate_subscripts(arr, 1) - 1 AS pos
+  FROM survivors
+), c AS (
+  SELECT doc_id, pos // 8 AS cpos, string_agg(word, ' ' ORDER BY pos) AS chunk
+  FROM w GROUP BY doc_id, pos // 8
+), shared AS (
+  SELECT chunk FROM c GROUP BY chunk HAVING count(DISTINCT doc_id) > 1
+), kept AS (
+  SELECT c.* FROM c ANTI JOIN shared USING (chunk)
+), r AS (
+  SELECT doc_id, string_agg(chunk, ' ' ORDER BY cpos) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+), vocab AS (
+  SELECT word, count(*) AS vc FROM w GROUP BY word
+), tot AS (
+  SELECT count(*)::double AS n FROM w
+), x AS (
+  SELECT w.doc_id,
+         round(sum(-log2(vocab.vc / tot.n)) / count(*), 4) AS xent_bits
+  FROM w JOIN vocab USING (word), tot GROUP BY w.doc_id
+), scored AS (
+  SELECT r.doc_id,
+         cast(len(string_split(r.clean_text, ' ')) AS bigint) AS n_tokens,
+         x.xent_bits
+  FROM r JOIN x USING (doc_id)
+  WHERE x.xent_bits <= 4.95 AND r.n_kept > 0
+), packed AS (
+  SELECT doc_id, n_tokens, xent_bits,
+         cast(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bigint)
+           AS cum_before
+  FROM scored
+)
+SELECT doc_id, n_tokens, xent_bits,
+       cum_before // 512 AS seq_id,
+       cum_before % 512 AS seq_offset
+FROM packed ORDER BY doc_id
 """
 
 
@@ -1702,6 +1826,7 @@ TEXT_QUERIES = {
     "decontaminate": (q_decontaminate, ORACLE_DECONTAMINATE),
     "lm_score": (q_lm_score, ORACLE_LM_SCORE),
     "sequence_pack": (q_sequence_pack, ORACLE_SEQUENCE_PACK),
+    "curation_pipeline_v2": (q_curation_pipeline_v2, ORACLE_CURATION_PIPELINE_V2),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, ORACLE_NGRAM_JACCARD_PAIRS),
     "dedup_clusters": (q_dedup_clusters, _dedup_clusters_oracle()),
     "dedup_clusters_lsh": (q_dedup_clusters_lsh, _dedup_clusters_oracle()),
