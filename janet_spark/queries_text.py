@@ -590,10 +590,8 @@ def q_lm_score(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     words = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
     occ = docs.select("doc_id", F.explode(words).alias("word"))
-    vocab = occ.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
-    total = occ.count()  # scalar: one job, folded into the plan as a literal
-    scored = occ.join(F.broadcast(vocab), "word").select(
-        "doc_id", (-F.log2(F.col("c") / F.lit(float(total)))).alias("bits")
+    scored = occ.join(F.broadcast(_vocab_probs(occ)), "word").select(
+        "doc_id", (-F.log2(F.col("c") / F.col("tot"))).alias("bits")
     )
     return (
         scored.groupBy("doc_id")
@@ -603,6 +601,16 @@ def q_lm_score(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+def _vocab_probs(occ: DataFrame) -> DataFrame:
+    """(word, c, tot) from a (doc_id, word) occurrence frame, fully LAZY:
+    the corpus total is the 1-row sum over the vocab aggregate cross-joined
+    back by broadcast — no driver-side count() action, so the occurrence
+    DAG is never executed an extra time just to learn a scalar."""
+    vocab = occ.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").cast("double").alias("tot"))
+    return vocab.crossJoin(F.broadcast(total))
 
 
 ORACLE_LM_SCORE = """
@@ -738,16 +746,12 @@ def q_curation_pipeline_v2(spark, sf_dir):
     survivors = train.join(F.broadcast(removal), "doc_id", "left_anti")
     rebuilt = _chunk_rebuild(survivors).filter(F.col("n_chunks_kept") > 0)
     occ = survivors.select("doc_id", F.explode(words).alias("word"))
-    vocab = occ.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
-    total = occ.count()
     xent = (
-        occ.join(F.broadcast(vocab), "word")
+        occ.join(F.broadcast(_vocab_probs(occ)), "word")
         .groupBy("doc_id")
         .agg(
             F.round(
-                F.sum(-F.log2(F.col("c") / F.lit(float(total))))
-                / F.count(F.lit(1)),
-                4,
+                F.sum(-F.log2(F.col("c") / F.col("tot"))) / F.count(F.lit(1)), 4
             ).alias("xent_bits")
         )
         .filter(F.col("xent_bits") <= _V2_MAX_XENT)
