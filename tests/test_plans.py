@@ -96,3 +96,35 @@ def test_extraction_is_narrow_no_pre_shuffle(spark):
     python_stages = [m.start() for m in re.finditer(r"MapInPandas|ArrowEvalPython", plan)]
     assert python_stages, plan
     assert _shuffles(plan) == 0, plan
+
+
+def test_curation_suite_plan_shapes(spark):
+    """The curation operators' load-bearing invariants: the boilerplate /
+    decontamination / LM probes are BROADCAST joins (never a corpus-keyed
+    shuffle join on the probe side), and sequence packing never plans a
+    corpus-sized single-partition window — its only partition-less window
+    runs over the tiny per-block offsets frame."""
+    from janet_spark.queries_text import (
+        q_chunk_dedup,
+        q_decontaminate,
+        q_lm_score,
+        q_sequence_pack,
+    )
+
+    for fn in (q_chunk_dedup, q_decontaminate, q_lm_score):
+        plan = _plan(fn(spark, SF))
+        assert plan.count("BroadcastHashJoin") >= 1, plan
+        assert "CartesianProduct" not in plan, plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    # lm_score's corpus total rides a BROADCAST nested-loop join of a
+    # 1-row aggregate (the lazy-total shape), never a real cross product
+    lm = _plan(q_lm_score(spark, SF))
+    assert "BroadcastNestedLoopJoin" in lm, lm
+
+    plan = _plan(q_sequence_pack(spark, SF))
+    # per-doc cumsum windows are partitioned by block; the one global-order
+    # window (block offsets) must sit on the small aggregated side, which
+    # planwise means: at most one SinglePartition exchange, fed by the
+    # block-total aggregate, and a broadcast join carries offsets back
+    assert plan.count("Exchange SinglePartition") <= 1, plan
+    assert "BroadcastHashJoin" in plan, plan
