@@ -743,7 +743,12 @@ def q_curation_pipeline_v2(spark, sf_dir):
         & (dup_word_frac <= _V2_MAX_DUP_WORD)
     )
     removal = q_decontaminate(spark, sf_dir).select("doc_id")
-    survivors = train.join(F.broadcast(removal), "doc_id", "left_anti")
+    # persisted: four downstream consumers (chunk census, chunk rebuild,
+    # vocab count, score join) would otherwise each recompute the gate +
+    # decontamination subplan — the executed plan showed 30 table scans
+    # without this, 3 with it. The natural materialization point of the
+    # pipeline (a production run would checkpoint exactly here).
+    survivors = train.join(F.broadcast(removal), "doc_id", "left_anti").persist()
     rebuilt = _chunk_rebuild(survivors).filter(F.col("n_chunks_kept") > 0)
     occ = survivors.select("doc_id", F.explode(words).alias("word"))
     xent = (
