@@ -341,11 +341,18 @@ def q_quality_repetition(spark, sf_dir):
     value-identical): per-gram struct allocation costs more than three
     column-pruned scans running as independent parallel stages."""
     docs = t(spark, sf_dir, "documents")
-    words = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    # words materialized as a column — an inline split inside the
+    # _gram_array transform lambda is re-evaluated per element
+    # (O(words^2) per doc; measured >25x at 200k docs)
+    wdocs = docs.select(
+        "doc_id",
+        F.split(F.coalesce(F.col("text"), F.lit("")), " ").alias("__words"),
+    )
+    words = F.col("__words")
 
     def tagged(n: int) -> DataFrame:
         arr = words if n == 1 else _gram_array(words, n)
-        return docs.select(
+        return wdocs.select(
             "doc_id", F.lit(n).alias("n"), F.explode(arr).alias("gram")
         )
 
@@ -447,7 +454,13 @@ def _chunk_rebuild(docs: DataFrame) -> DataFrame:
     rebuilds the kept text and counts kept/dropped — every doc has >= 1
     chunk row, so no doc-table re-join is needed to stay total. Returns
     doc_id, clean_text, n_chunks_kept, n_chunks_dropped (unordered)."""
-    words = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    # words materialized as a column — an inline split inside the chunk
+    # transform lambda is re-evaluated per element (O(words^2) per doc)
+    wdocs = docs.select(
+        "doc_id",
+        F.split(F.coalesce(F.col("text"), F.lit("")), " ").alias("__words"),
+    )
+    words = F.col("__words")
     n_chunks = F.ceil(F.size(words) / F.lit(_CHUNK_WORDS)).cast("long")
     chunk_arr = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),  # size(words) >= 1 so n_chunks >= 1
@@ -455,7 +468,7 @@ def _chunk_rebuild(docs: DataFrame) -> DataFrame:
             F.slice(words, i * _CHUNK_WORDS + 1, _CHUNK_WORDS), " "
         ),
     )
-    chunks = docs.select("doc_id", F.posexplode(chunk_arr).alias("cpos", "chunk"))
+    chunks = wdocs.select("doc_id", F.posexplode(chunk_arr).alias("cpos", "chunk"))
     shared = (
         chunks.groupBy("chunk")
         .agg(F.countDistinct("doc_id").alias("nd"))
@@ -537,15 +550,21 @@ def q_decontaminate(spark, sf_dir):
     the exploded training grams; the only shuffle is the per-doc hit
     count (map-side combinable)."""
     docs = t(spark, sf_dir, "documents")
-    words = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
-    grams = F.array_distinct(_gram_array(words, _DECONTAM_GRAM))
+    # words materialized as a column — an inline split inside the
+    # _gram_array transform lambda is re-evaluated per element
+    # (O(words^2) per doc)
+    wdocs = docs.select(
+        "doc_id",
+        F.split(F.coalesce(F.col("text"), F.lit("")), " ").alias("__words"),
+    )
+    grams = F.array_distinct(_gram_array(F.col("__words"), _DECONTAM_GRAM))
     is_eval = F.col("doc_id") % _EVAL_MOD == 0
     eval_grams = (
-        docs.filter(is_eval)
+        wdocs.filter(is_eval)
         .select(F.explode(grams).alias("gram"))
         .distinct()
     )
-    train_grams = docs.filter(~is_eval).select(
+    train_grams = wdocs.filter(~is_eval).select(
         "doc_id", F.explode(grams).alias("gram")
     )
     return (
@@ -836,13 +855,20 @@ _SHINGLE_WORDS = 5
 
 
 def _shingle_df(docs: DataFrame) -> DataFrame:
-    words = F.split(F.col("text"), " ")
+    # the split MUST be materialized as a column before the transform
+    # lambda touches it: an inline split expression is re-evaluated on
+    # every lambda element (O(words^2) per doc — measured >25x slowdown
+    # at 200k docs, unbounded on a 10^5-word doc)
+    wdocs = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("__words")
+    )
+    words = F.col("__words")
     n = F.greatest(F.size(words) - (_SHINGLE_WORDS - 1), F.lit(1))
     shingles = F.transform(
         F.sequence(F.lit(1), n),
         lambda i: F.array_join(F.slice(words, i, _SHINGLE_WORDS), " "),
     )
-    return docs.select(
+    return wdocs.select(
         "doc_id", F.explode(F.array_distinct(shingles)).alias("sh")
     )
 
@@ -1495,7 +1521,10 @@ def q_doc_fingerprint_jvm(spark, sf_dir):
     explode, no Python) — the JVM side of the A/B above, kept registered
     against the same oracle so the routing decision stays re-measurable."""
     docs = t(spark, sf_dir, "documents")
-    words = F.split(F.col("text"), " ")
+    # words materialized as a column — an inline split would be
+    # re-evaluated per transform element (O(words^2) per doc)
+    wdocs = docs.select("doc_id", F.split(F.col("text"), " ").alias("__words"))
+    words = F.col("__words")
     n = F.greatest(F.size(words) - (_SHINGLE_WORDS - 1), F.lit(1))
     fp = F.array_min(
         F.transform(
@@ -1503,7 +1532,7 @@ def q_doc_fingerprint_jvm(spark, sf_dir):
             lambda i: F.md5(F.array_join(F.slice(words, i, _SHINGLE_WORDS), " ")),
         )
     )
-    return docs.select("doc_id", fp.alias("fingerprint")).orderBy("doc_id")
+    return wdocs.select("doc_id", fp.alias("fingerprint")).orderBy("doc_id")
 
 
 ORACLE_DOC_FINGERPRINT = f"""

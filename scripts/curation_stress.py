@@ -1,0 +1,141 @@
+"""Curation-suite stress run: scale + skew evidence for the round-3
+curation operators, the analog of the LSH dense-dup run recorded in
+BENCH/BASELINE.md.
+
+Corpus: sf0.1 documents (5,000) replicated x40 with remapped doc_ids
+(200,000 docs, ~10M words), plus two planted adversaries:
+  - a HOT boilerplate chunk (one exact 8-word phrase prepended to every
+    20th doc -> ~10,000 carriers) — stresses the chunk census and the
+    broadcast shared set;
+  - a MEGA doc of 100,000 words (20x the next largest) — stresses the
+    per-row gram/chunk array builders and the per-doc rebuild.
+
+Each operator runs cold then warm (same session); invariants asserted:
+the hot chunk is dropped from every carrier, the mega doc rebuilds and
+packs, row counts scale exactly 40x where expected.
+
+Usage: python scripts/curation_stress.py [sf_dir]  (writes
+BENCH/curation_stress.json)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+REPL = 40
+HOT = "the quick brown fox jumps over lazy dogs"  # exactly 8 words
+
+
+def build_corpus(spark, sf_dir: str, out_dir: str) -> int:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_base = docs.count()
+    k = spark.range(REPL).select(F.col("id").alias("k"))
+    big = (
+        docs.crossJoin(k)
+        .select(
+            (F.col("doc_id") + F.col("k") * 1_000_000).alias("doc_id"),
+            F.when(
+                F.col("doc_id") % 20 == 0, F.concat(F.lit(HOT + " "), F.col("text"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+    )
+    mega_words = " ".join(
+        ["alpha beta gamma delta epsilon zeta eta theta iota kappa"] * 10_000
+    )
+    mega = spark.createDataFrame(
+        [(99_000_000, mega_words, "en", "mega", len(mega_words))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    big.unionByName(mega).repartition(32).write.mode("overwrite").parquet(
+        f"{out_dir}/documents.parquet"
+    )
+    return n_base * REPL + 1
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out_dir = "/tmp/curation_stress"
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    n_docs = build_corpus(spark, sf_dir, out_dir)
+    print(f"corpus: {n_docs} docs")
+
+    from janet_spark.queries_text import (
+        q_chunk_dedup,
+        q_curation_pipeline_v2,
+        q_decontaminate,
+        q_lm_score,
+        q_quality_repetition,
+        q_sequence_pack,
+    )
+
+    results: dict = {"n_docs": n_docs, "replication": REPL, "ops": {}}
+    checks: dict[str, int] = {}
+    for name, fn in [
+        ("quality_repetition", q_quality_repetition),
+        ("chunk_dedup", q_chunk_dedup),
+        ("decontaminate", q_decontaminate),
+        ("lm_score", q_lm_score),
+        ("sequence_pack", q_sequence_pack),
+        ("curation_pipeline_v2", q_curation_pipeline_v2),
+    ]:
+        times = []
+        rows = 0
+        for _ in range(2):
+            t0 = time.time()
+            rows = fn(spark, out_dir).count()
+            times.append(round(time.time() - t0, 2))
+        results["ops"][name] = {"rows": rows, "cold_s": times[0], "warm_s": times[1]}
+        print(f"{name}: rows={rows} cold={times[0]}s warm={times[1]}s")
+
+    # invariants
+    cd = q_chunk_dedup(spark, out_dir)
+    hot_left = cd.filter(F.col("clean_text").contains(HOT)).count()
+    assert hot_left == 0, f"hot chunk survived in {hot_left} docs"
+    mega = cd.filter(F.col("doc_id") == 99_000_000).collect()[0]
+    assert mega["n_chunks_kept"] + mega["n_chunks_dropped"] == 12_500
+    checks["hot_chunk_dropped_everywhere"] = 1
+    checks["mega_doc_chunks"] = 12_500
+
+    packed = q_sequence_pack(spark, out_dir)
+    n_seqs = packed.agg(F.max("seq_id")).collect()[0][0]
+    checks["n_packed_sequences"] = int(n_seqs)
+
+    # a 40x-replicated corpus is PURE cross-doc duplication: every grid
+    # chunk appears in 40 docs, so the composed pipeline must classify
+    # the whole corpus as boilerplate and emit nothing — the correct
+    # answer, asserted as a semantic invariant rather than a surprise
+    v2_rows = results["ops"]["curation_pipeline_v2"]["rows"]
+    assert v2_rows == 0, f"replicated corpus should fully collapse, got {v2_rows}"
+    checks["replicated_corpus_collapses_to_zero"] = 1
+    results["checks"] = checks
+
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/curation_stress.json", "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps({k: v for k, v in results.items() if k != "ops"}))
+    print("wrote BENCH/curation_stress.json")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
