@@ -312,6 +312,20 @@ FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY dup_key
 """
 
 
+def _word_docs(docs: DataFrame, coalesce_null: bool = True) -> DataFrame:
+    """(doc_id, __words) with the split MATERIALIZED as a column. Every
+    n-gram/shingle/chunk builder must reference this column, never an
+    inline split expression: an expression captured inside a transform()
+    lambda is re-evaluated on every array element (O(words^2) per doc —
+    measured >25x slower at 200k docs, unbounded on a 10^5-word doc).
+    coalesce_null=False preserves SQL NULL propagation (NULL text ->
+    NULL words -> NULL result / dropped explode row)."""
+    text = F.col("text")
+    if coalesce_null:
+        text = F.coalesce(text, F.lit(""))
+    return docs.select("doc_id", F.split(text, " ").alias("__words"))
+
+
 def _gram_array(words, n: int):
     """Array of the word n-grams of `words`, in order, JVM-side. Empty when
     the doc has fewer than n words (sequence is built over at least one
@@ -341,13 +355,7 @@ def q_quality_repetition(spark, sf_dir):
     value-identical): per-gram struct allocation costs more than three
     column-pruned scans running as independent parallel stages."""
     docs = t(spark, sf_dir, "documents")
-    # words materialized as a column — an inline split inside the
-    # _gram_array transform lambda is re-evaluated per element
-    # (O(words^2) per doc; measured >25x at 200k docs)
-    wdocs = docs.select(
-        "doc_id",
-        F.split(F.coalesce(F.col("text"), F.lit("")), " ").alias("__words"),
-    )
+    wdocs = _word_docs(docs)
     words = F.col("__words")
 
     def tagged(n: int) -> DataFrame:
@@ -454,12 +462,7 @@ def _chunk_rebuild(docs: DataFrame) -> DataFrame:
     rebuilds the kept text and counts kept/dropped — every doc has >= 1
     chunk row, so no doc-table re-join is needed to stay total. Returns
     doc_id, clean_text, n_chunks_kept, n_chunks_dropped (unordered)."""
-    # words materialized as a column — an inline split inside the chunk
-    # transform lambda is re-evaluated per element (O(words^2) per doc)
-    wdocs = docs.select(
-        "doc_id",
-        F.split(F.coalesce(F.col("text"), F.lit("")), " ").alias("__words"),
-    )
+    wdocs = _word_docs(docs)
     words = F.col("__words")
     n_chunks = F.ceil(F.size(words) / F.lit(_CHUNK_WORDS)).cast("long")
     chunk_arr = F.transform(
@@ -550,13 +553,7 @@ def q_decontaminate(spark, sf_dir):
     the exploded training grams; the only shuffle is the per-doc hit
     count (map-side combinable)."""
     docs = t(spark, sf_dir, "documents")
-    # words materialized as a column — an inline split inside the
-    # _gram_array transform lambda is re-evaluated per element
-    # (O(words^2) per doc)
-    wdocs = docs.select(
-        "doc_id",
-        F.split(F.coalesce(F.col("text"), F.lit("")), " ").alias("__words"),
-    )
+    wdocs = _word_docs(docs)
     grams = F.array_distinct(_gram_array(F.col("__words"), _DECONTAM_GRAM))
     is_eval = F.col("doc_id") % _EVAL_MOD == 0
     eval_grams = (
@@ -765,8 +762,11 @@ def q_curation_pipeline_v2(spark, sf_dir):
     # persisted: four downstream consumers (chunk census, chunk rebuild,
     # vocab count, score join) would otherwise each recompute the gate +
     # decontamination subplan — the executed plan showed 30 table scans
-    # without this, 3 with it. The natural materialization point of the
-    # pipeline (a production run would checkpoint exactly here).
+    # without this, 3 with it. The cache lives for the session (lazy
+    # evaluation means consumers run after this function returns, so
+    # unpersist-on-return is impossible); a production run replaces this
+    # persist with a staged-parquet checkpoint — this is exactly the
+    # pipeline's natural materialization/restart point.
     survivors = train.join(F.broadcast(removal), "doc_id", "left_anti").persist()
     rebuilt = _chunk_rebuild(survivors).filter(F.col("n_chunks_kept") > 0)
     occ = survivors.select("doc_id", F.explode(words).alias("word"))
@@ -855,13 +855,7 @@ _SHINGLE_WORDS = 5
 
 
 def _shingle_df(docs: DataFrame) -> DataFrame:
-    # the split MUST be materialized as a column before the transform
-    # lambda touches it: an inline split expression is re-evaluated on
-    # every lambda element (O(words^2) per doc — measured >25x slowdown
-    # at 200k docs, unbounded on a 10^5-word doc)
-    wdocs = docs.select(
-        "doc_id", F.split(F.col("text"), " ").alias("__words")
-    )
+    wdocs = _word_docs(docs, coalesce_null=False)
     words = F.col("__words")
     n = F.greatest(F.size(words) - (_SHINGLE_WORDS - 1), F.lit(1))
     shingles = F.transform(
@@ -1486,7 +1480,9 @@ def q_doc_fingerprint(spark, sf_dir):
     expression variant below allocates a UTF8String per shingle in
     array_join and ran 2.5x slower warm at sf0.1 on 32 cores (1.57 s vs
     0.63 s, value-identical). Hex md5 min compares identically in both
-    engines (lowercase hex, lexicographic)."""
+    engines (lowercase hex, lexicographic). NULL text propagates to a
+    NULL fingerprint, matching the oracle's string_split(NULL) and the
+    JVM twin's split(NULL) — all three variants NULL-agree."""
     import hashlib
 
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1495,7 +1491,10 @@ def q_doc_fingerprint(spark, sf_dir):
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"].fillna("")):
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None or (isinstance(text, float) and pd.isna(text)):
+                    out.append((int(doc_id), None))
+                    continue
                 w = text.split(" ")
                 if len(w) < k:
                     shingles = [" ".join(w)]
@@ -1521,9 +1520,7 @@ def q_doc_fingerprint_jvm(spark, sf_dir):
     explode, no Python) — the JVM side of the A/B above, kept registered
     against the same oracle so the routing decision stays re-measurable."""
     docs = t(spark, sf_dir, "documents")
-    # words materialized as a column — an inline split would be
-    # re-evaluated per transform element (O(words^2) per doc)
-    wdocs = docs.select("doc_id", F.split(F.col("text"), " ").alias("__words"))
+    wdocs = _word_docs(docs, coalesce_null=False)
     words = F.col("__words")
     n = F.greatest(F.size(words) - (_SHINGLE_WORDS - 1), F.lit(1))
     fp = F.array_min(

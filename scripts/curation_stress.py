@@ -118,7 +118,7 @@ def main() -> int:
 
     packed = q_sequence_pack(spark, out_dir)
     n_seqs = packed.agg(F.max("seq_id")).collect()[0][0]
-    checks["n_packed_sequences"] = int(n_seqs)
+    checks["n_packed_sequences"] = int(n_seqs) + 1  # seq_id is 0-based
 
     # a 40x-replicated corpus is PURE cross-doc duplication: every grid
     # chunk appears in 40 docs, so the composed pipeline must classify

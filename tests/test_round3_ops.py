@@ -448,3 +448,41 @@ def test_sequence_pack_block_invariance(spark):
     assert seq_ids == sorted(seq_ids)
     assert all(0 <= r["seq_offset"] < qt._PACK_BUDGET for r in base)
     assert seq_ids[-1] > 0  # the corpus actually spans multiple sequences
+
+
+def test_doc_fingerprint_variants_null_agree(spark, tmp_path):
+    """NULL text must produce a NULL fingerprint in BOTH engine variants
+    and the DuckDB oracle (string_split(NULL) -> NULL) — the Python
+    rewrite initially coalesced NULL to '' and silently diverged from its
+    own oracle; pinned here with an actual NULL row."""
+    import duckdb
+    import pandas as pd
+
+    from janet_spark.queries_text import (
+        ORACLE_DOC_FINGERPRINT,
+        q_doc_fingerprint,
+        q_doc_fingerprint_jvm,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": ["alpha beta gamma delta epsilon zeta", None, "short text"],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [36, 0, 10],
+        }
+    )
+    sf = str(tmp_path)
+    spark.createDataFrame(pdf).write.parquet(f"{sf}/documents.parquet")
+
+    py = {r["doc_id"]: r["fingerprint"] for r in q_doc_fingerprint(spark, sf).collect()}
+    jvm = {r["doc_id"]: r["fingerprint"] for r in q_doc_fingerprint_jvm(spark, sf).collect()}
+    assert py == jvm
+    assert py[1] is None  # NULL propagates
+    assert py[0] is not None and py[2] is not None
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'")
+    want = {int(d): f for d, f in con.sql(ORACLE_DOC_FINGERPRINT).fetchall()}
+    assert {k: v for k, v in py.items()} == want
