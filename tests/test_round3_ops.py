@@ -486,3 +486,58 @@ def test_doc_fingerprint_variants_null_agree(spark, tmp_path):
     con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'")
     want = {int(d): f for d, f in con.sql(ORACLE_DOC_FINGERPRINT).fetchall()}
     assert {k: v for k, v in py.items()} == want
+
+
+def test_gram_and_chunk_builders_property(spark):
+    """Property: the JVM _gram_array and the chunk grid agree with the
+    obvious pure-Python reference for arbitrary word lists — including
+    n > len(words), single-word, and empty-string words. One Spark round
+    trip evaluates all hypothesis cases at once (a per-example round trip
+    would take minutes)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from janet_spark.queries_text import _CHUNK_WORDS, _gram_array
+    from pyspark.sql import functions as F
+
+    cases: list[list[str]] = []
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.text(alphabet="ab ", min_size=0, max_size=3).map(lambda s: s.replace(" ", "x")), min_size=0, max_size=12))
+    def collect(words):
+        cases.append(words)
+
+    collect()
+    texts = [" ".join(w) for w in cases]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    wdf = df.select(
+        "doc_id", F.split(F.coalesce(F.col("text"), F.lit("")), " ").alias("__words")
+    )
+    got = {
+        r["doc_id"]: (r["g2"], r["g5"])
+        for r in wdf.select(
+            "doc_id",
+            _gram_array(F.col("__words"), 2).alias("g2"),
+            _gram_array(F.col("__words"), 5).alias("g5"),
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        w = t.split(" ")  # NOTE: ''.split(' ') == [''] — same as Spark split
+        for n, g in ((2, got[i][0]), (5, got[i][1])):
+            expect = [" ".join(w[j : j + n]) for j in range(len(w) - n + 1)]
+            assert g == expect, (t, n, g, expect)
+
+    # chunk grid: non-overlapping _CHUNK_WORDS-word groups, in order,
+    # concatenation round-trips to the original text
+    from janet_spark.queries_text import _chunk_rebuild
+
+    solo = _chunk_rebuild(df.filter(F.col("doc_id") < 30)).collect()
+    for r in solo:
+        base = texts[r["doc_id"]]
+        # with (near-)unique texts nothing repeats cross-doc except
+        # possibly tiny degenerate strings; just check the round trip
+        # when nothing was dropped
+        if r["n_chunks_dropped"] == 0:
+            assert r["clean_text"] == base
