@@ -42,6 +42,7 @@ _PRIORITY = [
     "lm_score",
     "sequence_pack",
     "curation_pipeline_v2",
+    "mixture_weights",
     # unrecorded by the round-2 driver run (all 18 judge-verified in r2)
     "match_navigation",
     "disjunctive_upsert",

@@ -128,6 +128,7 @@ def main() -> None:
         "lm_score",
         "sequence_pack",
         "curation_pipeline_v2",
+        "mixture_weights",
         "asof_join",
         "range_join_banded",
         "pii_scrub",

@@ -723,6 +723,57 @@ FROM c ORDER BY doc_id
 """
 
 
+def q_mixture_weights(spark, sf_dir):
+    """Domain-mixing weights: per-source token share of the corpus and
+    the resampling weight that would rebalance sources to a UNIFORM
+    target mixture (weight = target_share / actual_share) — the knob a
+    pretraining pipeline turns to hit its data recipe. One
+    map-side-combinable groupBy; corpus totals ride the same lazy 1-row
+    broadcast as the LM scorer (no driver action, no second scan)."""
+    docs = t(spark, sf_dir, "documents")
+    words = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    per_source = (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(words)).cast("long").alias("n_tokens"),
+        )
+    )
+    totals = per_source.agg(
+        F.sum("n_tokens").cast("double").alias("tot_tokens"),
+        F.count(F.lit(1)).cast("double").alias("n_sources"),
+    )
+    share = F.col("n_tokens") / F.col("tot_tokens")
+    return (
+        per_source.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(share, 6).alias("token_share"),
+            F.round((1 / F.col("n_sources")) / share, 6).alias("uniform_weight"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_MIXTURE_WEIGHTS = """
+WITH s AS (
+  SELECT source, count(*) AS n_docs,
+         cast(sum(len(string_split(coalesce(text, ''), ' '))) AS bigint)
+           AS n_tokens
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT sum(n_tokens)::double AS tot_tokens, count(*)::double AS n_sources
+  FROM s
+)
+SELECT source, n_docs, n_tokens,
+       round(n_tokens / tot_tokens, 6) AS token_share,
+       round((1 / n_sources) / (n_tokens / tot_tokens), 6) AS uniform_weight
+FROM s, tot ORDER BY source
+"""
+
+
 _V2_MAX_DUP_WORD = 0.6
 _V2_MAX_XENT = 4.95
 
@@ -1862,6 +1913,7 @@ TEXT_QUERIES = {
     "lm_score": (q_lm_score, ORACLE_LM_SCORE),
     "sequence_pack": (q_sequence_pack, ORACLE_SEQUENCE_PACK),
     "curation_pipeline_v2": (q_curation_pipeline_v2, ORACLE_CURATION_PIPELINE_V2),
+    "mixture_weights": (q_mixture_weights, ORACLE_MIXTURE_WEIGHTS),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, ORACLE_NGRAM_JACCARD_PAIRS),
     "dedup_clusters": (q_dedup_clusters, _dedup_clusters_oracle()),
     "dedup_clusters_lsh": (q_dedup_clusters_lsh, _dedup_clusters_oracle()),
