@@ -400,3 +400,65 @@ def enrich_with_label_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def curate_turns_stream(
+    spark: SparkSession,
+    input_dir: str,
+    eval_grams: frozenset[str],
+    output_dir: str,
+    checkpoint_dir: str,
+    min_words: int = 5,
+    max_dup_word_frac: float = 0.8,
+) -> StreamingQuery:
+    """Streaming CURATION GATE over a live turn ingest: the stateless
+    repetition/quality filter (word count + duplicate-word fraction —
+    pure JVM expressions, no state, no watermark) composed with streaming
+    DECONTAMINATION: each surviving turn's sliding 8-grams are probed
+    against the held-out benchmark gram set and any hit drops the turn
+    before it ever reaches the training store.
+
+    Why a broadcast SET probe and not a join: an anti join of the turn
+    stream against its own exploded grams is a stream-stream join (append
+    mode forbids it without watermark state), and a per-gram stream-static
+    join plus per-turn re-aggregation would need watermarked state too.
+    The eval gram set is SMALL by definition (benchmarks are thousands of
+    docs); shipping it to executors as a broadcast artifact and probing
+    per batch is stateless, shuffle-free, and is exactly how production
+    decontamination deploys (a compiled filter artifact — same pattern as
+    a KenLM binary). The batch operator (queries_text.q_decontaminate)
+    remains the full-corpus backstop and the oracle-checked semantics."""
+    import pandas as pd
+
+    from janet_spark.queries_text import _DECONTAM_GRAM
+
+    bset = spark.sparkContext.broadcast(frozenset(eval_grams))
+    k = _DECONTAM_GRAM
+
+    stream = read_transcript_stream(spark, input_dir)
+    words = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    n_words = F.size(words)
+    dup_frac = 1 - F.size(F.array_distinct(words)) / n_words
+    gated = stream.filter((n_words >= min_words) & (dup_frac <= max_dup_word_frac))
+
+    def drop_contaminated(batches):
+        s = bset.value
+        for pdf in batches:
+            keep = []
+            for text in pdf["text"]:
+                w = (text or "").split(" ")
+                grams = (
+                    " ".join(w[i : i + k]) for i in range(max(len(w) - k + 1, 0))
+                )
+                keep.append(not any(g in s for g in grams))
+            yield pdf[pd.Series(keep, index=pdf.index)]
+
+    clean = gated.mapInPandas(drop_contaminated, schema=gated.schema)
+    return (
+        clean.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

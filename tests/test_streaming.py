@@ -341,3 +341,47 @@ def test_update_index_stream_additive_merge(spark, tmp_path):
     assert got == want
     # 'spark' appears twice in doc 2 but counts once (df, not tf)
     assert got["spark"] == 2 and got["merge"] == 2 and got["sort"] == 2
+
+
+def test_curate_turns_stream_gate_and_decontamination(spark, tmp_path):
+    """The streaming curation gate: (a) a too-short turn and a
+    high-repetition turn are dropped by the stateless quality filter;
+    (b) a turn carrying a benchmark 8-gram is dropped by the broadcast
+    decontamination probe; (c) clean turns pass through unmodified; and
+    the second micro-batch behaves identically (no state involved)."""
+    import datetime as dt
+
+    from janet_spark.streaming import curate_turns_stream
+
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    bench8 = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words
+    ts = dt.datetime(2026, 1, 1)
+    mk = lambda cid, idx, text: {
+        "conv_id": cid, "turn_idx": idx, "role": "user",
+        "text": text, "tool": None, "ts": ts,
+    }
+    b1 = pd.DataFrame([
+        mk("c1", 0, "a perfectly ordinary clean turn with plenty of words"),
+        mk("c1", 1, "too short"),                              # quality: < 5 words
+        mk("c1", 2, "dup dup dup dup dup dup dup dup"),        # repetition
+        mk("c1", 3, f"prefix {bench8} suffix words here now"),  # contaminated
+    ])
+    _write_batch(spark, b1, landing)
+    grams = frozenset([bench8])
+    q = curate_turns_stream(spark, landing, grams, out, ckpt)
+    q.awaitTermination(120)
+    got1 = {r["turn_idx"] for r in spark.read.parquet(out).collect()}
+    assert got1 == {0}
+
+    b2 = pd.DataFrame([
+        mk("c2", 0, "another clean and sufficiently long turn right here"),
+        mk("c2", 1, f"{bench8} leading contamination and then some text"),
+    ])
+    _write_batch(spark, b2, landing)
+    q = curate_turns_stream(spark, landing, grams, out, ckpt)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out).select("conv_id", "turn_idx").collect()
+    assert {(r["conv_id"], r["turn_idx"]) for r in got} == {("c1", 0), ("c2", 0)}
