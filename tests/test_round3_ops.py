@@ -423,6 +423,56 @@ def test_decontaminate_and_lm_score_semantics(spark, tmp_path):
     assert all(v > 0 for v in scores.values())
 
 
+def test_curation_ops_null_rows_match_oracles(spark, tmp_path):
+    """NULL/empty text rows through decontaminate, lm_score and
+    mixture_weights (incl. a NULL source), cross-checked against the
+    DuckDB oracles — extends the NULL-semantics pinning the round-2
+    advisor asked for to the curation suite."""
+    import duckdb
+    import pandas as pd
+
+    from janet_spark.queries_text import (
+        ORACLE_DECONTAMINATE,
+        ORACLE_LM_SCORE,
+        ORACLE_MIXTURE_WEIGHTS,
+        q_decontaminate,
+        q_lm_score,
+        q_mixture_weights,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 11, 12],
+            "text": [
+                "some ordinary words in a document right here",
+                None,
+                "",
+                "eval slice doc with benchmark phrasing inside it today",
+                "train doc with benchmark phrasing inside it today also",
+            ],
+            "lang": ["en"] * 5,
+            "source": ["s1", None, "s1", "s2", None],
+            "n_chars": [10, 0, 0, 20, 20],
+        }
+    )
+    sf = str(tmp_path)
+    spark.createDataFrame(pdf).repartition(2).write.parquet(f"{sf}/documents.parquet")
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'")
+    for q_fn, oracle in [
+        (q_decontaminate, ORACLE_DECONTAMINATE),
+        (q_lm_score, ORACLE_LM_SCORE),
+        (q_mixture_weights, ORACLE_MIXTURE_WEIGHTS),
+    ]:
+        got = q_fn(spark, sf).toPandas()
+        want = con.sql(oracle).df()
+        cols = sorted(got.columns)
+        assert cols == sorted(want.columns)
+        g = got[cols].astype(str).sort_values(cols).reset_index(drop=True)
+        w = want[cols].astype(str).sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(g, w)
+
+
 def test_sequence_pack_block_invariance(spark):
     """The two-level distributed prefix sum must equal the sequential
     scan for ANY block size (associativity); run the same packing with a
