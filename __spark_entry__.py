@@ -25,6 +25,7 @@ SF0001 = "/root/testdata/sf0.001"
 # script evidence stands in.
 _PRIORITY = [
     # new in round 3
+    "incremental_neardup",
     "ranked_search",
     "fuzzy_search",
     "typo_ranked_search",

@@ -1184,6 +1184,70 @@ def _doc_shingles(text: str) -> list[str]:
 _LSH_HOT_BUCKET_CAP = 256
 
 
+def _band_df(docs: DataFrame) -> DataFrame:
+    """MinHash sign stage shared by the full miner and the incremental
+    delta miner: (doc_id, band_key) with ONE int64 key per (doc, band).
+    See q_minhash_lsh_pairs for the measured rationale — why signing stays
+    Python-side (C-speed crc32 over slices of one cached str beats JVM
+    array_join's per-shingle UTF8String allocation 2x on this box) and why
+    band keys are mixed down to int64 (widest shuffle of the query; fixed-
+    width keys hash/compare JVM-side with no string allocation; a mixing
+    collision can only CREATE a candidate, never lose one, and every
+    candidate is exact-Jaccard-verified)."""
+    _mix = np.array(
+        [0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9, 0x27D4EB2F165667C5],
+        dtype=np.uint64,
+    )
+
+    def sig_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        band_idx = np.arange(_MH_BANDS, dtype=np.uint64)
+        for pdf in batches:
+            ids = []
+            keys = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"].fillna("")):
+                sig = _minhash_signature(_doc_shingles(text))
+                chunks = sig.astype(np.uint64).reshape(_MH_BANDS, _MH_ROWS)
+                mixed = (chunks * _mix[None, :]).sum(axis=1, dtype=np.uint64)
+                mixed ^= mixed >> np.uint64(33)
+                mixed = mixed * np.uint64(0xFF51AFD7ED558CCD) + band_idx
+                ids.append(np.full(_MH_BANDS, doc_id, dtype=np.int64))
+                keys.append(mixed.view(np.int64))
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.concatenate(ids),
+                    "band_key": np.concatenate(keys),
+                }
+            )
+
+    return docs.mapInPandas(sig_batches, schema="doc_id long, band_key long")
+
+
+def _verify_candidates(docs: DataFrame, candidates: DataFrame) -> DataFrame:
+    """Shared verify tail: exact-Jaccard check of candidate (d1, d2) pairs.
+    Dedups + persists the candidates (consumed by the verify join AND the
+    semi-join below), then SEMI-JOINS the shingle table down to docs that
+    appear in any pair: near-dup candidates are a vanishing fraction of the
+    corpus at scale, so this prunes the shingle explode — the widest
+    intermediate of the whole query — from corpus-sized to candidate-sized."""
+    candidates = candidates.distinct().persist()
+    cand_docs = (
+        candidates.select(F.col("d1").alias("doc_id"))
+        .unionByName(candidates.select(F.col("d2").alias("doc_id")))
+        .distinct()
+    )
+    sh = _shingle_df(docs.join(cand_docs, "doc_id", "left_semi"))
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    s1 = sh.select(F.col("doc_id").alias("d1"), F.col("sh").alias("sh1"))
+    s2 = sh.select(F.col("doc_id").alias("d2_r"), F.col("sh").alias("sh2"))
+    inter = (
+        candidates.join(s1, "d1")
+        .join(s2, (F.col("d2") == F.col("d2_r")) & (F.col("sh1") == F.col("sh2")))
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return _jaccard_filter(inter, counts)
+
+
 def q_minhash_lsh_pairs(spark, sf_dir, hot_bucket_cap=_LSH_HOT_BUCKET_CAP):
     """MinHash + LSH banding near-dup pairs (the 100 TB-scale dedup path):
     signature per doc (vectorized numpy inside mapInPandas), band keys
@@ -1223,38 +1287,13 @@ def q_minhash_lsh_pairs(spark, sf_dir, hot_bucket_cap=_LSH_HOT_BUCKET_CAP):
     # hashing together), never lose one — and every candidate is verified
     # by exact Jaccard below, so the key scheme is correctness-neutral by
     # construction (measured: 4.1 s -> see BENCH note).
-    _mix = np.array(
-        [0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9, 0x27D4EB2F165667C5],
-        dtype=np.uint64,
-    )
-
-    def sig_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        band_idx = np.arange(_MH_BANDS, dtype=np.uint64)
-        for pdf in batches:
-            ids = []
-            keys = []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"].fillna("")):
-                sig = _minhash_signature(_doc_shingles(text))
-                chunks = sig.astype(np.uint64).reshape(_MH_BANDS, _MH_ROWS)
-                mixed = (chunks * _mix[None, :]).sum(axis=1, dtype=np.uint64)
-                mixed ^= mixed >> np.uint64(33)
-                mixed = mixed * np.uint64(0xFF51AFD7ED558CCD) + band_idx
-                ids.append(np.full(_MH_BANDS, doc_id, dtype=np.int64))
-                keys.append(mixed.view(np.int64))
-            yield pd.DataFrame(
-                {
-                    "doc_id": np.concatenate(ids),
-                    "band_key": np.concatenate(keys),
-                }
-            )
-
-    # the signature stage feeds THREE consumers (census, both self-join
+    #
+    # The signature stage feeds THREE consumers (census, both self-join
     # sides); persist so the minhash UDF runs once per row, not per branch.
     # In a production pipeline this is a materialized signature table — the
-    # natural checkpoint between 'sign' and 'pair' stages of a dedup run.
-    bands = docs.mapInPandas(
-        sig_batches, schema="doc_id long, band_key long"
-    ).persist()
+    # natural checkpoint between 'sign' and 'pair' stages of a dedup run
+    # (and the table the incremental miner below reads instead of signing).
+    bands = _band_df(docs).persist()
     # bucket census as a map-side-combinable agg joined back on band_key —
     # NOT a window (a window would sort the full band table; the agg output
     # is one row per distinct band key, and AQE picks broadcast vs shuffle
@@ -1275,32 +1314,83 @@ def q_minhash_lsh_pairs(spark, sf_dir, hot_bucket_cap=_LSH_HOT_BUCKET_CAP):
         sized.filter((F.col("bkt_n") > hot_bucket_cap) & (F.col("doc_id") != F.col("bkt_rep")))
         .select(F.col("bkt_rep").alias("d1"), F.col("doc_id").alias("d2"))
     )
-    # persisted: consumed by the verify join AND the cand_docs semi-join
-    # below (without this, the band self-join would execute twice)
-    candidates = cold_pairs.unionByName(star_pairs).distinct().persist()
+    return _verify_candidates(docs, cold_pairs.unionByName(star_pairs))
 
-    # exact-Jaccard verification of candidates only. The shingle table is
-    # first SEMI-JOINED down to docs that appear in any candidate pair:
-    # near-dup candidates are a vanishing fraction of the corpus at scale,
-    # so this prunes the explode + both verify joins from corpus-sized to
-    # candidate-sized (the shingle explode is the widest intermediate in
-    # the whole query).
-    cand_docs = (
-        candidates.select(F.col("d1").alias("doc_id"))
-        .unionByName(candidates.select(F.col("d2").alias("doc_id")))
-        .distinct()
+
+# Deterministic stand-in for "arrived since the last run": the incremental
+# miner treats doc_id % 7 == 0 as today's delta batch and the rest as the
+# already-deduped corpus. Any reproducible predicate works; mod keeps the
+# DuckDB oracle a one-line WHERE clause.
+_DELTA_MOD = 7
+
+
+def q_incremental_neardup(spark, sf_dir, hot_bucket_cap=_LSH_HOT_BUCKET_CAP):
+    """Incremental near-dup: today's delta batch vs the existing corpus —
+    the shape a production dedup run actually takes daily. In production
+    the corpus side's band table is the materialized signature table that
+    q_minhash_lsh_pairs persists between its 'sign' and 'pair' stages,
+    maintained across runs; only the delta gets signed each day. (Here both
+    sides come from _band_df over the same parquet for test determinism,
+    but the corpus side never feeds a self-join.)
+
+    Scale shape: candidates come from joining the DELTA band rows (small —
+    AQE broadcasts them) against the full band table on band_key, so
+    per-run cost is O(|delta| x bucket size) and base x base pairs are
+    structurally impossible to emit — the corpus never re-pairs with
+    itself. Buckets above `hot_bucket_cap` fall back to the same star
+    expansion as the full miner (delta members pair with the bucket
+    representative; when the representative is itself new, the star also
+    reaches the old members so every delta-touching pair survives the cap).
+    Output = every near-dup pair with at least one delta endpoint,
+    exact-Jaccard-verified; oracle = the exact pair SQL filtered to
+    delta-touching pairs."""
+    docs = t(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % _DELTA_MOD == 0
+    bands = _band_df(docs).persist()
+    delta_bands = bands.filter(is_new)
+    bucket_sizes = bands.groupBy("band_key").agg(
+        F.count(F.lit(1)).alias("bkt_n"), F.min("doc_id").alias("bkt_rep")
     )
-    sh = _shingle_df(docs.join(cand_docs, "doc_id", "left_semi"))
-    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    s1 = sh.select(F.col("doc_id").alias("d1"), F.col("sh").alias("sh1"))
-    s2 = sh.select(F.col("doc_id").alias("d2_r"), F.col("sh").alias("sh2"))
-    inter = (
-        candidates.join(s1, "d1")
-        .join(s2, (F.col("d2") == F.col("d2_r")) & (F.col("sh1") == F.col("sh2")))
-        .groupBy("d1", "d2")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    sized_delta = delta_bands.join(bucket_sizes, "band_key")
+    a = sized_delta.filter(F.col("bkt_n") <= hot_bucket_cap).alias("a")
+    b = bands.alias("b")
+    # new x new pairs arrive twice (once from each endpoint's delta row);
+    # least/greatest orients them identically and the verify tail dedups.
+    cold_pairs = a.join(
+        b,
+        (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("a.doc_id") != F.col("b.doc_id")),
+    ).select(
+        F.least("a.doc_id", "b.doc_id").alias("d1"),
+        F.greatest("a.doc_id", "b.doc_id").alias("d2"),
     )
-    return _jaccard_filter(inter, counts)
+    # bkt_rep = min(doc_id) over the bucket, so rep < member always holds
+    # and star pairs are already (d1, d2)-oriented
+    hot_delta = sized_delta.filter(
+        (F.col("bkt_n") > hot_bucket_cap) & (F.col("doc_id") != F.col("bkt_rep"))
+    ).select(F.col("bkt_rep").alias("d1"), F.col("doc_id").alias("d2"))
+    hot_rep_new = (
+        bands.join(
+            bucket_sizes.filter(
+                (F.col("bkt_n") > hot_bucket_cap)
+                & (F.col("bkt_rep") % _DELTA_MOD == 0)
+            ),
+            "band_key",
+        )
+        .filter(F.col("doc_id") != F.col("bkt_rep"))
+        .select(F.col("bkt_rep").alias("d1"), F.col("doc_id").alias("d2"))
+    )
+    candidates = cold_pairs.unionByName(hot_delta).unionByName(hot_rep_new)
+    return _verify_candidates(docs, candidates)
+
+
+def _incremental_neardup_oracle() -> str:
+    pair_sql = ORACLE_NGRAM_JACCARD_PAIRS.replace("ORDER BY d1, d2", "")
+    return f"""
+SELECT * FROM ({pair_sql})
+WHERE d1 % {_DELTA_MOD} = 0 OR d2 % {_DELTA_MOD} = 0
+ORDER BY d1, d2
+"""
 
 
 def q_simhash(spark, sf_dir):
@@ -1918,6 +2008,7 @@ TEXT_QUERIES = {
     "dedup_clusters": (q_dedup_clusters, _dedup_clusters_oracle()),
     "dedup_clusters_lsh": (q_dedup_clusters_lsh, _dedup_clusters_oracle()),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, ORACLE_NGRAM_JACCARD_PAIRS),
+    "incremental_neardup": (q_incremental_neardup, _incremental_neardup_oracle()),
     "simhash": (q_simhash, ORACLE_SIMHASH),
     "ann_cosine_topk": (q_ann_cosine_topk, ORACLE_ANN_COSINE_TOPK),
     "embed_neardup_blocked": (q_embed_neardup_blocked, ORACLE_EMBED_NEARDUP_BLOCKED),

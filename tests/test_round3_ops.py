@@ -591,3 +591,74 @@ def test_gram_and_chunk_builders_property(spark):
         # when nothing was dropped
         if r["n_chunks_dropped"] == 0:
             assert r["clean_text"] == base
+
+
+# ---------------------------------------------------------------------------
+# incremental near-dup: delta batch vs existing corpus
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_neardup_is_delta_filtered_full(spark, tmp_path):
+    import pandas as pd
+
+    from janet_spark.queries_text import (
+        q_incremental_neardup,
+        q_minhash_lsh_pairs,
+    )
+
+    # three duplicate groups straddling the delta boundary (delta =
+    # doc_id % 7 == 0): (7, 8) mixed, (1, 2) base-only, (14, 21) delta-only
+    ta = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    tb = "one two three four five six seven eight nine ten"
+    tc = "red orange yellow green blue indigo violet black white gray"
+    rows = [
+        (7, ta), (8, ta),
+        (1, tb), (2, tb),
+        (14, tc), (21, tc),
+        (3, "unique base text with nothing shared anywhere at all here"),
+        (35, "another singleton delta doc sharing no shingles with others"),
+    ]
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    ).write.parquet(path + "/documents.parquet")
+
+    inc = set(map(tuple, q_incremental_neardup(spark, path)
+                  .select("d1", "d2").collect()))
+    full = set(map(tuple, q_minhash_lsh_pairs(spark, path)
+                   .select("d1", "d2").collect()))
+    assert full == {(1, 2), (7, 8), (14, 21)}
+    # incremental == full restricted to pairs touching the delta; the
+    # base-only pair (1, 2) was already found by yesterday's run
+    assert inc == {(7, 8), (14, 21)}
+    assert inc == {p for p in full if p[0] % 7 == 0 or p[1] % 7 == 0}
+
+
+def test_incremental_neardup_hot_bucket_stars(spark, tmp_path):
+    import pandas as pd
+
+    from janet_spark.queries_text import q_incremental_neardup
+
+    # two degenerate buckets above the cap: one whose representative
+    # (min doc_id) is an OLD doc, one whose representative is NEW
+    old_rep = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do " * 3
+    new_rep = "quick brown fox jumps over the lazy dog again and again now " * 3
+    rows = [(i, old_rep) for i in range(1, 31)]       # rep=1 (base)
+    rows += [(i, new_rep) for i in range(700, 730)]   # rep=700 (delta)
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    ).write.parquet(path + "/documents.parquet")
+
+    out = q_incremental_neardup(spark, path, hot_bucket_cap=10).toPandas()
+    assert (out["jaccard"] == 1.0).all()
+    # old-rep bucket: only the delta members star to the representative —
+    # 4 pairs, never the 30*29/2 all-pairs and nothing base x base
+    got_old = set(out[out.d1 == 1]["d2"])
+    assert got_old == {7, 14, 21, 28}
+    # new-rep bucket: the star reaches every member (each pair touches the
+    # delta via the representative endpoint)
+    got_new = set(out[out.d1 == 700]["d2"])
+    assert got_new == set(range(701, 730))
+    # no pair escapes the two stars
+    assert len(out) == 4 + 29
