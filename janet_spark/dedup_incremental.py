@@ -1,0 +1,154 @@
+"""Incremental near-dup dedup as a MAINTAINED daily run over a persistent
+MinHash signature table.
+
+Reference parity: the reference's resume model is "anti-join the manifest,
+process only new work, upsert results" (apps/legacy/rename.ts:61-64,
+src/utils/file.ts:36-59 — load mappings, skip successes, append new ones,
+back up before mutating). This module applies that exact contract to
+near-dup mining: sign ONLY the delta batch, mine ONLY delta-touching
+pairs, append the delta's signatures as a new immutable generation of the
+table. The corpus is never re-signed and never re-paired with itself.
+
+Scale shape (the 100 TB story):
+- The signature table is 16 int64 band keys per doc — ~128 bytes/doc, four
+  orders of magnitude smaller than the corpus text. Reading it is the
+  cheap side of every run.
+- Each run's cost is O(|delta| x bucket size): the delta band rows are
+  small, so AQE broadcasts them into the join against the full band table;
+  corpus x corpus pairs are structurally impossible to emit.
+- Generations are immutable parquet dirs committed by atomic rename
+  (write to a `_staging_*` dir, then one `mv`), the same two-phase shape
+  as checkpoint.commit_staged. A crashed run leaves only a `_staging_*`
+  dir, which readers ignore; re-running is idempotent. Many small daily
+  generations are exactly the small-files problem compaction.py exists
+  for — compact generations periodically with it.
+- Pair mining is materialized BEFORE the generation commits: if the run
+  dies in between, the retry re-signs the same delta and re-finds the same
+  pairs; committing first would silently absorb the delta into the corpus
+  and lose its pairs forever.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from janet_spark.checkpoint import new_run_id
+from janet_spark.queries_text import (
+    _LSH_HOT_BUCKET_CAP,
+    _band_df,
+    _verify_candidates,
+)
+
+SIG_SCHEMA = "doc_id long, band_key long"
+
+
+def _generation_dirs(sig_path: str) -> list[str]:
+    if not os.path.isdir(sig_path):
+        return []
+    return sorted(
+        os.path.join(sig_path, name)
+        for name in os.listdir(sig_path)
+        if name.startswith("gen=")
+    )
+
+
+def read_signature_table(spark: SparkSession, sig_path: str) -> DataFrame | None:
+    """Union of all committed generations; None if the table doesn't exist
+    yet. `_staging_*` dirs from crashed runs are never listed."""
+    gens = _generation_dirs(sig_path)
+    if not gens:
+        return None
+    return spark.read.schema(SIG_SCHEMA).parquet(*gens)
+
+
+def _write_generation(bands: DataFrame, sig_path: str, gen_id: str) -> str:
+    """Atomic commit of one generation: write to staging, rename into
+    place. Idempotent — a re-commit of the same gen_id replaces it."""
+    os.makedirs(sig_path, exist_ok=True)
+    staging = os.path.join(sig_path, f"_staging_{gen_id}")
+    final = os.path.join(sig_path, f"gen={gen_id}")
+    bands.write.mode("overwrite").parquet(staging)
+    if os.path.exists(final):
+        shutil.rmtree(final)
+    os.rename(staging, final)
+    return final
+
+
+def incremental_dedup_run(
+    spark: SparkSession,
+    sig_path: str,
+    delta_docs: DataFrame,
+    corpus_docs: DataFrame,
+    hot_bucket_cap: int = _LSH_HOT_BUCKET_CAP,
+) -> tuple[DataFrame, str]:
+    """One daily dedup run. Returns (verified delta-touching pairs, run_id).
+
+    `delta_docs` / `corpus_docs`: (doc_id, text) frames for today's batch
+    and the existing corpus. The corpus TEXT is touched only by the verify
+    tail, and there only semi-joined down to candidate endpoints (a
+    vanishing fraction of the corpus); corpus SIGNATURES come from the
+    table. First run against an empty table bootstraps it by signing the
+    corpus once (gen=bootstrap).
+
+    Hot buckets follow q_minhash_lsh_pairs' star expansion, with delta
+    membership decided extensionally (the is_new flag) rather than by the
+    registered query's doc_id predicate: delta members star to the bucket
+    representative, and a representative that is itself new stars to every
+    member so no delta-touching pair is lost to the cap.
+    """
+    run_id = new_run_id()
+    corpus_bands = read_signature_table(spark, sig_path)
+    if corpus_bands is None:
+        _write_generation(_band_df(corpus_docs), sig_path, "bootstrap")
+        corpus_bands = read_signature_table(spark, sig_path)
+    delta_bands = _band_df(delta_docs).persist()
+
+    flagged = corpus_bands.withColumn("is_new", F.lit(False)).unionByName(
+        delta_bands.withColumn("is_new", F.lit(True))
+    )
+    # struct min orders by doc_id first, so rep carries the bucket's min
+    # doc_id AND whether that doc is new, in one map-side-combinable agg
+    bucket_sizes = flagged.groupBy("band_key").agg(
+        F.count(F.lit(1)).alias("bkt_n"),
+        F.min(F.struct("doc_id", "is_new")).alias("rep"),
+    )
+    sized_delta = delta_bands.join(bucket_sizes, "band_key")
+    a = sized_delta.filter(F.col("bkt_n") <= hot_bucket_cap).alias("a")
+    b = flagged.alias("b")
+    # delta x delta pairs arrive once from each endpoint's delta row;
+    # least/greatest orients them identically and the verify tail dedups
+    cold_pairs = a.join(
+        b,
+        (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("a.doc_id") != F.col("b.doc_id")),
+    ).select(
+        F.least("a.doc_id", "b.doc_id").alias("d1"),
+        F.greatest("a.doc_id", "b.doc_id").alias("d2"),
+    )
+    hot_delta = sized_delta.filter(
+        (F.col("bkt_n") > hot_bucket_cap)
+        & (F.col("doc_id") != F.col("rep.doc_id"))
+    ).select(F.col("rep.doc_id").alias("d1"), F.col("doc_id").alias("d2"))
+    hot_rep_new = (
+        flagged.join(
+            bucket_sizes.filter(
+                (F.col("bkt_n") > hot_bucket_cap) & F.col("rep.is_new")
+            ),
+            "band_key",
+        )
+        .filter(F.col("doc_id") != F.col("rep.doc_id"))
+        .select(F.col("rep.doc_id").alias("d1"), F.col("doc_id").alias("d2"))
+    )
+    candidates = cold_pairs.unionByName(hot_delta).unionByName(hot_rep_new)
+
+    all_docs = corpus_docs.unionByName(delta_docs)
+    pairs = _verify_candidates(all_docs, candidates).persist()
+    # materialize pairs BEFORE committing the generation (see module doc)
+    pairs.count()
+    _write_generation(delta_bands, sig_path, run_id)
+    delta_bands.unpersist()
+    return pairs, run_id

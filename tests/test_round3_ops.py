@@ -662,3 +662,54 @@ def test_incremental_neardup_hot_bucket_stars(spark, tmp_path):
     assert got_new == set(range(701, 730))
     # no pair escapes the two stars
     assert len(out) == 4 + 29
+
+
+def test_incremental_dedup_daily_runs(spark, tmp_path, monkeypatch):
+    import os
+
+    import pandas as pd
+
+    import janet_spark.dedup_incremental as di
+
+    t_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    t_b = "one two three four five six seven eight nine ten"
+
+    def docs(rows):
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["doc_id", "text"])
+        )
+
+    corpus = docs([(1, t_a), (2, t_b), (3, "unrelated corpus text here")])
+    sig = str(tmp_path / "sigs")
+
+    # day 1: doc 100 duplicates corpus doc 1 -> bootstrap + one pair
+    pairs1, run1 = di.incremental_dedup_run(spark, sig, docs([(100, t_a)]), corpus)
+    assert set(map(tuple, pairs1.select("d1", "d2").collect())) == {(1, 100)}
+    gens = {os.path.basename(g) for g in di._generation_dirs(sig)}
+    assert gens == {"gen=bootstrap", f"gen={run1}"}
+
+    # day 2: doc 200 duplicates the same text. Spy on the sign stage to
+    # prove ONLY the delta is signed — corpus signatures come from the
+    # table, including yesterday's delta (so the (100, 200) pair appears
+    # without doc 100 ever being re-signed).
+    signed_counts = []
+    orig = di._band_df
+
+    def spy(frame):
+        signed_counts.append(frame.count())
+        return orig(frame)
+
+    monkeypatch.setattr(di, "_band_df", spy)
+    corpus2 = corpus.unionByName(docs([(100, t_a)]))
+    pairs2, run2 = di.incremental_dedup_run(spark, sig, docs([(200, t_a)]), corpus2)
+    got2 = set(map(tuple, pairs2.select("d1", "d2").collect()))
+    # every pair touches today's delta; the already-known (1, 100) pair is
+    # NOT re-reported
+    assert got2 == {(1, 200), (100, 200)}
+    assert signed_counts == [1]
+    assert len(di._generation_dirs(sig)) == 3
+
+    # a crashed run's staging dir is invisible to readers
+    os.makedirs(os.path.join(sig, "_staging_deadrun"))
+    n_docs = di.read_signature_table(spark, sig).select("doc_id").distinct().count()
+    assert n_docs == 5  # 3 corpus + 2 deltas, 16 bands each
