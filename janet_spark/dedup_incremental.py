@@ -41,9 +41,11 @@ from janet_spark.queries_text import (
     _LSH_HOT_BUCKET_CAP,
     _band_df,
     _verify_candidates,
+    connected_components,
 )
 
 SIG_SCHEMA = "doc_id long, band_key long"
+CLUSTER_SCHEMA = "doc_id long, cluster_rep long"
 
 
 def _generation_dirs(sig_path: str) -> list[str]:
@@ -152,3 +154,91 @@ def incremental_dedup_run(
     _write_generation(delta_bands, sig_path, run_id)
     delta_bands.unpersist()
     return pairs, run_id
+
+
+def update_cluster_assignments(
+    delta_pairs: DataFrame,
+    delta_ids: DataFrame,
+    prev: DataFrame | None = None,
+) -> DataFrame:
+    """Fold one run's new near-dup pairs into the standing cluster
+    assignment table — the keeper set a production dedup pipeline
+    maintains across days (keep = doc_id == cluster_rep).
+
+    `prev`: yesterday's (doc_id, cluster_rep) snapshot (None on day one).
+    `delta_pairs`: today's verified pairs (d1, d2) — every endpoint is
+    either a delta doc or a corpus doc the delta matched.
+    `delta_ids`: today's doc ids (docs with no pair become singletons).
+
+    Scale shape: label propagation reruns ONLY over the subgraph of
+    clusters touched by a new edge — new pairs plus the star edges
+    (rep -> member) of every previously-assigned cluster containing a
+    touched doc. Untouched clusters pass through by anti-join without
+    entering the iterative loop, so a day's cost scales with the touched
+    clusters' sizes, not the corpus. Star edges preserve exact membership,
+    and min-label over {new edges ∪ stars} equals min-label over the full
+    historical edge set restricted to those clusters (reachability is
+    identical: a star reaches everything its cluster's edges reached), so
+    the invariant `incremental result == batch connected_components over
+    all pairs ever seen` holds run over run — pinned by pytest.
+
+    Re-ingested doc ids (a delta id already present in `prev`) are not
+    supported: upstream identity resolution must dedup ids first."""
+    as_assign = lambda labels: labels.select(  # noqa: E731
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_rep")
+    )
+    new_edges = delta_pairs.select("d1", "d2")
+    if prev is None:
+        resolved = as_assign(connected_components(new_edges))
+    else:
+        touched = (
+            new_edges.select(F.col("d1").alias("doc_id"))
+            .unionByName(new_edges.select(F.col("d2").alias("doc_id")))
+            .distinct()
+        )
+        touched_reps = (
+            prev.join(touched, "doc_id", "left_semi")
+            .select("cluster_rep")
+            .distinct()
+        )
+        affected = prev.join(touched_reps, "cluster_rep", "left_semi")
+        star_edges = affected.filter(
+            F.col("doc_id") != F.col("cluster_rep")
+        ).select(
+            F.col("cluster_rep").alias("d1"), F.col("doc_id").alias("d2")
+        )
+        untouched = prev.join(touched_reps, "cluster_rep", "left_anti")
+        resolved = untouched.unionByName(
+            as_assign(connected_components(new_edges.unionByName(star_edges)))
+        )
+    singletons = delta_ids.join(resolved, "doc_id", "left_anti").select(
+        "doc_id", F.col("doc_id").alias("cluster_rep")
+    )
+    # pin column ORDER, not just names: the join on "cluster_rep" above
+    # moves the key first, and downstream schema-positional consumers
+    # (parquet snapshots, dict(collect()) in tests) must see a stable shape
+    out = resolved.unionByName(singletons).select("doc_id", "cluster_rep")
+    # cut lineage at the API boundary: each day's call references `prev`
+    # three times (touched/affected/untouched) and embeds the full pair-
+    # mining plan, so chaining lazy snapshots compounds the logical tree
+    # until Catalyst chokes (observed as a tree-string stack overflow on
+    # day 3 over real mining plans). The snapshot is a materialized daily
+    # artifact by contract — write_cluster_assignments persists it — so an
+    # eager localCheckpoint here is the semantics, not a workaround; same
+    # discipline as the connected_components loop.
+    return out.localCheckpoint(eager=True)
+
+
+def read_cluster_assignments(spark: SparkSession, clu_path: str) -> DataFrame | None:
+    """Latest committed snapshot (each run writes a FULL snapshot, unlike
+    the additive signature generations — a merge can relabel an existing
+    cluster, so snapshots are the unit of atomic replacement). run_ids
+    embed epoch seconds, so lexicographic max is the newest."""
+    gens = _generation_dirs(clu_path)
+    if not gens:
+        return None
+    return spark.read.schema(CLUSTER_SCHEMA).parquet(gens[-1])
+
+
+def write_cluster_assignments(assign: DataFrame, clu_path: str, run_id: str) -> str:
+    return _write_generation(assign, clu_path, run_id)

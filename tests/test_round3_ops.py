@@ -713,3 +713,53 @@ def test_incremental_dedup_daily_runs(spark, tmp_path, monkeypatch):
     os.makedirs(os.path.join(sig, "_staging_deadrun"))
     n_docs = di.read_signature_table(spark, sig).select("doc_id").distinct().count()
     assert n_docs == 5  # 3 corpus + 2 deltas, 16 bands each
+
+
+def test_incremental_cluster_maintenance(spark, monkeypatch):
+    import pandas as pd
+
+    import janet_spark.dedup_incremental as di
+
+    def pairs(ps):
+        return spark.createDataFrame(pd.DataFrame(ps, columns=["d1", "d2"]))
+
+    def ids(xs):
+        return spark.createDataFrame(pd.DataFrame({"doc_id": xs}))
+
+    def snap(df):
+        return dict(map(tuple, df.collect()))
+
+    # day 0: two clusters + singles
+    a0 = di.update_cluster_assignments(pairs([(1, 2), (5, 6)]), ids(range(1, 9)))
+    assert snap(a0) == {1: 1, 2: 1, 5: 5, 6: 5, 3: 3, 4: 4, 7: 7, 8: 8}
+
+    # day 1: doc 10 joins cluster 1; doc 11 is a singleton. Spy on the
+    # propagation input: only cluster 1's star (1->2) plus the new edge may
+    # enter the loop — cluster 5 and the singles must pass through.
+    seen_edges = []
+    orig = di.connected_components
+
+    def spy(edges, **kw):
+        seen_edges.append(set(map(tuple, edges.collect())))
+        return orig(edges, **kw)
+
+    monkeypatch.setattr(di, "connected_components", spy)
+    a1 = di.update_cluster_assignments(pairs([(2, 10)]), ids([10, 11]), a0)
+    assert snap(a1) == {1: 1, 2: 1, 10: 1, 5: 5, 6: 5,
+                        3: 3, 4: 4, 7: 7, 8: 8, 11: 11}
+    assert seen_edges[-1] == {(2, 10), (1, 2)}
+
+    # day 2: doc 20 bridges cluster 5 and single 4 -> merged rep = 4;
+    # cluster 1 untouched (its docs never appear in the subgraph)
+    a2 = di.update_cluster_assignments(pairs([(6, 20), (4, 20)]), ids([20]), a1)
+    got = snap(a2)
+    assert got == {1: 1, 2: 1, 10: 1, 4: 4, 5: 4, 6: 4, 20: 4,
+                   3: 3, 7: 7, 8: 8, 11: 11}
+    assert seen_edges[-1] == {(6, 20), (4, 20), (5, 6)}
+
+    # invariant: incremental result == batch recompute over ALL pairs seen
+    all_pairs = pairs([(1, 2), (5, 6), (2, 10), (6, 20), (4, 20)])
+    batch = di.update_cluster_assignments(
+        all_pairs, ids(list(range(1, 9)) + [10, 11, 20])
+    )
+    assert snap(batch) == got
