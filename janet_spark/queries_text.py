@@ -1228,14 +1228,32 @@ def _verify_candidates(docs: DataFrame, candidates: DataFrame) -> DataFrame:
     semi-join below), then SEMI-JOINS the shingle table down to docs that
     appear in any pair: near-dup candidates are a vanishing fraction of the
     corpus at scale, so this prunes the shingle explode — the widest
-    intermediate of the whole query — from corpus-sized to candidate-sized."""
+    intermediate of the whole query — from corpus-sized to candidate-sized.
+
+    The explicit hash repartition on the semi-join output is load-bearing:
+    when `docs` is a UNION (the incremental miner passes corpus ∪ delta),
+    Catalyst pushes the left-semi join below the union, each branch comes
+    out hash-partitioned on doc_id with shuffle.partitions partitions, and
+    the Spark 4.1.2 planner then accepts a co-partitioning claim for the
+    union output — whose PHYSICAL partition count is the sum of the
+    branches — so the downstream sort-merge join gets no exchange and dies
+    with "Can't zip RDDs with unequal numbers of partitions: List(32, 64)"
+    (reproduced at a 100k-doc corpus, AQE on or off). The explicit
+    repartition pins claim == physical; downstream per-doc aggregations
+    reuse the partitioning, so for non-union inputs it costs one exchange
+    of the candidate-doc slice only."""
+    spark = candidates.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     candidates = candidates.distinct().persist()
     cand_docs = (
         candidates.select(F.col("d1").alias("doc_id"))
         .unionByName(candidates.select(F.col("d2").alias("doc_id")))
         .distinct()
     )
-    sh = _shingle_df(docs.join(cand_docs, "doc_id", "left_semi"))
+    cand_texts = docs.join(cand_docs, "doc_id", "left_semi").repartition(
+        n_part, "doc_id"
+    )
+    sh = _shingle_df(cand_texts)
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     s1 = sh.select(F.col("doc_id").alias("d1"), F.col("sh").alias("sh1"))
     s2 = sh.select(F.col("doc_id").alias("d2_r"), F.col("sh").alias("sh2"))
