@@ -67,6 +67,26 @@ def read_signature_table(spark: SparkSession, sig_path: str) -> DataFrame | None
     return spark.read.schema(SIG_SCHEMA).parquet(*gens)
 
 
+CENSUS_SCHEMA = "band_key long, bkt_n long, rep_doc long"
+
+
+def _census_of(bands: DataFrame) -> DataFrame:
+    return bands.groupBy("band_key").agg(
+        F.count(F.lit(1)).alias("bkt_n"), F.min("doc_id").alias("rep_doc")
+    )
+
+
+def read_census(spark: SparkSession, census_path: str) -> DataFrame | None:
+    """Latest committed census snapshot (full snapshot per run, like the
+    cluster assignments — a delta changes existing rows, so snapshots are
+    the unit of atomic replacement). run_ids embed epoch seconds, so
+    lexicographic max is the newest; 'bootstrap' sorts before every run."""
+    gens = _generation_dirs(census_path)
+    if not gens:
+        return None
+    return spark.read.schema(CENSUS_SCHEMA).parquet(gens[-1])
+
+
 def _write_generation(bands: DataFrame, sig_path: str, gen_id: str) -> str:
     """Atomic commit of one generation: write to staging, rename into
     place. Idempotent — a re-commit of the same gen_id replaces it."""
@@ -101,22 +121,56 @@ def incremental_dedup_run(
     registered query's doc_id predicate: delta members star to the bucket
     representative, and a representative that is itself new stars to every
     member so no delta-touching pair is lost to the cap.
+
+    The bucket census is ALSO maintained incrementally (snapshots under
+    <sig_path>/census): each run aggregates only the delta's band rows and
+    outer-merges them into yesterday's (band_key, bkt_n, rep_doc) snapshot
+    — the full band table is never re-aggregated. The snapshot commits
+    AFTER the signature generation: a crash in between leaves the census
+    under-counting the committed delta, which can only bias buckets toward
+    the cold (exact all-pairs) path, never toward a star's bounded-recall
+    trade. A signature table without a census (pre-census layout) is
+    self-healed by one full re-aggregation. The remaining full-table touch
+    is the cold join's build side; at production scale the signature table
+    is bucketed by band_key, making that join co-located with the
+    broadcast-sized delta probing it.
     """
     run_id = new_run_id()
+    census_path = os.path.join(sig_path, "census")
     corpus_bands = read_signature_table(spark, sig_path)
     if corpus_bands is None:
         _write_generation(_band_df(corpus_docs), sig_path, "bootstrap")
         corpus_bands = read_signature_table(spark, sig_path)
+        _write_generation(_census_of(corpus_bands), census_path, "bootstrap")
     delta_bands = _band_df(delta_docs).persist()
+
+    old_census = read_census(spark, census_path)
+    if old_census is None:
+        old_census = _census_of(corpus_bands)
+    delta_census = delta_bands.groupBy("band_key").agg(
+        F.count(F.lit(1)).alias("d_n"), F.min("doc_id").alias("d_rep")
+    )
+    # outer-merge: counts add; rep = min (least skips NULLs); doc ids are
+    # unique across days, so the new rep is today's iff d_rep undercuts
+    merged_census = old_census.join(delta_census, "band_key", "full_outer").select(
+        "band_key",
+        (F.coalesce("bkt_n", F.lit(0)) + F.coalesce("d_n", F.lit(0))).alias("bkt_n"),
+        F.least("rep_doc", "d_rep").alias("rep_doc"),
+        (
+            F.col("d_rep").isNotNull()
+            & (F.col("rep_doc").isNull() | (F.col("d_rep") < F.col("rep_doc")))
+        ).alias("rep_is_new"),
+    )
 
     flagged = corpus_bands.withColumn("is_new", F.lit(False)).unionByName(
         delta_bands.withColumn("is_new", F.lit(True))
     )
-    # struct min orders by doc_id first, so rep carries the bucket's min
-    # doc_id AND whether that doc is new, in one map-side-combinable agg
-    bucket_sizes = flagged.groupBy("band_key").agg(
-        F.count(F.lit(1)).alias("bkt_n"),
-        F.min(F.struct("doc_id", "is_new")).alias("rep"),
+    bucket_sizes = merged_census.select(
+        "band_key",
+        "bkt_n",
+        F.struct(
+            F.col("rep_doc").alias("doc_id"), F.col("rep_is_new").alias("is_new")
+        ).alias("rep"),
     )
     sized_delta = delta_bands.join(bucket_sizes, "band_key")
     a = sized_delta.filter(F.col("bkt_n") <= hot_bucket_cap).alias("a")
@@ -149,9 +203,13 @@ def incremental_dedup_run(
 
     all_docs = corpus_docs.unionByName(delta_docs)
     pairs = _verify_candidates(all_docs, candidates).persist()
-    # materialize pairs BEFORE committing the generation (see module doc)
+    # materialize pairs BEFORE committing the generation (see module doc);
+    # census commits LAST (see docstring for the crash-window bias)
     pairs.count()
     _write_generation(delta_bands, sig_path, run_id)
+    _write_generation(
+        merged_census.select("band_key", "bkt_n", "rep_doc"), census_path, run_id
+    )
     delta_bands.unpersist()
     return pairs, run_id
 

@@ -714,6 +714,39 @@ def test_incremental_dedup_daily_runs(spark, tmp_path, monkeypatch):
     n_docs = di.read_signature_table(spark, sig).select("doc_id").distinct().count()
     assert n_docs == 5  # 3 corpus + 2 deltas, 16 bands each
 
+    # day 3 (hot path, OLD rep): cap=2 makes the t_a bucket (docs 1, 100,
+    # 200 + new 300) hot; the new doc stars to the old representative only
+    corpus3 = corpus2.unionByName(docs([(200, t_a)]))
+    pairs3, _ = di.incremental_dedup_run(
+        spark, sig, docs([(300, t_a)]), corpus3, hot_bucket_cap=2
+    )
+    assert set(map(tuple, pairs3.select("d1", "d2").collect())) == {(1, 300)}
+
+    # day 4 (hot path, NEW rep): five identical new docs, rep 400 is new,
+    # so the star reaches every member
+    t_d = "completely different words appear in this new batch only today"
+    pairs4, _ = di.incremental_dedup_run(
+        spark, sig, docs([(i, t_d) for i in range(400, 405)]),
+        corpus3.unionByName(docs([(300, t_a)])), hot_bucket_cap=2,
+    )
+    assert set(map(tuple, pairs4.select("d1", "d2").collect())) == {
+        (400, 401), (400, 402), (400, 403), (400, 404)
+    }
+
+    # census invariant: the incrementally-merged snapshot equals a full
+    # re-aggregation of the signature table (and never re-scanned it)
+    census_dir = os.path.join(sig, "census")
+    assert len(di._generation_dirs(census_dir)) == 5  # bootstrap + 4 runs
+    got_census = {
+        r["band_key"]: (r["bkt_n"], r["rep_doc"])
+        for r in di.read_census(spark, census_dir).collect()
+    }
+    want_census = {
+        r["band_key"]: (r["bkt_n"], r["rep_doc"])
+        for r in di._census_of(di.read_signature_table(spark, sig)).collect()
+    }
+    assert got_census == want_census
+
 
 def test_incremental_cluster_maintenance(spark, monkeypatch):
     import pandas as pd
