@@ -26,6 +26,7 @@ SF0001 = "/root/testdata/sf0.001"
 _PRIORITY = [
     # new in round 3
     "incremental_neardup",
+    "corpus_shuffle",
     "ranked_search",
     "fuzzy_search",
     "typo_ranked_search",

@@ -774,6 +774,68 @@ FROM s, tot ORDER BY source
 """
 
 
+_SHUFFLE_SEED = "ep0"
+_SHUFFLE_SHARD_SIZE = 100
+
+
+def q_corpus_shuffle(spark, sf_dir):
+    """Deterministic training-order shuffle: a seeded md5 over
+    (seed, doc_id) defines a reproducible global permutation — the data-
+    order step before writing training shards (reshuffle per epoch =
+    change the seed). Keyed hashing also mixes sources automatically
+    (no long same-domain runs; pinned by pytest).
+
+    Scale shape: the global rank is NEVER a single-partition sort. The
+    first 2 hex chars of the key split the corpus into 256 uniform
+    blocks; ranks are row_number within block (distributed) plus
+    broadcast per-block offsets from a 256-row prefix sum — the same
+    two-level pattern as sequence_pack. Ordering by (block, key) equals
+    ordering by key because the block is a prefix of the key. Shards are
+    contiguous rank ranges, so each shard is one post-shuffle file."""
+    docs = t(spark, sf_dir, "documents")
+    key = F.md5(F.concat_ws(":", F.lit(_SHUFFLE_SEED), F.col("doc_id")))
+    blocked = docs.select(
+        "doc_id", key.alias("skey"), F.substring(key, 1, 2).alias("blk")
+    )
+    wb = Window.partitionBy("blk").orderBy("skey")
+    ranked = blocked.withColumn("in_blk", F.row_number().over(wb))
+    counts = blocked.groupBy("blk").agg(F.count(F.lit(1)).alias("n"))
+    # 256-row frame: the unpartitioned window is bounded by the block
+    # alphabet, not the corpus (same justification as sequence_pack's
+    # block-offset stage)
+    wo = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "off", F.coalesce(F.sum("n").over(wo), F.lit(0))
+    )
+    return (
+        ranked.join(F.broadcast(offsets.select("blk", "off")), "blk")
+        .select(
+            "doc_id",
+            (F.col("off") + F.col("in_blk") - 1).alias("shuffle_rank"),
+        )
+        .withColumn(
+            "shard",
+            F.floor(F.col("shuffle_rank") / _SHUFFLE_SHARD_SIZE).cast("long"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_CORPUS_SHUFFLE = f"""
+WITH k AS (
+  SELECT doc_id,
+         md5('{_SHUFFLE_SEED}' || ':' || cast(doc_id AS varchar)) AS skey
+  FROM documents
+), r AS (
+  SELECT doc_id, row_number() OVER (ORDER BY skey) - 1 AS shuffle_rank
+  FROM k
+)
+SELECT doc_id, shuffle_rank,
+       cast(floor(shuffle_rank / {_SHUFFLE_SHARD_SIZE}) AS bigint) AS shard
+FROM r ORDER BY doc_id
+"""
+
+
 _V2_MAX_DUP_WORD = 0.6
 _V2_MAX_XENT = 4.95
 
@@ -2022,6 +2084,7 @@ TEXT_QUERIES = {
     "sequence_pack": (q_sequence_pack, ORACLE_SEQUENCE_PACK),
     "curation_pipeline_v2": (q_curation_pipeline_v2, ORACLE_CURATION_PIPELINE_V2),
     "mixture_weights": (q_mixture_weights, ORACLE_MIXTURE_WEIGHTS),
+    "corpus_shuffle": (q_corpus_shuffle, ORACLE_CORPUS_SHUFFLE),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, ORACLE_NGRAM_JACCARD_PAIRS),
     "dedup_clusters": (q_dedup_clusters, _dedup_clusters_oracle()),
     "dedup_clusters_lsh": (q_dedup_clusters_lsh, _dedup_clusters_oracle()),

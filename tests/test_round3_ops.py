@@ -796,3 +796,28 @@ def test_incremental_cluster_maintenance(spark, monkeypatch):
         all_pairs, ids(list(range(1, 9)) + [10, 11, 20])
     )
     assert snap(batch) == got
+
+
+def test_corpus_shuffle_permutation_and_mixing(spark):
+    from janet_spark.queries_text import q_corpus_shuffle
+
+    out = q_corpus_shuffle(spark, SF).toPandas()
+    n = len(out)
+    # a valid permutation: every rank 0..n-1 exactly once, shards contiguous
+    assert sorted(out["shuffle_rank"]) == list(range(n))
+    assert (out["shard"] == out["shuffle_rank"] // 100).all()
+    # deterministic: a second evaluation is identical
+    again = q_corpus_shuffle(spark, SF).toPandas()
+    assert (out.sort_values("doc_id").values == again.sort_values("doc_id").values).all()
+    # hash order mixes sources: no long same-source runs in training order
+    src = (
+        spark.read.parquet(SF + "/documents.parquet")
+        .select("doc_id", "source").toPandas()
+    )
+    merged = out.merge(src, on="doc_id").sort_values("shuffle_rank")
+    runs, prev, cur = [], None, 0
+    for s in merged["source"]:
+        cur = cur + 1 if s == prev else 1
+        prev = s
+        runs.append(cur)
+    assert max(runs) <= 8  # 10 uniform sources; a run this long ~ p<1e-4
