@@ -27,6 +27,7 @@ _PRIORITY = [
     # new in round 3
     "incremental_neardup",
     "corpus_shuffle",
+    "substring_dedup",
     "ranked_search",
     "fuzzy_search",
     "typo_ranked_search",

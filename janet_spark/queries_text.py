@@ -535,6 +535,110 @@ ORDER BY doc_id
 """
 
 
+_SUBSTR_GRAM = 10
+
+
+def q_substring_dedup(spark, sf_dir):
+    """Exact substring-level dedup (Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better", ExactSubstr) at word
+    granularity: any maximal word span covered by a sliding 10-word gram
+    that appears in MORE THAN ONE distinct document is removed from every
+    document carrying it; remaining words are rejoined in order. This is
+    the finer-grained sibling of `chunk_dedup` — a duplicated passage is
+    caught at ANY alignment, not only when it lands on the fixed 8-word
+    chunk grid.
+
+    Scale shape: gram census is a map-side-combinable groupBy. Unlike
+    `chunk_dedup`/`decontaminate`, the duplicated-gram set is NOT
+    assumed small (near-dup corpora can have corpus-sized dup sets), so
+    flagging is a shuffle semi-join keyed on gram, not a broadcast — a
+    hot gram skews one census/join key, which AQE skew-join splitting
+    absorbs. Coverage expansion is a bounded 10x fan-out of flagged
+    positions; removal is an anti-join co-keyed on (doc_id, widx); the
+    rebuild is the standard single groupBy(doc_id) ordered concat. No
+    driver-side state, no Python."""
+    docs = t(spark, sf_dir, "documents")
+    wdocs = _word_docs(docs)
+    words = F.col("__words")
+    grams = wdocs.select(
+        "doc_id", F.posexplode(_gram_array(words, _SUBSTR_GRAM)).alias("pos", "gram")
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("gram")
+    )
+    flagged = grams.join(dup, "gram", "left_semi")
+    covered = flagged.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(_SUBSTR_GRAM - 1))
+        ).alias("widx"),
+    ).distinct()
+    wordrows = wdocs.select("doc_id", F.posexplode(words).alias("widx", "word"))
+    kept = wordrows.join(covered, ["doc_id", "widx"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("widx", "word"))),
+                lambda s: s["word"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = wdocs.select("doc_id", F.size(words).alias("n_words"))
+    return (
+        totals.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            (F.col("n_words") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_words_removed"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_SUBSTRING_DEDUP = f"""
+WITH d AS (
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS arr FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest(generate_series(1, greatest(len(arr) - {_SUBSTR_GRAM - 1}, 0))) AS i,
+         arr
+  FROM d
+), g2 AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(arr[i:i + {_SUBSTR_GRAM - 1}], ' ') AS gram
+  FROM g
+), dup AS (
+  SELECT gram FROM g2 GROUP BY gram HAVING count(DISTINCT doc_id) > 1
+), cov AS (
+  SELECT DISTINCT doc_id, pos + off.o AS widx
+  FROM g2 SEMI JOIN dup USING (gram),
+       (SELECT unnest(generate_series(0, {_SUBSTR_GRAM - 1})) AS o) off
+), w AS (
+  SELECT doc_id, unnest(arr) AS word,
+         generate_subscripts(arr, 1) - 1 AS widx
+  FROM d
+), kept AS (
+  SELECT w.* FROM w ANTI JOIN cov USING (doc_id, widx)
+), r AS (
+  SELECT doc_id, string_agg(word, ' ' ORDER BY widx) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(r.clean_text, '') AS clean_text,
+       len(d.arr) - coalesce(r.n_kept, 0) AS n_words_removed
+FROM d LEFT JOIN r USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 _DECONTAM_GRAM = 8
 _EVAL_MOD = 11  # doc_id % 11 == 0 -> held-out eval set (deterministic)
 
@@ -2079,6 +2183,7 @@ TEXT_QUERIES = {
     "quality_repetition": (q_quality_repetition, ORACLE_QUALITY_REPETITION),
     "exact_dedup": (q_exact_dedup, ORACLE_EXACT_DEDUP),
     "chunk_dedup": (q_chunk_dedup, ORACLE_CHUNK_DEDUP),
+    "substring_dedup": (q_substring_dedup, ORACLE_SUBSTRING_DEDUP),
     "decontaminate": (q_decontaminate, ORACLE_DECONTAMINATE),
     "lm_score": (q_lm_score, ORACLE_LM_SCORE),
     "sequence_pack": (q_sequence_pack, ORACLE_SEQUENCE_PACK),

@@ -821,3 +821,62 @@ def test_corpus_shuffle_permutation_and_mixing(spark):
         prev = s
         runs.append(cur)
     assert max(runs) <= 8  # 10 uniform sources; a run this long ~ p<1e-4
+
+
+def test_substring_dedup_sliding_alignment(spark, tmp_path):
+    """The duplicated passage is planted at DIFFERENT word offsets in each
+    carrier doc — off the fixed 8-word chunk grid — so only a sliding-gram
+    dedup catches it. Within-doc repetition must survive (that is
+    quality_repetition's business), sub-gram docs pass through, and a doc
+    that is nothing but the passage empties out (the totals left-join
+    path). Cross-checked against the DuckDB oracle on the same fixture."""
+    import duckdb
+    import pandas as pd
+
+    from janet_spark.queries_text import ORACLE_SUBSTRING_DEDUP, q_substring_dedup
+
+    P = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    P2 = "one two three four five six seven eight nine ten"
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4, 5, 6],
+            "text": [
+                None,
+                "",
+                "short doc only",
+                f"intro {P} tail3 words here",
+                f"start words padding more here {P} end4",
+                f"{P2} {P2}",
+                P,
+            ],
+            "lang": ["en"] * 7,
+            "source": ["s"] * 7,
+            "n_chars": [0] * 7,
+        }
+    )
+    sf = str(tmp_path)
+    spark.createDataFrame(pdf).repartition(2).write.parquet(f"{sf}/documents.parquet")
+
+    got = {r["doc_id"]: r.asDict() for r in q_substring_dedup(spark, sf).collect()}
+    # passage removed at BOTH alignments (offsets 1 and 5), context kept in order
+    assert got[3]["clean_text"] == "intro tail3 words here"
+    assert got[3]["n_words_removed"] == 12
+    assert got[4]["clean_text"] == "start words padding more here end4"
+    assert got[4]["n_words_removed"] == 12
+    # a doc that IS the passage empties out entirely
+    assert got[6] == {"doc_id": 6, "clean_text": "", "n_words_removed": 12}
+    # within-doc-only repetition is kept verbatim
+    assert got[5] == {"doc_id": 5, "clean_text": f"{P2} {P2}", "n_words_removed": 0}
+    # sub-gram and NULL/empty docs pass through
+    assert got[2] == {"doc_id": 2, "clean_text": "short doc only", "n_words_removed": 0}
+    assert got[0]["n_words_removed"] == 0 and got[1]["n_words_removed"] == 0
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'"
+    )
+    oracle = {
+        int(d): {"doc_id": int(d), "clean_text": c, "n_words_removed": int(n)}
+        for d, c, n in con.sql(ORACLE_SUBSTRING_DEDUP).fetchall()
+    }
+    assert oracle == got
