@@ -28,6 +28,7 @@ _PRIORITY = [
     "incremental_neardup",
     "corpus_shuffle",
     "substring_dedup",
+    "unicode_clean",
     "ranked_search",
     "fuzzy_search",
     "typo_ranked_search",

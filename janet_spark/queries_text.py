@@ -14,6 +14,7 @@ omitted and pytest carries the semantics.
 from __future__ import annotations
 
 import logging
+import re
 import zlib
 from collections.abc import Iterator
 
@@ -532,6 +533,101 @@ SELECT d.doc_id,
        tot.n_chunks - coalesce(r.n_chunks_kept, 0) AS n_chunks_dropped
 FROM documents d JOIN tot USING (doc_id) LEFT JOIN r USING (doc_id)
 ORDER BY doc_id
+"""
+
+
+# UTF-8-read-as-cp1252 repair pairs (the deterministic, fixed-table core
+# of what ftfy does), applied in table order. Both engines render from
+# THIS list — the Python cleaner and the DuckDB replace chain can't drift.
+_MOJIBAKE: list[tuple[str, str]] = [
+    ("â€™", "’"),  # 'â€™' -> right single quote
+    ("â€œ", "“"),  # 'â€œ' -> left double quote
+    ("â€˜", "‘"),  # 'â€˜' -> left single quote
+    ("â€“", "–"),  # 'â€“' -> en dash
+    ("â€”", "—"),  # 'â€”' -> em dash
+    ("â€¦", "…"),  # 'â€¦' -> ellipsis
+    ("Ã©", "é"),  # 'Ã©' -> e acute
+    ("Ã¨", "è"),
+    ("Ã¡", "á"),
+    ("Ã³", "ó"),
+    ("Ãº", "ú"),
+    ("Ã±", "ñ"),
+    ("Ã¤", "ä"),
+    ("Ã¶", "ö"),
+    ("Ã¼", "ü"),
+    ("ÃŸ", "ß"),  # 'ÃŸ' -> sharp s
+    ("Â«", "«"),
+    ("Â»", "»"),
+    ("Â°", "°"),
+    ("Â©", "©"),
+    ("Â®", "®"),
+    ("Â ", " "),  # stray 'Â' before a real NBSP
+]
+# C0 controls except \t \n (plus DEL) — stripped before NFC. The class is
+# written in the re / RE2 common subset so one string serves both engines.
+_CTRL_CLASS = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+
+
+def _unicode_clean_str(s: str) -> str:
+    import unicodedata
+
+    for find, rep in _MOJIBAKE:
+        if find in s:
+            s = s.replace(find, rep)
+    s = re.sub(_CTRL_CLASS, "", s)
+    return unicodedata.normalize("NFC", s)
+
+
+def q_unicode_clean(spark, sf_dir):
+    """Unicode hygiene pass (the ftfy-style fixup every web-scale corpus
+    gets before tokenization): repair the classic UTF-8-decoded-as-cp1252
+    mojibake sequences from a fixed table, strip C0 control characters
+    (keeping tab/newline), then normalize to NFC so equal-looking strings
+    hash equal in every downstream dedup.
+
+    Spark has no built-in NFC normalization, so this is a legitimate
+    Arrow-UDF stage (same routing rule as the canonicalizer); a printable-
+    ASCII trigger scan skips untouched rows entirely — ASCII is
+    NFC-invariant and cannot contain mojibake, so the common case is one
+    vectorized contains() and zero string rebuilds. The DuckDB oracle
+    renders the SAME table as a nested replace chain + regexp_replace +
+    nfc_normalize; only the table is shared, never a result."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        trigger = re.compile(r"[^\t\n\x20-\x7e]")
+        for pdf in batches:
+            src = pdf["text"].fillna("")
+            out = src.copy()
+            mask = src.str.contains(trigger, regex=True)
+            if mask.any():
+                out[mask] = [_unicode_clean_str(s) for s in src[mask]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "clean_text": out,
+                    "was_changed": out != src,
+                }
+            )
+
+    return docs.mapInPandas(
+        run, schema="doc_id long, clean_text string, was_changed boolean"
+    ).orderBy("doc_id")
+
+
+def _unicode_clean_sql(col: str) -> str:
+    expr = f"coalesce({col}, '')"
+    for find, rep in _MOJIBAKE:
+        expr = f"replace({expr}, '{find}', '{rep}')"
+    expr = f"regexp_replace({expr}, '{_CTRL_CLASS}', '', 'g')"
+    return f"nfc_normalize({expr})"
+
+
+ORACLE_UNICODE_CLEAN = f"""
+SELECT doc_id,
+       {_unicode_clean_sql('text')} AS clean_text,
+       {_unicode_clean_sql('text')} != coalesce(text, '') AS was_changed
+FROM documents ORDER BY doc_id
 """
 
 
@@ -2184,6 +2280,7 @@ TEXT_QUERIES = {
     "exact_dedup": (q_exact_dedup, ORACLE_EXACT_DEDUP),
     "chunk_dedup": (q_chunk_dedup, ORACLE_CHUNK_DEDUP),
     "substring_dedup": (q_substring_dedup, ORACLE_SUBSTRING_DEDUP),
+    "unicode_clean": (q_unicode_clean, ORACLE_UNICODE_CLEAN),
     "decontaminate": (q_decontaminate, ORACLE_DECONTAMINATE),
     "lm_score": (q_lm_score, ORACLE_LM_SCORE),
     "sequence_pack": (q_sequence_pack, ORACLE_SEQUENCE_PACK),

@@ -880,3 +880,59 @@ def test_substring_dedup_sliding_alignment(spark, tmp_path):
         for d, c, n in con.sql(ORACLE_SUBSTRING_DEDUP).fetchall()
     }
     assert oracle == got
+
+
+def test_unicode_clean_mojibake_nfc_controls(spark, tmp_path):
+    """Give the hygiene pass real dirt: cp1252 mojibake at several code
+    points, an NFD combining sequence that must compose to NFC, stripped
+    control characters (tab/newline kept), and a pure-ASCII row the
+    trigger scan must leave byte-identical. The SAME fixture then runs
+    through the DuckDB oracle — nfc_normalize + the rendered replace
+    chain — so the two renderings of the table are value-checked on rows
+    where they actually fire."""
+    import duckdb
+    import pandas as pd
+
+    from janet_spark.queries_text import ORACLE_UNICODE_CLEAN, q_unicode_clean
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4, 5],
+            "text": [
+                None,
+                "plain ascii only, unchanged",
+                "donâ€™t say â€œcafÃ©â€“styleâ€¦",
+                "café already-composed café",  # NFD e+acute
+                "bell\x07 and form\x0cfeed go; tab\there\nstays",
+                "MÃ¼nchen ÃŸ Â© 10Â°",
+            ],
+            "lang": ["en"] * 6,
+            "source": ["s"] * 6,
+            "n_chars": [0] * 6,
+        }
+    )
+    sf = str(tmp_path)
+    spark.createDataFrame(pdf).repartition(2).write.parquet(f"{sf}/documents.parquet")
+
+    got = {r["doc_id"]: r.asDict() for r in q_unicode_clean(spark, sf).collect()}
+    assert got[1] == {
+        "doc_id": 1,
+        "clean_text": "plain ascii only, unchanged",
+        "was_changed": False,
+    }
+    assert got[2]["clean_text"] == "don’t say “café–style…"
+    assert got[3]["clean_text"] == "café already-composed café"
+    assert got[4]["clean_text"] == "bell and formfeed go; tab\there\nstays"
+    assert got[5]["clean_text"] == "München ß © 10°"
+    assert all(got[d]["was_changed"] for d in (2, 3, 4, 5))
+    assert got[0] == {"doc_id": 0, "clean_text": "", "was_changed": False}
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'"
+    )
+    oracle = {
+        int(d): {"doc_id": int(d), "clean_text": c, "was_changed": bool(w)}
+        for d, c, w in con.sql(ORACLE_UNICODE_CLEAN).fetchall()
+    }
+    assert oracle == got
