@@ -129,6 +129,9 @@ def main() -> None:
         "sequence_pack",
         "curation_pipeline_v2",
         "mixture_weights",
+        "corpus_shuffle",
+        "substring_dedup",
+        "unicode_clean",
         "asof_join",
         "range_join_banded",
         "pii_scrub",
