@@ -32,12 +32,21 @@ from pyspark.sql import functions as F
 
 REPL = 40
 HOT = "the quick brown fox jumps over lazy dogs"  # exactly 8 words
+# exactly 10 words = one full substring_dedup gram; prepended to every
+# 10th base doc (~20k carriers after replication) it is ONE census/join
+# key carrying 20k rows — the hot-key case AQE skew splitting absorbs
+HOT10 = "zeta omega prime quark lepton boson gluon photon muon tau"
+# mojibake tail for unicode_clean: repaired forms must appear post-clean
+MOJI = " cafÃ© â€” donâ€™t"
 
 
 def build_corpus(spark, sf_dir: str, out_dir: str) -> int:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n_base = docs.count()
     k = spark.range(REPL).select(F.col("id").alias("k"))
+    # all the when() predicates key on the ORIGINAL doc_id, so every
+    # replica of a base doc gets the same planted dirt — the corpus stays
+    # pure cross-doc duplication, which the collapse invariants rely on
     big = (
         docs.crossJoin(k)
         .select(
@@ -45,11 +54,21 @@ def build_corpus(spark, sf_dir: str, out_dir: str) -> int:
             F.when(
                 F.col("doc_id") % 20 == 0, F.concat(F.lit(HOT + " "), F.col("text"))
             )
+            .when(
+                F.col("doc_id") % 10 == 5, F.concat(F.lit(HOT10 + " "), F.col("text"))
+            )
             .otherwise(F.col("text"))
             .alias("text"),
             "lang",
             "source",
             "n_chars",
+        )
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 1_000_000 % 13 == 7,
+                F.concat(F.col("text"), F.lit(MOJI)),
+            ).otherwise(F.col("text")),
         )
     )
     mega_words = " ".join(
@@ -81,11 +100,14 @@ def main() -> int:
 
     from janet_spark.queries_text import (
         q_chunk_dedup,
+        q_corpus_shuffle,
         q_curation_pipeline_v2,
         q_decontaminate,
         q_lm_score,
         q_quality_repetition,
         q_sequence_pack,
+        q_substring_dedup,
+        q_unicode_clean,
     )
 
     results: dict = {"n_docs": n_docs, "replication": REPL, "ops": {}}
@@ -97,12 +119,28 @@ def main() -> int:
         ("lm_score", q_lm_score),
         ("sequence_pack", q_sequence_pack),
         ("curation_pipeline_v2", q_curation_pipeline_v2),
+        ("substring_dedup", q_substring_dedup),
+        ("unicode_clean", q_unicode_clean),
+        ("corpus_shuffle", q_corpus_shuffle),
     ]:
         times = []
         rows = 0
         for _ in range(2):
             t0 = time.time()
-            rows = fn(spark, out_dir).count()
+            out = fn(spark, out_dir)
+            # count() alone lets Catalyst join-eliminate whole branches
+            # (substring_dedup's rebuild is a unique-keyed left join that
+            # vanishes under count, measuring 0.5s instead of the real
+            # 22s) — and count(col) on non-nullable columns rewrites to
+            # count(1), so it is no forcer either. sum(xxhash64(*cols))
+            # depends on every output VALUE and defeats both rewrites.
+            rows = (
+                out.agg(
+                    F.count(F.lit(1)),
+                    F.sum(F.xxhash64(*out.columns).cast("double")),
+                )
+                .collect()[0][0]
+            )
             times.append(round(time.time() - t0, 2))
         results["ops"][name] = {"rows": rows, "cold_s": times[0], "warm_s": times[1]}
         print(f"{name}: rows={rows} cold={times[0]}s warm={times[1]}s")
@@ -127,6 +165,49 @@ def main() -> int:
     v2_rows = results["ops"]["curation_pipeline_v2"]["rows"]
     assert v2_rows == 0, f"replicated corpus should fully collapse, got {v2_rows}"
     checks["replicated_corpus_collapses_to_zero"] = 1
+
+    # substring_dedup on a 40x-replicated corpus: every >=10-word doc is
+    # pure cross-doc duplication and must empty out entirely; the hot
+    # 10-gram (one key, ~20k carriers) must vanish from every carrier;
+    # the mega doc is WITHIN-doc repetition only and must be kept whole
+    sd = q_substring_dedup(spark, out_dir)
+    hot10_left = sd.filter(F.col("clean_text").contains(HOT10)).count()
+    assert hot10_left == 0, f"hot 10-gram survived in {hot10_left} docs"
+    mega_sd = sd.filter(F.col("doc_id") == 99_000_000).collect()[0]
+    assert mega_sd["n_words_removed"] == 0, mega_sd["n_words_removed"]
+    emptied = sd.filter(F.col("clean_text") == "").count()
+    assert emptied >= int(0.95 * n_docs), f"only {emptied}/{n_docs} emptied"
+    checks["hot_10gram_dropped_everywhere"] = 1
+    checks["mega_doc_within_dup_kept_whole"] = 1
+    checks["substring_emptied_docs"] = emptied
+
+    # unicode_clean: exactly the planted mojibake carriers change, and the
+    # repaired forms come out; everything else rides the ASCII fast path
+    uc = q_unicode_clean(spark, out_dir)
+    docs0 = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    expected_moji = docs0.filter(F.col("doc_id") % 13 == 7).count() * REPL
+    changed = uc.filter(F.col("was_changed")).count()
+    assert changed == expected_moji, (changed, expected_moji)
+    repaired = uc.filter(
+        F.col("clean_text").contains("café")
+        & F.col("clean_text").contains("don’t")
+    ).count()
+    assert repaired == expected_moji, (repaired, expected_moji)
+    checks["mojibake_carriers_repaired"] = changed
+
+    # corpus_shuffle: a valid permutation at 200k docs, bounded shards
+    cs = q_corpus_shuffle(spark, out_dir)
+    agg = cs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("shuffle_rank").alias("nd"),
+        F.max("shuffle_rank").alias("mx"),
+    ).collect()[0]
+    assert agg["n"] == n_docs and agg["nd"] == n_docs and agg["mx"] == n_docs - 1
+    max_shard = (
+        cs.groupBy("shard").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert max_shard <= 100, max_shard
+    checks["shuffle_permutation_valid_200k"] = 1
     results["checks"] = checks
 
     os.makedirs("BENCH", exist_ok=True)

@@ -936,3 +936,136 @@ def test_unicode_clean_mojibake_nfc_controls(spark, tmp_path):
         for d, c, w in con.sql(ORACLE_UNICODE_CLEAN).fetchall()
     }
     assert oracle == got
+
+
+def test_substring_dedup_random_crosscheck(spark, tmp_path):
+    """Randomized corpus over a 3-word vocabulary (so 10-grams collide
+    constantly) cross-checked against the obvious pure-Python reference:
+    gram -> carrier-doc census, covered-interval union, kept-word rebuild.
+    One Spark round trip evaluates every case."""
+    import random
+
+    import pandas as pd
+
+    from janet_spark.queries_text import _SUBSTR_GRAM, q_substring_dedup
+
+    rng = random.Random(20260817)
+    vocab = ["aa", "bb"]  # 2^10 possible 10-grams -> collisions guaranteed
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 24)))
+        for _ in range(60)
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["s"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    sf = str(tmp_path)
+    spark.createDataFrame(pdf).repartition(3).write.parquet(f"{sf}/documents.parquet")
+
+    K = _SUBSTR_GRAM
+    words = {i: t.split(" ") for i, t in enumerate(texts)}
+    carriers: dict[str, set] = {}
+    for d, w in words.items():
+        for i in range(len(w) - K + 1):
+            carriers.setdefault(" ".join(w[i : i + K]), set()).add(d)
+    expect = {}
+    for d, w in words.items():
+        covered: set = set()
+        for i in range(len(w) - K + 1):
+            if len(carriers[" ".join(w[i : i + K])]) > 1:
+                covered.update(range(i, i + K))
+        kept = [w[i] for i in range(len(w)) if i not in covered]
+        expect[d] = (" ".join(kept), len(w) - len(kept))
+
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_words_removed"])
+        for r in q_substring_dedup(spark, sf).collect()
+    }
+    assert got == expect
+    # sanity: the vocabulary is small enough that removal actually fired
+    assert any(n > 0 for _, n in got.values())
+
+
+def test_unicode_clean_engine_parity_property():
+    """Property: the Python cleaner and the rendered DuckDB SQL agree on
+    adversarial unicode — mojibake fragments (including partial/overlapping
+    ones), combining marks next to replacement outputs, control characters,
+    and plain text. Pins that the two renderings of the SAME table (and the
+    two NFC implementations, unicodedata vs utf8proc) cannot drift. All
+    hypothesis cases evaluate in one DuckDB pass."""
+    import duckdb
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from janet_spark.queries_text import _unicode_clean_sql, _unicode_clean_str
+
+    frag = st.sampled_from(
+        ["â€™", "â€œ", "Ã©", "Â°", "Â ", "café", "café", "Ã©",
+         "\x07", "\x0c", "\t", "\n", "…", "é̄", "Ã", "Â", "â€"]
+    )
+    piece = st.one_of(
+        frag, st.text(alphabet="abc Ã‚Â©é́̃", min_size=0, max_size=4)
+    )
+    cases: list[str] = []
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.lists(piece, min_size=0, max_size=6).map("".join))
+    def collect(s):
+        cases.append(s)
+
+    collect()
+    con = duckdb.connect()
+    con.register("docs_in", pd.DataFrame({"doc_id": range(len(cases)), "text": cases}))
+    rows = con.sql(
+        f"SELECT doc_id, {_unicode_clean_sql('text')} AS c FROM docs_in ORDER BY doc_id"
+    ).fetchall()
+    for (i, got_sql), s in zip(rows, cases):
+        assert got_sql == _unicode_clean_str(s), (repr(s), repr(got_sql))
+
+
+def test_write_training_shards_order_and_layout(spark, tmp_path):
+    """Materialized shards must be: one parquet file per shard dir, rows
+    inside each file contiguous and ascending in shuffle_rank, the union
+    a full permutation, and the permutation IDENTICAL to the
+    oracle-checked corpus_shuffle query (both build on shuffle_ranked)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from janet_spark.queries_text import q_corpus_shuffle
+    from janet_spark.shard_writer import write_training_shards
+
+    docs = spark.read.parquet(SF + "/documents.parquet")
+    out = str(tmp_path / "shards")
+    n = write_training_shards(docs, out, seed="ep0", shard_size=100)
+    dirs = sorted(
+        glob.glob(out + "/shard=*"), key=lambda d: int(d.split("=")[1])
+    )
+    assert n == len(dirs) == 5  # 500 docs / 100
+
+    all_ranks: list[int] = []
+    perm: dict[int, int] = {}
+    for d in dirs:
+        files = glob.glob(d + "/*.parquet")
+        assert len(files) == 1, (d, files)
+        tbl = pq.read_table(files[0]).to_pandas()
+        s = int(d.split("=")[1])
+        ranks = list(tbl["shuffle_rank"])
+        assert ranks == sorted(ranks)
+        assert ranks[0] == s * 100 and ranks[-1] == s * 100 + len(ranks) - 1
+        assert "text" in tbl.columns  # full rows ride along
+        all_ranks += ranks
+        perm.update(dict(zip(tbl["doc_id"], tbl["shuffle_rank"])))
+    assert sorted(all_ranks) == list(range(500))
+
+    q = {
+        r["doc_id"]: r["shuffle_rank"]
+        for r in q_corpus_shuffle(spark, SF).collect()
+    }
+    assert perm == q
