@@ -29,6 +29,7 @@ _PRIORITY = [
     "corpus_shuffle",
     "substring_dedup",
     "unicode_clean",
+    "cluster_safe_split",
     "ranked_search",
     "fuzzy_search",
     "typo_ranked_search",

@@ -1394,6 +1394,86 @@ ORDER BY doc_id
 """
 
 
+_SPLIT_EVAL_PCT = 10
+_SPLIT_SEED = "split0"
+
+
+def q_cluster_safe_split(spark, sf_dir):
+    """Leakage-free train/eval split: the split UNIT is the near-dup
+    cluster, not the document, so two near-duplicates can never straddle
+    the boundary (the classic eval-contamination bug a doc-level
+    hash_sample split cannot prevent). Docs outside any cluster are their
+    own singleton cluster (rep = own doc_id); the side is a deterministic
+    md5 gate on the cluster rep, engine-portable like hash_sample.
+
+    Scale shape: pairs come from the bucketed LSH miner (the 100-TB
+    path — same argument as dedup_clusters_lsh, so the exact-pair
+    recursive-CTE oracle still applies); the rep assignment is one left
+    join of docs to the (small) clustered subset; the gate is a
+    projection-time expression — no extra shuffle beyond clustering."""
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    clusters = q_dedup_clusters_lsh(spark, sf_dir).select("doc_id", "cluster_rep")
+    withrep = docs.join(clusters, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_rep", F.col("doc_id")).alias("cluster_rep"),
+    )
+    gate = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(_SPLIT_SEED), F.col("cluster_rep"))),
+                1,
+                2,
+            ),
+            16,
+            10,
+        )
+    ).cast("int")
+    return (
+        withrep.withColumn(
+            "split",
+            F.when(
+                gate < int(256 * _SPLIT_EVAL_PCT / 100), F.lit("eval")
+            ).otherwise(F.lit("train")),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _cluster_safe_split_oracle() -> str:
+    pair_sql = ORACLE_NGRAM_JACCARD_PAIRS.replace("ORDER BY d1, d2", "")
+    thr = int(256 * _SPLIT_EVAL_PCT / 100)
+    h = f"md5('{_SPLIT_SEED}:' || cast(cluster_rep AS varchar))"
+    return f"""
+WITH RECURSIVE pairs AS ({pair_sql}),
+edges AS (
+  SELECT d1 AS a, d2 AS b FROM pairs
+  UNION ALL
+  SELECT d2 AS a, d1 AS b FROM pairs
+),
+walk(src, node) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT w.src, e.b FROM walk w JOIN edges e ON e.a = w.node
+),
+comp AS (
+  SELECT src AS doc_id, min(node) AS cluster_rep FROM walk GROUP BY src
+),
+rep AS (
+  SELECT d.doc_id, coalesce(c.cluster_rep, d.doc_id) AS cluster_rep
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+),
+g AS (
+  SELECT doc_id, cluster_rep,
+         (strpos('0123456789abcdef', substr({h}, 1, 1)) - 1) * 16
+         + strpos('0123456789abcdef', substr({h}, 2, 1)) - 1 AS gate
+  FROM rep
+)
+SELECT doc_id, cluster_rep,
+       CASE WHEN gate < {thr} THEN 'eval' ELSE 'train' END AS split
+FROM g ORDER BY doc_id
+"""
+
+
 # MinHash parameters: 64 permutations in 16 bands x 4 rows. At
 # jaccard >= 0.8 the miss probability per pair is (1 - 0.8^4)^16 ~ 2e-4,
 # so candidate recall is effectively exact and the verified output equals
@@ -2278,6 +2358,7 @@ TEXT_QUERIES = {
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, ORACLE_NGRAM_JACCARD_PAIRS),
     "dedup_clusters": (q_dedup_clusters, _dedup_clusters_oracle()),
     "dedup_clusters_lsh": (q_dedup_clusters_lsh, _dedup_clusters_oracle()),
+    "cluster_safe_split": (q_cluster_safe_split, _cluster_safe_split_oracle()),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, ORACLE_NGRAM_JACCARD_PAIRS),
     "incremental_neardup": (q_incremental_neardup, _incremental_neardup_oracle()),
     "simhash": (q_simhash, ORACLE_SIMHASH),

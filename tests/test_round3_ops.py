@@ -1069,3 +1069,22 @@ def test_write_training_shards_order_and_layout(spark, tmp_path):
         for r in q_corpus_shuffle(spark, SF).collect()
     }
     assert perm == q
+
+
+def test_cluster_safe_split_no_leakage(spark):
+    """The split's whole point: no near-dup pair may straddle the
+    train/eval boundary, every doc gets a side, and both sides are
+    non-empty at this SF (deterministic — pinned, not probabilistic)."""
+    from janet_spark.queries_text import (
+        q_cluster_safe_split,
+        q_ngram_jaccard_pairs,
+    )
+
+    rows = q_cluster_safe_split(spark, SF).collect()
+    split = {r["doc_id"]: r["split"] for r in rows}
+    assert len(split) == 500  # every doc assigned exactly one side
+    pairs = q_ngram_jaccard_pairs(spark, SF).select("d1", "d2").collect()
+    assert pairs, "corpus has no near-dup pairs; invariant untestable"
+    for r in pairs:
+        assert split[r["d1"]] == split[r["d2"]], (r["d1"], r["d2"])
+    assert set(split.values()) == {"train", "eval"}
