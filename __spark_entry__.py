@@ -30,6 +30,7 @@ _PRIORITY = [
     "substring_dedup",
     "unicode_clean",
     "cluster_safe_split",
+    "kmeans_assign",
     "ranked_search",
     "fuzzy_search",
     "typo_ranked_search",

@@ -132,6 +132,8 @@ def main() -> None:
         "corpus_shuffle",
         "substring_dedup",
         "unicode_clean",
+        "cluster_safe_split",
+        "kmeans_assign",
         "asof_join",
         "range_join_banded",
         "pii_scrub",

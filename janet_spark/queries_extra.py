@@ -1439,8 +1439,126 @@ ORDER BY qid, rank
 """
 
 
+def q_kmeans_assign(spark, sf_dir):
+    """SemDeDup-style semantic clustering (Abbas et al. 2023 cluster the
+    embedding space with k-means, then dedup within clusters): ONE Lloyd
+    refinement over deterministic hash-sampled seeds, then final
+    assignment — the step that CREATES the blocks `embed_neardup_blocked`
+    prunes within. Real k-means runs more iterations of exactly this
+    shape; one refinement keeps the DuckDB oracle closed-form while
+    exercising the full per-iteration machinery.
+
+    Scale shape: seeds are the fixed-k md5-order sample (constant driver
+    collect at any table size — `ivf_centroids`); each assignment is a
+    narrow mapInPandas GEMM against the broadcast centroid matrix; the
+    centroid UPDATE is a per-(cell, dim) avg — map-side combinable,
+    k*dim output rows — and the per-iteration driver collect is bounded
+    by k rows (the standard distributed-k-means contract; at 10^9
+    vectors nothing here grows). Ties break (cosine desc, seed id asc)
+    identically in both engines; `fit` rounds to 4 dp like the ANN ops
+    so float-summation-order noise cannot flip the hash."""
+    import numpy as np
+    import pandas as pd
+
+    emb = t(spark, sf_dir, "embeddings")
+    cent = ivf_centroids(emb)
+
+    def assigner(c_ids, c_norm):
+        def assign(batches):
+            for pdf in batches:
+                v = np.array(list(pdf["embedding"]), dtype=np.float64)
+                vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+                cs = vn @ c_norm.T
+                best = cs.argmax(axis=1)  # first max = lowest seed id
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"],
+                        "cell": [c_ids[i] for i in best],
+                        # unrounded here; the final select uses F.round
+                        # (HALF_UP, same as DuckDB) — np.round is
+                        # banker's rounding and could flip a boundary
+                        "fit": cs[np.arange(len(best)), best],
+                        "embedding": pdf["embedding"],
+                    }
+                )
+
+        return assign
+
+    c0_ids = [int(r["vec_id"]) for r in cent]
+    c0 = np.array([r["embedding"] for r in cent], dtype=np.float64)
+    a0 = emb.mapInPandas(
+        assigner(c0_ids, c0 / np.linalg.norm(c0, axis=1, keepdims=True)),
+        schema="vec_id long, cell long, fit double, embedding array<float>",
+    )
+    dims = a0.select(
+        "cell",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "val"),
+    )
+    c1_rows = sorted(
+        (
+            dims.groupBy("cell", "dim")
+            .agg(F.avg("val").alias("mv"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "mv"))),
+                    lambda s: s["mv"],
+                ).alias("ce")
+            )
+            .collect()  # bounded: at most k rows regardless of table size
+        ),
+        key=lambda r: int(r["cell"]),
+    )
+    c1_ids = [int(r["cell"]) for r in c1_rows]
+    c1 = np.array([r["ce"] for r in c1_rows], dtype=np.float64)
+    a1 = emb.mapInPandas(
+        assigner(c1_ids, c1 / np.linalg.norm(c1, axis=1, keepdims=True)),
+        schema="vec_id long, cell long, fit double, embedding array<float>",
+    )
+    return (
+        a1.select(
+            "vec_id",
+            F.col("cell").alias("cluster"),
+            F.round("fit", 4).alias("fit"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+ORACLE_KMEANS_ASSIGN = f"""
+WITH c0 AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+  FROM (SELECT * FROM embeddings
+        ORDER BY md5(cast(vec_id AS varchar)), vec_id LIMIT {_IVF_K})
+), v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings
+), sim0 AS (
+  SELECT v.vec_id, c0.cid, {_DUCK_COS.format(a='v.ve', b='c0.ce')} AS cs
+  FROM v CROSS JOIN c0
+), a0 AS (
+  SELECT vec_id, cid AS cell FROM sim0
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC) = 1
+), m0 AS (
+  SELECT a0.cell, unnest(v.ve) AS val, generate_subscripts(v.ve, 1) AS dim
+  FROM a0 JOIN v USING (vec_id)
+), m AS (
+  SELECT cell, dim, avg(val) AS mv FROM m0 GROUP BY cell, dim
+), c1 AS (
+  SELECT cell AS cid, list(mv ORDER BY dim) AS ce FROM m GROUP BY cell
+), sim1 AS (
+  SELECT v.vec_id, c1.cid, {_DUCK_COS.format(a='v.ve', b='c1.ce')} AS cs
+  FROM v CROSS JOIN c1
+)
+SELECT vec_id, cid AS cluster, round(cs, 4) AS fit
+FROM sim1
+QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC) = 1
+ORDER BY vec_id
+"""
+
+
 EXTRA_QUERIES = {
     "ann_ivf_topk": (q_ann_ivf_topk, ORACLE_ANN_IVF_TOPK),
+    "kmeans_assign": (q_kmeans_assign, ORACLE_KMEANS_ASSIGN),
     "distinct_users": (q_distinct_users, ORACLE_DISTINCT_USERS),
     "value_percentiles": (q_value_percentiles, ORACLE_VALUE_PERCENTILES),
     "langs_per_source": (q_langs_per_source, ORACLE_LANGS_PER_SOURCE),

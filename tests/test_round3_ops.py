@@ -1088,3 +1088,21 @@ def test_cluster_safe_split_no_leakage(spark):
     for r in pairs:
         assert split[r["d1"]] == split[r["d2"]], (r["d1"], r["d2"])
     assert set(split.values()) == {"train", "eval"}
+
+
+def test_kmeans_assign_invariants(spark):
+    """Every vector gets exactly one cluster; clusters are the surviving
+    seed ids; fit is a valid (rounded) cosine and positive on this
+    synthetic corpus. The heavy validation — seed selection, the Lloyd
+    mean update per dimension, tie-breaks — is the two-stage DuckDB
+    oracle the driver gate hash-matches."""
+    import statistics
+
+    from janet_spark.queries_extra import q_kmeans_assign
+
+    out = q_kmeans_assign(spark, SF).collect()
+    assert len(out) == 500
+    clusters = {r["cluster"] for r in out}
+    assert 1 < len(clusters) <= 20
+    assert all(-1.0 <= r["fit"] <= 1.0 for r in out)
+    assert statistics.mean(r["fit"] for r in out) > 0.2
