@@ -31,6 +31,7 @@ _PRIORITY = [
     "unicode_clean",
     "cluster_safe_split",
     "kmeans_assign",
+    "semdedup",
     "ranked_search",
     "fuzzy_search",
     "typo_ranked_search",

@@ -134,6 +134,7 @@ def main() -> None:
         "unicode_clean",
         "cluster_safe_split",
         "kmeans_assign",
+        "semdedup",
         "asof_join",
         "range_join_banded",
         "pii_scrub",

@@ -1525,7 +1525,10 @@ def q_kmeans_assign(spark, sf_dir):
     )
 
 
-ORACLE_KMEANS_ASSIGN = f"""
+# shared CTE block: seed pick -> assignment -> per-dim mean update ->
+# refined assignment. Both the kmeans oracle and the semdedup oracle
+# build on the SAME text so the two cannot drift.
+_KMEANS_CTES = f"""
 WITH c0 AS (
   SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
   FROM (SELECT * FROM embeddings
@@ -1548,17 +1551,76 @@ WITH c0 AS (
 ), sim1 AS (
   SELECT v.vec_id, c1.cid, {_DUCK_COS.format(a='v.ve', b='c1.ce')} AS cs
   FROM v CROSS JOIN c1
-)
-SELECT vec_id, cid AS cluster, round(cs, 4) AS fit
-FROM sim1
-QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC) = 1
-ORDER BY vec_id
+), assign AS (
+  SELECT vec_id, cid AS cluster, cs FROM sim1
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC) = 1
+)"""
+
+ORACLE_KMEANS_ASSIGN = (
+    _KMEANS_CTES
+    + """
+SELECT vec_id, cluster, round(cs, 4) AS fit
+FROM assign ORDER BY vec_id
 """
+)
+
+
+def q_semdedup(spark, sf_dir):
+    """SemDeDup end-to-end (Abbas et al. 2023): k-means the embedding
+    space (kmeans_assign), then mark semantic near-duplicates WITHIN each
+    computed cluster. A vector is dropped when it is the higher-id member
+    of any within-cluster pair with rounded cosine >= 0.4 (the corpus's
+    calibrated near-dup threshold); keep = not dominated. Deterministic
+    drop-if-dominated convention — the transitive keep-one-per-component
+    variant is `_clusters_from_pairs` composition, same as text dedup.
+
+    Scale shape: the cluster assignment is the bounded-k pipeline of
+    kmeans_assign; the pair mine reuses the triangle-chunked kernel
+    (`_blocked_cosine_pairs`) so a hot cluster is bounded chunk-pair
+    tasks, never an O(b^2) executor; the dominated set is a distinct
+    projection of the pair stream and the final flag is one left join."""
+    from janet_spark.queries_text import _blocked_cosine_pairs
+
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    clusters = q_kmeans_assign(spark, sf_dir).select("vec_id", "cluster")
+    blocked = emb.join(clusters, "vec_id").select(
+        F.col("cluster").alias("label"), "vec_id", "embedding"
+    )
+    pairs = _blocked_cosine_pairs(blocked, block_type="long")
+    dominated = pairs.select(F.col("v2").alias("vec_id")).distinct()
+    return (
+        clusters.join(
+            dominated.withColumn("dom", F.lit(True)), "vec_id", "left"
+        )
+        .select("vec_id", "cluster", F.col("dom").isNull().alias("keep"))
+        .orderBy("vec_id")
+    )
+
+
+ORACLE_SEMDEDUP = (
+    _KMEANS_CTES
+    + f""",
+pairs AS (
+  SELECT a.cluster, a.vec_id AS v1, b.vec_id AS v2
+  FROM assign a JOIN assign b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  JOIN v va ON va.vec_id = a.vec_id
+  JOIN v vb ON vb.vec_id = b.vec_id
+  WHERE round({_DUCK_COS.format(a='va.ve', b='vb.ve')}, 4) >= 0.4
+), dominated AS (
+  SELECT DISTINCT v2 AS vec_id FROM pairs
+)
+SELECT a.vec_id, a.cluster, d.vec_id IS NULL AS keep
+FROM assign a LEFT JOIN dominated d USING (vec_id)
+ORDER BY a.vec_id
+"""
+)
 
 
 EXTRA_QUERIES = {
     "ann_ivf_topk": (q_ann_ivf_topk, ORACLE_ANN_IVF_TOPK),
     "kmeans_assign": (q_kmeans_assign, ORACLE_KMEANS_ASSIGN),
+    "semdedup": (q_semdedup, ORACLE_SEMDEDUP),
     "distinct_users": (q_distinct_users, ORACLE_DISTINCT_USERS),
     "value_percentiles": (q_value_percentiles, ORACLE_VALUE_PERCENTILES),
     "langs_per_source": (q_langs_per_source, ORACLE_LANGS_PER_SOURCE),

@@ -1887,7 +1887,19 @@ def q_embed_neardup_blocked(spark, sf_dir, chunk_rows=_NEARDUP_CHUNK):
     the big table shuffles exactly once — on the (label, chunk-pair) group
     key, same as the unchunked version."""
     emb = t(spark, sf_dir, "embeddings").select("label", "vec_id", "embedding")
+    return _blocked_cosine_pairs(emb, chunk_rows, block_type="int")
 
+
+def _blocked_cosine_pairs(
+    emb: DataFrame,
+    chunk_rows: int = _NEARDUP_CHUNK,
+    block_type: str = "int",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """The triangle-chunked within-block cosine-pair kernel over any
+    (label, vec_id, embedding) frame — shared by the label-blocked query
+    and the semdedup composition (whose blocks are COMPUTED k-means
+    clusters), so the hot-block bounding logic can never fork."""
     sizes = emb.groupBy("label").agg(F.count(F.lit(1)).alias("cnt"))
     chunked = (
         emb.join(F.broadcast(sizes), "label")
@@ -1928,7 +1940,7 @@ def q_embed_neardup_blocked(spark, sf_dir, chunk_rows=_NEARDUP_CHUNK):
             s = np.round(sims.reshape(-1), 4)
             a_ids = np.repeat(ids[left], (~left).sum())
             b_ids = np.tile(ids[~left], left.sum())
-        keep = s >= 0.4
+        keep = s >= threshold
         return pd.DataFrame(
             {
                 "label": pdf["label"].iloc[0],
@@ -1940,7 +1952,9 @@ def q_embed_neardup_blocked(spark, sf_dir, chunk_rows=_NEARDUP_CHUNK):
 
     return (
         exploded.groupBy("label", "g")
-        .applyInPandas(pairs, schema="label int, v1 long, v2 long, sim double")
+        .applyInPandas(
+            pairs, schema=f"label {block_type}, v1 long, v2 long, sim double"
+        )
         .orderBy("label", "v1", "v2")
     )
 

@@ -1106,3 +1106,32 @@ def test_kmeans_assign_invariants(spark):
     assert 1 < len(clusters) <= 20
     assert all(-1.0 <= r["fit"] <= 1.0 for r in out)
     assert statistics.mean(r["fit"] for r in out) > 0.2
+
+
+def test_semdedup_drop_rule(spark):
+    """Dropped vectors are exactly the higher-id members of within-cluster
+    near-dup pairs mined by the shared triangle kernel; keepers are
+    everything else. Both classes must be non-empty at this SF."""
+    from pyspark.sql import functions as F
+
+    from janet_spark.queries_extra import q_kmeans_assign, q_semdedup
+    from janet_spark.queries_text import _blocked_cosine_pairs
+    from janet_spark.queries_relational import t
+
+    out = {r["vec_id"]: r for r in q_semdedup(spark, SF).collect()}
+    assert len(out) == 500
+    dropped = {v for v, r in out.items() if not r["keep"]}
+    assert dropped and len(dropped) < 500
+
+    clusters = q_kmeans_assign(spark, SF).select("vec_id", "cluster")
+    blocked = (
+        t(spark, SF, "embeddings")
+        .select("vec_id", "embedding")
+        .join(clusters, "vec_id")
+        .select(F.col("cluster").alias("label"), "vec_id", "embedding")
+    )
+    pairs = _blocked_cosine_pairs(blocked, block_type="long").collect()
+    assert dropped == {r["v2"] for r in pairs}
+    # cluster labels in the output match the assignment
+    cl = {r["vec_id"]: r["cluster"] for r in clusters.collect()}
+    assert all(out[v]["cluster"] == cl[v] for v in out)
