@@ -32,6 +32,7 @@ _PRIORITY = [
     "cluster_safe_split",
     "kmeans_assign",
     "semdedup",
+    "pack_examples",
     "ranked_search",
     "fuzzy_search",
     "typo_ranked_search",

@@ -135,6 +135,7 @@ def main() -> None:
         "cluster_safe_split",
         "kmeans_assign",
         "semdedup",
+        "pack_examples",
         "asof_join",
         "range_join_banded",
         "pii_scrub",

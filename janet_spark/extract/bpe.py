@@ -53,15 +53,22 @@ def count_text(text: str) -> tuple[int, int]:
     return sum(len(bpe_tokens(w)) for w in words), len(words)
 
 
-def duckdb_word_token_count_sql(word_col: str) -> str:
-    """DuckDB expression: BPE token count of `word_col` — the full merge
-    chain rendered as nested single-pass replace() calls over the
-    space-separated character string (string_split with '' splits to
-    chars). Independent recomputation: only the MERGES table is shared."""
+def duckdb_word_tokens_sql(word_col: str) -> str:
+    """DuckDB expression: the space-joined BPE token STRING of
+    `word_col` — the full merge chain rendered as nested single-pass
+    replace() calls over the space-separated character string
+    (string_split with '' splits to chars). Independent recomputation:
+    only the MERGES table is shared."""
     expr = f"' ' || array_to_string(string_split({word_col}, ''), ' ') || ' '"
     for a, b in MERGES:
         expr = f"replace({expr}, ' {a} {b} ', ' {a}{b} ')"
-    return f"len(string_split(trim({expr}), ' '))"
+    return f"trim({expr})"
+
+
+def duckdb_word_token_count_sql(word_col: str) -> str:
+    """DuckDB expression: BPE token count of `word_col` (the chunk count
+    of the rendered token string)."""
+    return f"len(string_split({duckdb_word_tokens_sql(word_col)}, ' '))"
 
 
 def spark_word_token_count_sql(word_col: str) -> str:

@@ -930,6 +930,103 @@ FROM c ORDER BY doc_id
 """
 
 
+def q_pack_examples(spark, sf_dir):
+    """Materialized training examples — the terminal artifact of the
+    curation pipeline: every document BPE-tokenizes (frozen merges table,
+    order preserved) and the token stream packs into fixed-budget
+    sequences under the SAME contiguous-packing rule as `sequence_pack`
+    (docs stay whole, assigned to the sequence their running total starts
+    in). Output is one row per training sequence: doc count, token count,
+    and the ordered space-joined token string a loader would consume.
+
+    Scale shape: tokenization is a narrow Arrow stage (word-level
+    lru_cache — corpus words repeat massively); the running total is the
+    shared two-level distributed prefix sum (`_pack_sequences`, never a
+    corpus-sized window); assembly is ONE groupBy(seq_id) ordered concat,
+    bounded per group by the token budget. The DuckDB oracle recomputes
+    every token string through the rendered 48-replace chain and packs
+    with a plain global window — associativity pinned by the existing
+    block-invariance test."""
+    from janet_spark.extract.bpe import TOKEN_SPLIT, bpe_tokens
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    split_re = re.compile(TOKEN_SPLIT)
+
+    def toks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_s: list[str] = []
+            out_n: list[int] = []
+            for x in pdf["text"]:
+                words = [w for w in split_re.split((x or "").lower()) if w]
+                parts = [tok for w in words for tok in bpe_tokens(w)]
+                out_s.append(" ".join(parts))
+                out_n.append(len(parts))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "doc_toks": out_s, "n_tokens": out_n}
+            )
+
+    dt = docs.mapInPandas(
+        toks, schema="doc_id long, doc_toks string, n_tokens long"
+    )
+    packed = _pack_sequences(dt)
+    return (
+        packed.groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.filter(
+                        F.array_sort(F.collect_list(F.struct("doc_id", "doc_toks"))),
+                        lambda s: s["doc_toks"] != "",
+                    ),
+                    lambda s: s["doc_toks"],
+                ),
+                " ",
+            ).alias("tokens"),
+        )
+        .orderBy("seq_id")
+    )
+
+
+def _pack_examples_oracle() -> str:
+    from janet_spark.extract.bpe import duckdb_word_tokens_sql
+
+    return f"""
+WITH d0 AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(coalesce(text, '')),
+                                        '[^a-z0-9]+'), x -> x != '') AS ws
+  FROM documents
+), w AS (
+  SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS pos
+  FROM d0
+), wt AS (
+  SELECT doc_id, pos, {duckdb_word_tokens_sql('word')} AS toks FROM w
+), dt AS (
+  SELECT doc_id, string_agg(toks, ' ' ORDER BY pos) AS doc_toks,
+         cast(sum(len(string_split(toks, ' '))) AS bigint) AS n_tokens
+  FROM wt GROUP BY doc_id
+), alld AS (
+  SELECT d0.doc_id, coalesce(dt.doc_toks, '') AS doc_toks,
+         coalesce(dt.n_tokens, 0) AS n_tokens
+  FROM d0 LEFT JOIN dt USING (doc_id)
+), c AS (
+  SELECT doc_id, doc_toks, n_tokens,
+         cast(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bigint)
+           AS cum_before
+  FROM alld
+)
+SELECT cum_before // {_PACK_BUDGET} AS seq_id,
+       count(*) AS n_docs,
+       cast(sum(n_tokens) AS bigint) AS n_tokens,
+       coalesce(string_agg(doc_toks, ' ' ORDER BY doc_id)
+                  FILTER (doc_toks != ''), '') AS tokens
+FROM c GROUP BY 1 ORDER BY seq_id
+"""
+
+
 def q_mixture_weights(spark, sf_dir):
     """Domain-mixing weights: per-source token share of the corpus and
     the resampling weight that would rebalance sources to a UNIFORM
@@ -2366,6 +2463,7 @@ TEXT_QUERIES = {
     "decontaminate": (q_decontaminate, ORACLE_DECONTAMINATE),
     "lm_score": (q_lm_score, ORACLE_LM_SCORE),
     "sequence_pack": (q_sequence_pack, ORACLE_SEQUENCE_PACK),
+    "pack_examples": (q_pack_examples, _pack_examples_oracle()),
     "curation_pipeline_v2": (q_curation_pipeline_v2, ORACLE_CURATION_PIPELINE_V2),
     "mixture_weights": (q_mixture_weights, ORACLE_MIXTURE_WEIGHTS),
     "corpus_shuffle": (q_corpus_shuffle, ORACLE_CORPUS_SHUFFLE),

@@ -1135,3 +1135,41 @@ def test_semdedup_drop_rule(spark):
     # cluster labels in the output match the assignment
     cl = {r["vec_id"]: r["cluster"] for r in clusters.collect()}
     assert all(out[v]["cluster"] == cl[v] for v in out)
+
+
+def test_pack_examples_boundaries_and_tokens(spark, tmp_path):
+    """Exact token strings and packing boundaries on a hand-checkable
+    fixture: a doc straddling the budget stays whole in the sequence it
+    starts in; empty docs ride along without polluting the token string;
+    BPE goldens ('data' -> 'd at a') appear verbatim in the output."""
+    import pandas as pd
+
+    from janet_spark.queries_text import q_pack_examples
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                " ".join(["batch"] * 510),  # 510 tokens, starts seq 0
+                "data data",  # 6 tokens, starts at 510 < 512 -> seq 0 (whole)
+                "customer",  # starts at 516 -> seq 1
+                None,  # 0 tokens, rides at 517 -> seq 1, no token output
+            ],
+            "lang": ["en"] * 4,
+            "source": ["s"] * 4,
+            "n_chars": [0] * 4,
+        }
+    )
+    sf = str(tmp_path)
+    spark.createDataFrame(pdf).repartition(2).write.parquet(f"{sf}/documents.parquet")
+
+    got = {r["seq_id"]: r.asDict() for r in q_pack_examples(spark, sf).collect()}
+    assert set(got) == {0, 1}
+    assert got[0]["n_docs"] == 2 and got[0]["n_tokens"] == 516
+    assert got[0]["tokens"] == " ".join(["batch"] * 510) + " d at a d at a"
+    assert got[1] == {
+        "seq_id": 1,
+        "n_docs": 2,
+        "n_tokens": 1,
+        "tokens": "customer",
+    }
