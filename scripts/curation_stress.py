@@ -104,6 +104,7 @@ def main() -> int:
         q_curation_pipeline_v2,
         q_decontaminate,
         q_lm_score,
+        q_pack_examples,
         q_quality_repetition,
         q_sequence_pack,
         q_substring_dedup,
@@ -122,6 +123,7 @@ def main() -> int:
         ("substring_dedup", q_substring_dedup),
         ("unicode_clean", q_unicode_clean),
         ("corpus_shuffle", q_corpus_shuffle),
+        ("pack_examples", q_pack_examples),
     ]:
         times = []
         rows = 0
@@ -208,6 +210,29 @@ def main() -> int:
     )
     assert max_shard <= 100, max_shard
     checks["shuffle_permutation_valid_200k"] = 1
+
+    # pack_examples: token conservation (every doc token lands in exactly
+    # one sequence) and contiguous seq ids; the mega doc's 100k tokens
+    # must appear in full
+    pe = q_pack_examples(spark, out_dir)
+    agg2 = pe.agg(
+        F.sum("n_tokens").alias("tok"),
+        F.sum("n_docs").alias("docs"),
+        F.max("seq_id").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    assert agg2["docs"] == n_docs
+    # ids can have gaps (a straddling doc skips the windows it covers)
+    # but never exceed the token total's window count; the max id bounds
+    # total tokens from below
+    assert agg2["n"] <= agg2["mx"] + 1
+    assert agg2["tok"] >= 512 * agg2["mx"]
+    # docs stay whole: the 100k-word mega doc lands in ONE sequence,
+    # which therefore carries at least its 100k+ tokens
+    max_seq_tok = pe.agg(F.max("n_tokens")).collect()[0][0]
+    assert max_seq_tok >= 100_000, max_seq_tok
+    checks["mega_doc_packs_whole"] = 1
+    checks["pack_examples_token_conservation"] = int(agg2["tok"])
     results["checks"] = checks
 
     os.makedirs("BENCH", exist_ok=True)
