@@ -25,6 +25,11 @@ SF0001 = "/root/testdata/sf0.001"
 # script evidence stands in.
 _PRIORITY = [
     # new in round 3
+    "conv_dedup",
+    "conv_stats",
+    "conv_budget_truncate",
+    "tool_call_validate",
+    "conv_quality_gate",
     "incremental_neardup",
     "corpus_shuffle",
     "substring_dedup",
@@ -74,6 +79,7 @@ _PRIORITY = [
 
 
 def _registry():
+    from janet_spark.conversations import CONV_QUERIES
     from janet_spark.queries_extra import EXTRA_QUERIES
     from janet_spark.queries_relational import RELATIONAL_QUERIES
     from janet_spark.queries_text import TEXT_QUERIES
@@ -84,6 +90,7 @@ def _registry():
     merged.update(TEXT_QUERIES)
     merged.update(EXTRA_QUERIES)
     merged.update(SEARCH_QUERIES)
+    merged.update(CONV_QUERIES)
     reg: dict[str, tuple] = {}
     for name in _PRIORITY:
         if name in merged:

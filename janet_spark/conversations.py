@@ -1,0 +1,398 @@
+"""Conversation-level curation operators over the SQL-derived transcripts.
+
+The engine's payload is multi-turn transcripts (BASELINE.json input_hint:
+``conv_id, turn_idx, role, text, tool, ts``), so curation has to work at
+the *conversation* grain, not just the document grain the ``queries_text``
+suite covers: a training pipeline dedupes whole conversations, gates them
+on dialogue-shape quality, truncates them to a token budget, and validates
+tool-call payloads (the reference's tolerant-JSON chain,
+``apps/web/lib/server/pdf.ts:13-35``, applied per tool turn).
+
+Every operator here is oracle-checked: the transcript table is derived in
+SQL independently on both sides (see ``janet_spark.derive``) and each query
+carries an equivalent DuckDB rendering.
+
+Scale notes (100 TB / 10^12 turns):
+- ``conv_dedup`` signatures are built with the same two-level chunked
+  aggregation as conversation reassembly: per-turn md5 -> per-1024-turn
+  chunk md5 -> conversation md5, so no reducer ever materialises a whole
+  skewed conversation's concatenation (a 10^6-turn conversation contributes
+  ~31 KB at level 2, not 32 MB at level 1).
+- every per-conversation aggregate and window below partitions on
+  ``conv_id`` — one shuffle each, reusable across the composed gate.
+- the tool-call validator is an Arrow-batched pandas UDF (the tolerant
+  parse chain is regex+json, not expressible as a built-in); everything
+  else is pure JVM-side expressions.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from janet_spark.derive import DUCKDB_TRANSCRIPTS_SQL, derived_transcripts
+from janet_spark.extract.metadata import tolerant_json_parse
+from janet_spark.reassemble import _ordered_concat
+
+_CTE = f"WITH transcripts AS ({DUCKDB_TRANSCRIPTS_SQL})"
+
+# per-turn word count, identical semantics both dialects: the derived text
+# is single-spaced by construction, and an empty text counts 0 words (both
+# engines report split('') as a 1-element [''], so the guard is explicit).
+# Column exprs are built lazily — module import must not require a session.
+def _words():
+    return F.when(F.col("text") == "", F.lit(0)).otherwise(
+        F.size(F.split(F.col("text"), " "))
+    )
+
+
+_DUCK_WORDS = "CASE WHEN text = '' THEN 0 ELSE len(string_split(text, ' ')) END"
+
+SIG_CHUNK = 1024  # turns per level-1 signature chunk
+
+
+# ---------------------------------------------------------------------------
+# conv_dedup: exact conversation-level dedup by order-sensitive signature
+# ---------------------------------------------------------------------------
+
+
+def conversation_signatures(tr: DataFrame, chunk: int = SIG_CHUNK) -> DataFrame:
+    """(conv_id, conv_sig, n_turns): an order-sensitive content signature
+    per conversation. Two-level chunked so skewed conversations never
+    concatenate in one reducer (cf. reassemble.py's chunked concat)."""
+    lvl1 = (
+        tr.withColumn(
+            "thash",
+            F.md5(F.concat(F.col("turn_idx").cast("string"), F.lit(":"), F.col("text"))),
+        )
+        .withColumn("chk", F.floor(F.col("turn_idx") / F.lit(chunk)).cast("int"))
+        .groupBy("conv_id", "chk")
+        .agg(
+            F.md5(_ordered_concat("turn_idx", "thash", "")).alias("chash"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return lvl1.groupBy("conv_id").agg(
+        F.md5(_ordered_concat("chk", "chash", "")).alias("conv_sig"),
+        F.sum("n").alias("n_turns"),
+    )
+
+
+def q_conv_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact whole-conversation dedup: two conversations are duplicates iff
+    they have identical (turn_idx, text) sequences. Keeps the minimum
+    conv_id per signature group (deterministic winner)."""
+    sig = conversation_signatures(derived_transcripts(spark, sf_dir))
+    return (
+        sig.groupBy("conv_sig")
+        .agg(
+            F.min("conv_id").alias("conv_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("n_turns").alias("n_turns"),
+        )
+        .select("conv_id", "conv_sig", "n_copies", "n_turns")
+        .orderBy("conv_id")
+    )
+
+
+ORACLE_CONV_DEDUP = f"""
+{_CTE},
+lvl1 AS (
+  SELECT conv_id, turn_idx // {SIG_CHUNK} AS chk,
+         md5(string_agg(md5(cast(turn_idx AS varchar) || ':' || text),
+                        '' ORDER BY turn_idx)) AS chash,
+         count(*) AS n
+  FROM transcripts GROUP BY conv_id, turn_idx // {SIG_CHUNK}
+), sig AS (
+  SELECT conv_id, md5(string_agg(chash, '' ORDER BY chk)) AS conv_sig,
+         cast(sum(n) AS bigint) AS n_turns
+  FROM lvl1 GROUP BY conv_id
+)
+SELECT min(conv_id) AS conv_id, conv_sig, count(*) AS n_copies,
+       min(n_turns) AS n_turns
+FROM sig GROUP BY conv_sig ORDER BY conv_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# conv_stats: dialogue-shape metrics per conversation
+# ---------------------------------------------------------------------------
+
+
+def q_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation dialogue statistics: turn counts by role, word
+    totals, empties, and wall-clock span — the raw material every
+    conversation-level quality gate filters on. One groupBy = one shuffle
+    keyed on conv_id."""
+    tr = derived_transcripts(spark, sf_dir)
+    return (
+        tr.withColumn("words", _words())
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum(F.when(F.col("role") == "user", 1).otherwise(0)).alias("n_user"),
+            F.sum(F.when(F.col("role") == "assistant", 1).otherwise(0)).alias(
+                "n_assistant"
+            ),
+            F.sum(F.when(F.col("role") == "tool", 1).otherwise(0)).alias("n_tool"),
+            F.sum("words").alias("n_words"),
+            F.sum(F.when(F.col("text") == "", 1).otherwise(0)).alias("n_empty"),
+            F.round(F.avg("words"), 6).alias("avg_words"),
+            (
+                (
+                    F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+                ) / F.lit(60)
+            )
+            .cast("long")
+            .alias("duration_min"),
+        )
+        .orderBy("conv_id")
+    )
+
+
+ORACLE_CONV_STATS = f"""
+{_CTE}
+SELECT conv_id,
+       count(*) AS n_turns,
+       cast(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS bigint) AS n_user,
+       cast(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS bigint) AS n_assistant,
+       cast(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS bigint) AS n_tool,
+       cast(sum({_DUCK_WORDS}) AS bigint) AS n_words,
+       cast(sum(CASE WHEN text = '' THEN 1 ELSE 0 END) AS bigint) AS n_empty,
+       round(avg({_DUCK_WORDS}), 6) AS avg_words,
+       date_diff('minute', min(ts), max(ts)) AS duration_min
+FROM transcripts GROUP BY conv_id ORDER BY conv_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# conv_budget_truncate: longest turn-prefix under a token budget
+# ---------------------------------------------------------------------------
+
+BUDGET_WORDS = 96  # six full turns of the derived 16-word chunks
+
+
+def q_conv_budget_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-budget truncation: keep the longest prefix of turns (in
+    turn_idx order) whose cumulative word count fits BUDGET_WORDS —
+    the standard way a trainer fits a conversation into a context window
+    without splitting mid-turn. Window and groupBy share the conv_id
+    partitioning (single shuffle)."""
+    tr = derived_transcripts(spark, sf_dir).withColumn("words", _words())
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    cum = tr.withColumn("cum_words", F.sum("words").over(w))
+    kept = F.col("cum_words") <= F.lit(BUDGET_WORDS)
+    return (
+        cum.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("total_turns"),
+            F.sum(kept.cast("int")).alias("kept_turns"),
+            F.sum(F.when(kept, F.col("words")).otherwise(0)).alias("kept_words"),
+        )
+        .withColumn(
+            "truncated", (F.col("kept_turns") < F.col("total_turns")).cast("int")
+        )
+        .orderBy("conv_id")
+    )
+
+
+ORACLE_CONV_BUDGET_TRUNCATE = f"""
+{_CTE},
+cum AS (
+  SELECT conv_id, {_DUCK_WORDS} AS words,
+         sum({_DUCK_WORDS}) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS cum_words
+  FROM transcripts
+)
+SELECT conv_id,
+       count(*) AS total_turns,
+       cast(sum(CASE WHEN cum_words <= {BUDGET_WORDS} THEN 1 ELSE 0 END) AS bigint) AS kept_turns,
+       cast(sum(CASE WHEN cum_words <= {BUDGET_WORDS} THEN words ELSE 0 END) AS bigint) AS kept_words,
+       CASE WHEN sum(CASE WHEN cum_words <= {BUDGET_WORDS} THEN 1 ELSE 0 END)
+                 < count(*) THEN 1 ELSE 0 END AS truncated
+FROM cum GROUP BY conv_id ORDER BY conv_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# tool_call_validate: tolerant-JSON validation of tool payloads
+# ---------------------------------------------------------------------------
+
+# Deterministic tool payloads synthesised identically in both dialects on
+# tool turns (turn_idx % 3 == 2, so turn_idx % 9 cycles 2 -> 5 -> 8):
+#   % 9 == 2 : clean JSON object                      -> direct parse
+#   % 9 == 5 : JSON embedded in prose                 -> regex-recovered
+#   % 9 == 8 : unterminated object (no closing brace) -> unparseable
+# The argument word is sanitised to [A-Za-z0-9] so JSON validity is decided
+# by the payload's *structure*, not by stray quote characters in the data.
+
+_SPARK_ARG = "regexp_replace(element_at(split(text, ' '), 1), '[^A-Za-z0-9]', '')"
+_DUCK_ARG = "regexp_replace(string_split(text, ' ')[1], '[^A-Za-z0-9]', '', 'g')"
+
+_SPARK_RAW = f"""
+CASE
+  WHEN turn_idx % 9 = 2 THEN concat('{{"name":"search","arg":"', {_SPARK_ARG}, '"}}')
+  WHEN turn_idx % 9 = 5 THEN concat('tool output: {{"name":"lookup","arg":"', {_SPARK_ARG}, '"}} rc=0')
+  ELSE concat('{{"name": ', {_SPARK_ARG})
+END
+"""
+
+_DUCK_RAW = f"""
+CASE
+  WHEN turn_idx % 9 = 2 THEN '{{"name":"search","arg":"' || {_DUCK_ARG} || '"}}'
+  WHEN turn_idx % 9 = 5 THEN 'tool output: {{"name":"lookup","arg":"' || {_DUCK_ARG} || '"}} rc=0'
+  ELSE '{{"name": ' || {_DUCK_ARG}
+END
+"""
+
+
+def _validate_tool_batch():
+    """Arrow-batched tolerant-JSON validation UDF. `valid` = the
+    reference's fallback chain (direct parse, else outermost-{...} regex
+    extract) produced a dict; `recovered` = it needed the fallback."""
+
+    @F.pandas_udf("valid int, recovered int")
+    def validate(raw: pd.Series) -> pd.DataFrame:
+        valid = []
+        recovered = []
+        for r in raw:
+            try:
+                direct = isinstance(json.loads(r), dict)
+            except (ValueError, TypeError):
+                direct = False
+            parsed = tolerant_json_parse(r)
+            ok = parsed is not None
+            valid.append(1 if ok else 0)
+            recovered.append(1 if ok and not direct else 0)
+        return pd.DataFrame({"valid": valid, "recovered": recovered})
+
+    return validate
+
+
+def q_tool_call_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation tool-call hygiene: run the reference's tolerant
+    JSON chain (apps/web/lib/server/pdf.ts:13-35) over every tool turn's
+    payload and report valid / regex-recovered / unparseable counts —
+    what a pipeline uses to drop conversations with broken tool traces.
+    The oracle recomputes validity independently with DuckDB json_valid
+    over the same raw strings."""
+    tr = derived_transcripts(spark, sf_dir)
+    tool_turns = (
+        tr.filter(F.col("role") == "tool")
+        .withColumn("raw", F.expr(_SPARK_RAW))
+        .withColumn("v", _validate_tool_batch()(F.col("raw")))
+    )
+    return (
+        tool_turns.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tool_calls"),
+            F.sum(F.col("v.valid")).alias("n_valid"),
+            F.sum(F.col("v.recovered")).alias("n_recovered"),
+            (F.count(F.lit(1)) - F.sum(F.col("v.valid"))).alias("n_invalid"),
+        )
+        .orderBy("conv_id")
+    )
+
+
+ORACLE_TOOL_CALL_VALIDATE = f"""
+{_CTE},
+tool_turns AS (
+  SELECT conv_id, {_DUCK_RAW} AS raw
+  FROM transcripts WHERE role = 'tool'
+), v AS (
+  SELECT conv_id,
+         CASE WHEN json_valid(raw)
+                   OR json_valid(regexp_extract(raw, '\\{{[\\s\\S]*\\}}'))
+              THEN 1 ELSE 0 END AS valid,
+         CASE WHEN NOT json_valid(raw)
+                   AND json_valid(regexp_extract(raw, '\\{{[\\s\\S]*\\}}'))
+              THEN 1 ELSE 0 END AS recovered
+  FROM tool_turns
+)
+SELECT conv_id, count(*) AS n_tool_calls, cast(sum(valid) AS bigint) AS n_valid,
+       cast(sum(recovered) AS bigint) AS n_recovered,
+       cast(count(*) - sum(valid) AS bigint) AS n_invalid
+FROM v GROUP BY conv_id ORDER BY conv_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# conv_quality_gate: composed conversation-level curation filter
+# ---------------------------------------------------------------------------
+
+MIN_TURNS = 3
+MIN_AVG_WORDS = 8.0
+
+
+def q_conv_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed conversation gate in ONE plan: shape filter (enough turns,
+    dense-enough turns, no empty turns) AND exact-duplicate removal (only
+    the min-conv_id copy of each signature group survives). Both branches
+    aggregate on conv_id, so the join of stats with dedup keepers reuses
+    the conv_id hash partitioning instead of introducing a third shuffle
+    shape."""
+    tr = derived_transcripts(spark, sf_dir)
+    stats = (
+        tr.withColumn("words", _words())
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum("words").alias("n_words"),
+            F.avg("words").alias("avg_words"),
+            F.sum(F.when(F.col("text") == "", 1).otherwise(0)).alias("n_empty"),
+        )
+        .filter(
+            (F.col("n_turns") >= MIN_TURNS)
+            & (F.col("avg_words") >= MIN_AVG_WORDS)
+            & (F.col("n_empty") == 0)
+        )
+    )
+    keepers = (
+        conversation_signatures(tr)
+        .groupBy("conv_sig")
+        .agg(F.min("conv_id").alias("conv_id"))
+        .select("conv_id")
+    )
+    return (
+        stats.join(keepers, "conv_id", "left_semi")
+        .select("conv_id", "n_turns", "n_words")
+        .orderBy("conv_id")
+    )
+
+
+ORACLE_CONV_QUALITY_GATE = f"""
+{_CTE},
+stats AS (
+  SELECT conv_id, count(*) AS n_turns, cast(sum({_DUCK_WORDS}) AS bigint) AS n_words,
+         avg({_DUCK_WORDS}) AS avg_words,
+         cast(sum(CASE WHEN text = '' THEN 1 ELSE 0 END) AS bigint) AS n_empty
+  FROM transcripts GROUP BY conv_id
+), lvl1 AS (
+  SELECT conv_id, turn_idx // {SIG_CHUNK} AS chk,
+         md5(string_agg(md5(cast(turn_idx AS varchar) || ':' || text),
+                        '' ORDER BY turn_idx)) AS chash
+  FROM transcripts GROUP BY conv_id, turn_idx // {SIG_CHUNK}
+), sig AS (
+  SELECT conv_id, md5(string_agg(chash, '' ORDER BY chk)) AS conv_sig
+  FROM lvl1 GROUP BY conv_id
+), keepers AS (
+  SELECT min(conv_id) AS conv_id FROM sig GROUP BY conv_sig
+)
+SELECT s.conv_id, s.n_turns, s.n_words
+FROM stats s SEMI JOIN keepers k ON s.conv_id = k.conv_id
+WHERE s.n_turns >= {MIN_TURNS} AND s.avg_words >= {MIN_AVG_WORDS}
+      AND s.n_empty = 0
+ORDER BY s.conv_id
+"""
+
+
+CONV_QUERIES = {
+    "conv_dedup": (q_conv_dedup, ORACLE_CONV_DEDUP),
+    "conv_stats": (q_conv_stats, ORACLE_CONV_STATS),
+    "conv_budget_truncate": (q_conv_budget_truncate, ORACLE_CONV_BUDGET_TRUNCATE),
+    "tool_call_validate": (q_tool_call_validate, ORACLE_TOOL_CALL_VALIDATE),
+    "conv_quality_gate": (q_conv_quality_gate, ORACLE_CONV_QUALITY_GATE),
+}

