@@ -32,6 +32,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+    from janet_spark.conversations import CONV_QUERIES
     from janet_spark.derive import derived_transcripts
     from janet_spark.pipeline import extract_only
     from janet_spark.queries_extra import EXTRA_QUERIES
@@ -86,6 +87,7 @@ def main() -> None:
         **TEXT_QUERIES,
         **EXTRA_QUERIES,
         **SEARCH_QUERIES,
+        **CONV_QUERIES,
     }
     headline = [
         "manifest_upsert",
@@ -155,6 +157,11 @@ def main() -> None:
         "lateral_top_orders",
         "image_header_probe",
         "authorized_events",
+        "conv_dedup",
+        "conv_stats",
+        "conv_budget_truncate",
+        "tool_call_validate",
+        "conv_quality_gate",
     ]
     for name in extended:
         fn, _ = registry[name]

@@ -82,11 +82,11 @@ def conversation_signatures(tr: DataFrame, chunk: int = SIG_CHUNK) -> DataFrame:
     )
 
 
-def q_conv_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def conv_dedup_frame(tr: DataFrame) -> DataFrame:
     """Exact whole-conversation dedup: two conversations are duplicates iff
     they have identical (turn_idx, text) sequences. Keeps the minimum
     conv_id per signature group (deterministic winner)."""
-    sig = conversation_signatures(derived_transcripts(spark, sf_dir))
+    sig = conversation_signatures(tr)
     return (
         sig.groupBy("conv_sig")
         .agg(
@@ -97,6 +97,10 @@ def q_conv_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("conv_id", "conv_sig", "n_copies", "n_turns")
         .orderBy("conv_id")
     )
+
+
+def q_conv_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return conv_dedup_frame(derived_transcripts(spark, sf_dir))
 
 
 ORACLE_CONV_DEDUP = f"""
@@ -123,12 +127,11 @@ FROM sig GROUP BY conv_sig ORDER BY conv_id
 # ---------------------------------------------------------------------------
 
 
-def q_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def conv_stats_frame(tr: DataFrame) -> DataFrame:
     """Per-conversation dialogue statistics: turn counts by role, word
     totals, empties, and wall-clock span — the raw material every
     conversation-level quality gate filters on. One groupBy = one shuffle
     keyed on conv_id."""
-    tr = derived_transcripts(spark, sf_dir)
     return (
         tr.withColumn("words", _words())
         .groupBy("conv_id")
@@ -154,6 +157,10 @@ def q_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_conv_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return conv_stats_frame(derived_transcripts(spark, sf_dir))
+
+
 ORACLE_CONV_STATS = f"""
 {_CTE}
 SELECT conv_id,
@@ -176,13 +183,13 @@ FROM transcripts GROUP BY conv_id ORDER BY conv_id
 BUDGET_WORDS = 96  # six full turns of the derived 16-word chunks
 
 
-def q_conv_budget_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def conv_budget_frame(tr: DataFrame) -> DataFrame:
     """Context-budget truncation: keep the longest prefix of turns (in
     turn_idx order) whose cumulative word count fits BUDGET_WORDS —
     the standard way a trainer fits a conversation into a context window
     without splitting mid-turn. Window and groupBy share the conv_id
     partitioning (single shuffle)."""
-    tr = derived_transcripts(spark, sf_dir).withColumn("words", _words())
+    tr = tr.withColumn("words", _words())
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
     cum = tr.withColumn("cum_words", F.sum("words").over(w))
     kept = F.col("cum_words") <= F.lit(BUDGET_WORDS)
@@ -198,6 +205,10 @@ def q_conv_budget_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("conv_id")
     )
+
+
+def q_conv_budget_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return conv_budget_frame(derived_transcripts(spark, sf_dir))
 
 
 ORACLE_CONV_BUDGET_TRUNCATE = f"""
@@ -272,14 +283,13 @@ def _validate_tool_batch():
     return validate
 
 
-def q_tool_call_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def tool_call_validate_frame(tr: DataFrame) -> DataFrame:
     """Per-conversation tool-call hygiene: run the reference's tolerant
     JSON chain (apps/web/lib/server/pdf.ts:13-35) over every tool turn's
     payload and report valid / regex-recovered / unparseable counts —
     what a pipeline uses to drop conversations with broken tool traces.
     The oracle recomputes validity independently with DuckDB json_valid
     over the same raw strings."""
-    tr = derived_transcripts(spark, sf_dir)
     tool_turns = (
         tr.filter(F.col("role") == "tool")
         .withColumn("raw", F.expr(_SPARK_RAW))
@@ -295,6 +305,10 @@ def q_tool_call_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("conv_id")
     )
+
+
+def q_tool_call_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tool_call_validate_frame(derived_transcripts(spark, sf_dir))
 
 
 ORACLE_TOOL_CALL_VALIDATE = f"""
@@ -327,14 +341,13 @@ MIN_TURNS = 3
 MIN_AVG_WORDS = 8.0
 
 
-def q_conv_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def conv_quality_gate_frame(tr: DataFrame) -> DataFrame:
     """Composed conversation gate in ONE plan: shape filter (enough turns,
     dense-enough turns, no empty turns) AND exact-duplicate removal (only
     the min-conv_id copy of each signature group survives). Both branches
     aggregate on conv_id, so the join of stats with dedup keepers reuses
     the conv_id hash partitioning instead of introducing a third shuffle
     shape."""
-    tr = derived_transcripts(spark, sf_dir)
     stats = (
         tr.withColumn("words", _words())
         .groupBy("conv_id")
@@ -361,6 +374,10 @@ def q_conv_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("conv_id", "n_turns", "n_words")
         .orderBy("conv_id")
     )
+
+
+def q_conv_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return conv_quality_gate_frame(derived_transcripts(spark, sf_dir))
 
 
 ORACLE_CONV_QUALITY_GATE = f"""
