@@ -32,6 +32,7 @@ _PRIORITY = [
     "conv_quality_gate",
     "conv_pack",
     "conv_training_pipeline",
+    "conv_loss_mask",
     "incremental_neardup",
     "corpus_shuffle",
     "substring_dedup",

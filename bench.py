@@ -164,6 +164,7 @@ def main() -> None:
         "conv_quality_gate",
         "conv_pack",
         "conv_training_pipeline",
+        "conv_loss_mask",
     ]
     for name in extended:
         fn, _ = registry[name]

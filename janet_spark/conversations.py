@@ -486,19 +486,14 @@ FROM c ORDER BY conv_id
 # ---------------------------------------------------------------------------
 
 
-def conv_training_pipeline_frame(tr: DataFrame, ordinal=None) -> DataFrame:
-    """The composed transcripts-in, training-sequences-out chain at
-    conversation grain, in ONE Spark plan: (1) quality gate (shape filter
-    + exact-dedup keeper semi-join), (2) context-budget prefix truncation
-    of every surviving conversation, (3) contiguous packing of the kept
-    word totals into fixed 512-token training sequences via the shared
-    distributed prefix sum. Every per-conversation stage keys on conv_id,
-    so the gate, truncation, and totals reuse one partitioning; only the
-    tiny block-offset side of the pack broadcasts.
-
-    A surviving conversation whose FIRST turn alone overflows the budget
-    keeps zero turns and drops out of the pack (inner join) — the same
-    whole-unit rule the packers use."""
+def _pipeline_parts(tr: DataFrame, ordinal=None):
+    """Shared internals of the composed pipeline: returns
+    (kept_turns, packed) where kept_turns carries the budget-surviving
+    turns with their within-conversation cumulative word totals, and
+    packed is one row per gate-surviving conversation with its sequence
+    assignment. conv_loss_mask builds on the SAME instances (including
+    the persisted narrow frame), so composing it adds no extra corpus
+    scans beyond the pipeline's two."""
     from janet_spark.queries_text import _pack_sequences
 
     # two of the three corpus-sized consumers (shape stats and the
@@ -514,7 +509,9 @@ def conv_training_pipeline_frame(tr: DataFrame, ordinal=None) -> DataFrame:
     # same discipline as curation_pipeline_v2's survivor persist) is the
     # right trade. The wide persist is measured strictly worse at every
     # scale: it caches the text column nobody downstream reads.
-    words = tr.select("conv_id", "turn_idx", _words().alias("words")).persist()
+    words = tr.select(
+        "conv_id", "turn_idx", "role", _words().alias("words")
+    ).persist()
     stats = words.groupBy("conv_id").agg(
         F.count(F.lit(1)).alias("n_turns"),
         F.avg("words").alias("avg_words"),
@@ -536,11 +533,11 @@ def conv_training_pipeline_frame(tr: DataFrame, ordinal=None) -> DataFrame:
     survivors = passing.join(keepers, "conv_id", "left_semi")
 
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
-    kept = (
-        words.withColumn("cum_words", F.sum("words").over(w))
-        .filter(F.col("cum_words") <= BUDGET_WORDS)
-        .groupBy("conv_id")
-        .agg(F.sum("words").cast("long").alias("kept_words"))
+    kept_turns = words.withColumn("cum_words", F.sum("words").over(w)).filter(
+        F.col("cum_words") <= BUDGET_WORDS
+    )
+    kept = kept_turns.groupBy("conv_id").agg(
+        F.sum("words").cast("long").alias("kept_words")
     )
     sized = survivors.join(kept, "conv_id")
     ordinal = _conv_ordinal() if ordinal is None else ordinal
@@ -548,23 +545,39 @@ def conv_training_pipeline_frame(tr: DataFrame, ordinal=None) -> DataFrame:
         "conv_id", ordinal.alias("doc_id"),
         F.col("kept_words").alias("n_tokens"),
     )
-    return (
-        _pack_sequences(d)
-        .select(
-            "conv_id",
-            F.col("n_tokens").alias("kept_words"),
-            "seq_id",
-            "seq_offset",
-        )
-        .orderBy("conv_id")
+    packed = _pack_sequences(d).select(
+        "conv_id",
+        F.col("n_tokens").alias("kept_words"),
+        "seq_id",
+        "seq_offset",
     )
+    return kept_turns, packed
+
+
+def conv_training_pipeline_frame(tr: DataFrame, ordinal=None) -> DataFrame:
+    """The composed transcripts-in, training-sequences-out chain at
+    conversation grain, in ONE Spark plan: (1) quality gate (shape filter
+    + exact-dedup keeper semi-join), (2) context-budget prefix truncation
+    of every surviving conversation, (3) contiguous packing of the kept
+    word totals into fixed 512-token training sequences via the shared
+    distributed prefix sum. Every per-conversation stage keys on conv_id,
+    so the gate, truncation, and totals reuse one partitioning; only the
+    tiny block-offset side of the pack broadcasts.
+
+    A surviving conversation whose FIRST turn alone overflows the budget
+    keeps zero turns and drops out of the pack (inner join) — the same
+    whole-unit rule the packers use."""
+    _, packed = _pipeline_parts(tr, ordinal)
+    return packed.orderBy("conv_id")
 
 
 def q_conv_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conv_training_pipeline_frame(derived_transcripts(spark, sf_dir))
 
 
-ORACLE_CONV_TRAINING_PIPELINE = f"""
+# the composed pipeline's CTE chain, shared verbatim with the loss-mask
+# oracle below so the two renderings cannot drift
+_PIPE_CTES = f"""
 {_CTE},
 stats AS (
   SELECT conv_id, count(*) AS n_turns, avg({_DUCK_WORDS}) AS avg_words,
@@ -585,7 +598,7 @@ stats AS (
   WHERE s.n_turns >= {MIN_TURNS} AND s.avg_words >= {MIN_AVG_WORDS}
         AND s.n_empty = 0
 ), cum AS (
-  SELECT conv_id, {_DUCK_WORDS} AS words,
+  SELECT conv_id, turn_idx, role, {_DUCK_WORDS} AS words,
          sum({_DUCK_WORDS}) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS cum_words
   FROM transcripts
 ), kept AS (
@@ -600,11 +613,67 @@ stats AS (
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bigint)
            AS cum_before
   FROM sized
-)
+)"""
+
+ORACLE_CONV_TRAINING_PIPELINE = f"""{_PIPE_CTES}
 SELECT conv_id, kept_words,
        cum_before // 512 AS seq_id,
        cum_before % 512 AS seq_offset
 FROM c ORDER BY conv_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# conv_loss_mask: assistant-turn token spans inside packed sequences
+# ---------------------------------------------------------------------------
+
+
+def conv_loss_mask_frame(tr: DataFrame, ordinal=None) -> DataFrame:
+    """SFT loss masking: for every ASSISTANT turn in the kept prefix of a
+    gate-surviving conversation, the token span it occupies inside its
+    packed training sequence — the artifact a trainer needs to compute
+    loss on assistant tokens only. Span positions are relative to the
+    conversation's sequence start (seq_offset + exclusive within-conv
+    running total); a straddling conversation's spans index past the
+    512 boundary by design (conversations pack whole).
+
+    One extra window + one conv_id equi-join on top of the composed
+    pipeline — no new shuffle key shapes, and the pipeline's persisted
+    narrow frame is shared (no extra corpus scan)."""
+    kept_turns, packed = _pipeline_parts(tr, ordinal)
+    asst = kept_turns.withColumn(
+        "within_start", F.col("cum_words") - F.col("words")
+    ).filter(F.col("role") == "assistant")
+    start = (F.col("seq_offset") + F.col("within_start")).cast("long")
+    return (
+        asst.join(packed.select("conv_id", "seq_id", "seq_offset"), "conv_id")
+        .select(
+            "conv_id",
+            "turn_idx",
+            "seq_id",
+            start.alias("tok_start"),
+            (start + F.col("words")).cast("long").alias("tok_end"),
+        )
+        .orderBy("conv_id", "turn_idx")
+    )
+
+
+def q_conv_loss_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return conv_loss_mask_frame(derived_transcripts(spark, sf_dir))
+
+
+ORACLE_CONV_LOSS_MASK = f"""{_PIPE_CTES},
+kept_turns AS (
+  SELECT conv_id, turn_idx, role, words,
+         cum_words - words AS within_start
+  FROM cum WHERE cum_words <= {BUDGET_WORDS}
+)
+SELECT k.conv_id, k.turn_idx, c.cum_before // 512 AS seq_id,
+       cast(c.cum_before % 512 + k.within_start AS bigint) AS tok_start,
+       cast(c.cum_before % 512 + k.within_start + k.words AS bigint) AS tok_end
+FROM kept_turns k JOIN c ON k.conv_id = c.conv_id
+WHERE k.role = 'assistant'
+ORDER BY k.conv_id, k.turn_idx
 """
 
 CONV_QUERIES["conv_pack"] = (q_conv_pack, ORACLE_CONV_PACK)
@@ -612,3 +681,4 @@ CONV_QUERIES["conv_training_pipeline"] = (
     q_conv_training_pipeline,
     ORACLE_CONV_TRAINING_PIPELINE,
 )
+CONV_QUERIES["conv_loss_mask"] = (q_conv_loss_mask, ORACLE_CONV_LOSS_MASK)

@@ -89,6 +89,7 @@ def main() -> int:
         BUDGET_WORDS,
         conv_budget_frame,
         conv_dedup_frame,
+        conv_loss_mask_frame,
         conv_pack_frame,
         conv_quality_gate_frame,
         conv_stats_frame,
@@ -144,6 +145,11 @@ def main() -> int:
         "conv_training_pipeline",
         results,
         lambda: force(conv_training_pipeline_frame(tr, ordinal)),
+    )
+    timed(
+        "conv_loss_mask",
+        results,
+        lambda: force(conv_loss_mask_frame(tr, ordinal)),
     )
 
     checks: dict[str, int] = {}

@@ -201,3 +201,35 @@ def test_conv_training_pipeline_composed_semantics(spark, tmp_path):
     assert rows["conv-000000"]["seq_offset"] == 0
     assert rows["conv-000003"]["seq_id"] == 0
     assert rows["conv-000003"]["seq_offset"] == 96
+
+
+def test_conv_loss_mask_spans(spark, tmp_path):
+    # conv 0: 160 words -> 10 turns of 16; kept prefix = 6 turns (96 words);
+    # assistant turns are turn_idx % 3 == 1 -> kept assistant turns 1 and 4
+    # conv 3: 64 words -> 4 turns, all kept; assistant turn 1
+    long_a = " ".join(f"w{i}" for i in range(160))
+    docs = spark.createDataFrame(
+        [
+            (0, long_a, "en", "web", 1),
+            (3, " ".join(f"x{i}" for i in range(64)), "en", "web", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    from janet_spark.conversations import q_conv_loss_mask
+
+    rows = [
+        (r["conv_id"], r["turn_idx"], r["seq_id"], r["tok_start"], r["tok_end"])
+        for r in q_conv_loss_mask(spark, str(tmp_path)).collect()
+    ]
+    # conv 0 packs at cum_before=0 -> seq 0 offset 0; its assistant turns
+    # start within-conv at 16 (turn 1) and 64 (turn 4), each 16 words.
+    # conv 3 packs at cum_before=96 -> seq 0 offset 96; assistant turn 1
+    # starts within-conv at 16.
+    assert rows == [
+        ("conv-000000", 1, 0, 16, 32),
+        ("conv-000000", 4, 0, 64, 80),
+        ("conv-000003", 1, 0, 112, 128),
+    ]
