@@ -25,6 +25,13 @@ SF0001 = "/root/testdata/sf0.001"
 # script evidence stands in.
 _PRIORITY = [
     # new in round 3
+    "conv_prefix_stats",
+    "conv_branch_dedup",
+    "conv_merge_roles",
+    "conv_tail_truncate",
+    "turn_boilerplate",
+    "best_of_n",
+    "preference_pairs",
     "conv_dedup",
     "conv_stats",
     "conv_budget_truncate",
@@ -83,6 +90,7 @@ _PRIORITY = [
 
 def _registry():
     from janet_spark.conversations import CONV_QUERIES
+    from janet_spark.dialogue import DIALOGUE_QUERIES
     from janet_spark.queries_extra import EXTRA_QUERIES
     from janet_spark.queries_relational import RELATIONAL_QUERIES
     from janet_spark.queries_text import TEXT_QUERIES
@@ -94,6 +102,7 @@ def _registry():
     merged.update(EXTRA_QUERIES)
     merged.update(SEARCH_QUERIES)
     merged.update(CONV_QUERIES)
+    merged.update(DIALOGUE_QUERIES)
     reg: dict[str, tuple] = {}
     for name in _PRIORITY:
         if name in merged:

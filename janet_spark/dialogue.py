@@ -1,0 +1,565 @@
+"""Dialogue-structure operators over agent transcripts.
+
+Agent transcripts are not flat documents: sessions get retried, branched,
+and truncated, roles alternate (or fail to), boilerplate turns (system
+prompts, canned tool banners) repeat across millions of conversations, and
+preference-training pipelines need best-of-n / chosen-vs-rejected pairs
+grouped by shared prompt. This module adds the conversation-STRUCTURE
+operators the flat-document suite (`queries_text`) and the per-conversation
+curation suite (`conversations`) don't cover:
+
+* ``conv_prefix_stats``   — branching hotspots: how many conversations share
+  each exact turn-prefix (retry/branch factor per depth).
+* ``conv_branch_dedup``   — drop conversations that are exact PROPER
+  prefixes of a longer conversation (abandoned branches / resumed retries;
+  the longer continuation subsumes them).
+* ``conv_merge_roles``    — repair role alternation by folding tool turns
+  into their assistant block and merging consecutive same-role turns.
+* ``conv_tail_truncate``  — context-window truncation that keeps the FIRST
+  turn (system/prompt pin) plus the longest suffix that fits the budget —
+  the "keep the system prompt, drop the middle" trim agents actually use,
+  complementing ``conv_budget_truncate``'s prefix rule.
+* ``turn_boilerplate``    — turns whose exact text recurs across >= 2
+  distinct conversations (system prompts, canned banners) with counts.
+* ``best_of_n``           — per shared-prompt group, the single highest-
+  scoring conversation (rejection sampling / BoN selection).
+* ``preference_pairs``    — per shared-prompt group with >= 2 candidates,
+  the (chosen, rejected) = (best, worst) pair for DPO-style training.
+
+Every operator is oracle-checked: transcripts are derived in SQL
+independently on both sides (``janet_spark.derive``) and each query carries
+an equivalent DuckDB rendering.
+
+Prefix signatures without O(n^2) concatenation
+----------------------------------------------
+A conversation prefix of depth d is identified by the cumulative SUM of
+per-turn hashes ``h(turn_idx, text)`` over a window ordered by turn_idx.
+Because turn_idx is baked into each per-turn hash, the sum is
+order-sensitive over the prefix *content* (a depth-d prefix always holds
+exactly turn_idx 0..d-1, so the summed multiset pins the idx->text
+mapping) while staying associative — one window pass, O(1) state per row,
+no quadratic running concatenation. Per-turn hashes are the first 10 hex
+chars of md5 (< 2^40), so a 10^6-turn prefix sums below 2^60: no bigint
+overflow under ANSI mode, in either engine. Collision odds for a corpus of
+P distinct prefixes are ~P^2 / 2^41 per depth bucket — the same birthday
+budget the MinHash suite documents; exact-dedup correctness at oracle
+scales is unaffected (verified by hash match) and at 100 TB a collision
+mis-drops one branch, the same failure class as any hash-keyed dedup.
+
+Scale notes (100 TB / 10^12 turns):
+- every window/groupBy below partitions on ``conv_id`` — the same single
+  shuffle key the rest of the conversation suite reuses.
+- ``conv_prefix_stats`` caps the report at depth <= MAX_BRANCH_DEPTH
+  (branching happens early in real agent traces); the depth filter is
+  applied BEFORE the (depth, sig) shuffle, so the grouped volume is
+  bounded by 64 rows per conversation, not by total turns.
+- ``conv_branch_dedup`` only needs prefix rows at depths where SOME
+  conversation ends: the distinct-lengths set (<= max turns per conv,
+  ~10^6 rows worst case) broadcasts, pruning the (depth, sig) join input
+  from "every turn" to "one row per conv per distinct ending depth".
+- ``turn_boilerplate`` groups on md5(text), never shuffling raw text
+  except one min(text) sample per group (map-side partial agg first).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from janet_spark.conversations import BUDGET_WORDS, _DUCK_WORDS, _words
+from janet_spark.derive import DUCKDB_TRANSCRIPTS_SQL, derived_transcripts
+from janet_spark.reassemble import _ordered_concat
+
+_CTE = f"WITH transcripts AS ({DUCKDB_TRANSCRIPTS_SQL})"
+
+MAX_BRANCH_DEPTH = 64  # prefix-stats report cap; branching is front-loaded
+
+# engine-portable per-turn numeric hash: first 10 hex chars of md5 -> bigint
+# (< 2^40, so prefix sums of 10^6 turns stay < 2^60 — ANSI-overflow-safe)
+def _thash():
+    return F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("turn_idx").cast("string"), F.lit(":"), F.col("text")
+                )
+            ),
+            1,
+            10,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+_DUCK_THASH = (
+    "CAST('0x' || substr(md5(cast(turn_idx AS varchar) || ':' || text), 1, 10)"
+    " AS BIGINT)"
+)
+
+_DUCK_PREFIX = f"""h AS (
+  SELECT conv_id, turn_idx, {_DUCK_THASH} AS thash FROM transcripts
+), p AS (
+  SELECT conv_id, turn_idx + 1 AS depth,
+         cast(sum(thash) OVER (PARTITION BY conv_id ORDER BY turn_idx
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bigint)
+              AS psig
+  FROM h
+)"""
+
+
+def _prefix_sigs(tr: DataFrame) -> DataFrame:
+    """(conv_id, depth, psig): the cumulative prefix signature at every
+    depth, one window pass keyed on conv_id."""
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return tr.select(
+        "conv_id",
+        (F.col("turn_idx") + F.lit(1)).alias("depth"),
+        F.sum(_thash()).over(w).alias("psig"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# conv_prefix_stats: branching hotspots per prefix depth
+# ---------------------------------------------------------------------------
+
+
+def conv_prefix_stats_frame(tr: DataFrame) -> DataFrame:
+    """How many conversations share each exact turn-prefix, per depth —
+    the retry/branch factor of an agent corpus. Only prefixes shared by
+    >= 2 conversations are reported, capped at MAX_BRANCH_DEPTH (the
+    depth filter runs BEFORE the (depth, sig) shuffle)."""
+    sigs = _prefix_sigs(tr).filter(F.col("depth") <= MAX_BRANCH_DEPTH)
+    return (
+        sigs.groupBy("depth", "psig")
+        .agg(F.count(F.lit(1)).alias("n_convs"))
+        .filter(F.col("n_convs") >= 2)
+        .select("depth", F.col("psig").alias("prefix_sig"), "n_convs")
+        .orderBy("depth", "prefix_sig")
+    )
+
+
+def q_conv_prefix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return conv_prefix_stats_frame(derived_transcripts(spark, sf_dir))
+
+
+ORACLE_CONV_PREFIX_STATS = f"""
+{_CTE},
+{_DUCK_PREFIX}
+SELECT depth, psig AS prefix_sig, count(*) AS n_convs
+FROM p WHERE depth <= {MAX_BRANCH_DEPTH}
+GROUP BY depth, psig HAVING count(*) >= 2
+ORDER BY depth, prefix_sig
+"""
+
+
+# ---------------------------------------------------------------------------
+# conv_branch_dedup: drop conversations that are proper prefixes of longer ones
+# ---------------------------------------------------------------------------
+
+
+def conv_branch_dedup_frame(tr: DataFrame) -> DataFrame:
+    """Survivors after dropping every conversation whose full turn sequence
+    is an exact PROPER prefix of some other conversation — the abandoned
+    branch / superseded retry: the longer continuation contains it whole,
+    so training on both double-weights the shared prefix.
+
+    Two identical conversations are NOT prefixes of each other (proper
+    means strictly shorter) — exact duplicates stay `conv_dedup`'s job.
+
+    Shape: one conv_id window pass for signatures; the prefix side is
+    pruned to depths where some conversation actually ENDS via a broadcast
+    semi-join on the distinct-lengths set (bounded by max turns per conv,
+    not by total turns); the drop is a single anti equi-join on
+    (depth, sig)."""
+    sigs = _prefix_sigs(tr)
+    fulls = sigs.groupBy("conv_id").agg(
+        F.max("depth").alias("n_turns"),
+        F.max_by("psig", "depth").alias("full_sig"),
+    )
+    lengths = fulls.select(F.col("n_turns").alias("depth")).distinct()
+    ending_depths = sigs.join(F.broadcast(lengths), "depth", "left_semi")
+    prefixes = (
+        ending_depths.join(fulls.select("conv_id", "n_turns"), "conv_id")
+        .filter(F.col("depth") < F.col("n_turns"))
+        .select("depth", "psig")
+        .distinct()
+    )
+    return (
+        fulls.join(
+            prefixes,
+            (fulls.n_turns == prefixes.depth) & (fulls.full_sig == prefixes.psig),
+            "left_anti",
+        )
+        .select("conv_id", "n_turns")
+        .orderBy("conv_id")
+    )
+
+
+def q_conv_branch_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return conv_branch_dedup_frame(derived_transcripts(spark, sf_dir))
+
+
+ORACLE_CONV_BRANCH_DEDUP = f"""
+{_CTE},
+{_DUCK_PREFIX},
+fulls AS (
+  SELECT conv_id, max(depth) AS n_turns, arg_max(psig, depth) AS full_sig
+  FROM p GROUP BY conv_id
+), pref AS (
+  SELECT DISTINCT p.depth, p.psig
+  FROM p JOIN fulls f ON p.conv_id = f.conv_id
+  WHERE p.depth < f.n_turns
+)
+SELECT conv_id, n_turns FROM fulls
+WHERE NOT EXISTS (
+  SELECT 1 FROM pref
+  WHERE pref.depth = fulls.n_turns AND pref.psig = fulls.full_sig
+)
+ORDER BY conv_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# conv_merge_roles: fold tool turns into assistant, merge consecutive runs
+# ---------------------------------------------------------------------------
+
+
+def conv_merge_roles_frame(tr: DataFrame) -> DataFrame:
+    """Role-alternation repair: tool turns fold into their assistant block
+    (role 'tool' -> 'assistant'), then consecutive same-role turns merge
+    into one turn (texts joined in turn_idx order, earliest ts kept) — the
+    canonical user/assistant alternation chat-format trainers expect.
+
+    Islands-and-gaps: lag() flags role changes, a running sum numbers the
+    runs, one groupBy per (conv, run) — all three share the conv_id
+    partitioning (single shuffle)."""
+    role2 = F.when(F.col("role") == "tool", F.lit("assistant")).otherwise(
+        F.col("role")
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    marked = tr.withColumn("role2", role2).withColumn(
+        "chg",
+        F.when(
+            F.lag("role2").over(w).isNull()
+            | (F.lag("role2").over(w) != F.col("role2")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    runs = marked.withColumn("grp", F.sum("chg").over(wrun))
+    return (
+        runs.groupBy("conv_id", "grp")
+        .agg(
+            F.min("role2").alias("role"),
+            _ordered_concat("turn_idx", "text", " ").alias("text"),
+            F.count(F.lit(1)).alias("n_merged"),
+            F.min("ts").alias("ts"),
+        )
+        .select(
+            "conv_id",
+            (F.col("grp") - 1).cast("int").alias("turn_idx"),
+            "role",
+            "text",
+            "n_merged",
+            "ts",
+        )
+        .orderBy("conv_id", "turn_idx")
+    )
+
+
+def q_conv_merge_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return conv_merge_roles_frame(derived_transcripts(spark, sf_dir))
+
+
+ORACLE_CONV_MERGE_ROLES = f"""
+{_CTE},
+r AS (
+  SELECT conv_id, turn_idx, ts, text,
+         CASE WHEN role = 'tool' THEN 'assistant' ELSE role END AS role2
+  FROM transcripts
+), m AS (
+  SELECT *, CASE WHEN lag(role2) OVER w IS NULL
+                      OR lag(role2) OVER w <> role2 THEN 1 ELSE 0 END AS chg
+  FROM r WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+), g AS (
+  SELECT *, sum(chg) OVER (PARTITION BY conv_id ORDER BY turn_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM m
+)
+SELECT conv_id, cast(grp - 1 AS int) AS turn_idx, min(role2) AS role,
+       string_agg(text, ' ' ORDER BY turn_idx) AS text,
+       count(*) AS n_merged, min(ts) AS ts
+FROM g GROUP BY conv_id, grp ORDER BY conv_id, turn_idx
+"""
+
+
+# ---------------------------------------------------------------------------
+# conv_tail_truncate: pin the first turn, keep the longest fitting suffix
+# ---------------------------------------------------------------------------
+
+
+def conv_tail_truncate_frame(tr: DataFrame) -> DataFrame:
+    """Suffix-keeping context truncation: the FIRST turn (system prompt /
+    task statement) is always kept; the remaining budget goes to the
+    longest SUFFIX of later turns that fits — 'keep the system prompt,
+    drop the middle', the trim long-running agent sessions actually get.
+    A first turn alone over budget is still kept (the pin wins).
+
+    Reverse-cumulative window (ORDER BY turn_idx DESC) + an unordered
+    partition window for the first turn's weight — both on the conv_id
+    partitioning."""
+    tr = tr.withColumn("words", _words())
+    wconv = Window.partitionBy("conv_id")
+    wrev = (
+        Window.partitionBy("conv_id")
+        .orderBy(F.col("turn_idx").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    first_words = F.max(
+        F.when(F.col("turn_idx") == 0, F.col("words"))
+    ).over(wconv)
+    cur = tr.withColumn("rev_cum", F.sum("words").over(wrev)).withColumn(
+        "fw", first_words
+    )
+    kept = (F.col("turn_idx") == 0) | (
+        F.col("rev_cum") <= F.lit(BUDGET_WORDS) - F.col("fw")
+    )
+    return (
+        cur.groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("total_turns"),
+            F.sum(kept.cast("int")).alias("kept_turns"),
+            F.sum(F.when(kept, F.col("words")).otherwise(0)).alias("kept_words"),
+        )
+        .withColumn(
+            "has_gap",
+            (
+                (F.col("kept_turns") >= 2)
+                & (F.col("kept_turns") < F.col("total_turns"))
+            ).cast("int"),
+        )
+        .orderBy("conv_id")
+    )
+
+
+def q_conv_tail_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return conv_tail_truncate_frame(derived_transcripts(spark, sf_dir))
+
+
+ORACLE_CONV_TAIL_TRUNCATE = f"""
+{_CTE},
+c AS (
+  SELECT conv_id, turn_idx, {_DUCK_WORDS} AS words,
+         sum({_DUCK_WORDS}) OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rev_cum,
+         max(CASE WHEN turn_idx = 0 THEN {_DUCK_WORDS} END)
+             OVER (PARTITION BY conv_id) AS fw
+  FROM transcripts
+), k AS (
+  SELECT conv_id, words,
+         CASE WHEN turn_idx = 0 OR rev_cum <= {BUDGET_WORDS} - fw
+              THEN 1 ELSE 0 END AS kept
+  FROM c
+)
+SELECT conv_id, count(*) AS total_turns,
+       cast(sum(kept) AS bigint) AS kept_turns,
+       cast(sum(CASE WHEN kept = 1 THEN words ELSE 0 END) AS bigint) AS kept_words,
+       CASE WHEN sum(kept) >= 2 AND sum(kept) < count(*) THEN 1 ELSE 0 END AS has_gap
+FROM k GROUP BY conv_id ORDER BY conv_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# turn_boilerplate: turns whose exact text recurs across conversations
+# ---------------------------------------------------------------------------
+
+
+def turn_boilerplate_frame(tr: DataFrame) -> DataFrame:
+    """Cross-conversation boilerplate census: non-empty turn texts that
+    appear verbatim in >= 2 distinct conversations (system prompts, canned
+    tool banners, template greetings) — the rows a trainer down-weights or
+    strips before packing. Groups on md5(text); raw text never shuffles
+    beyond one min() sample per group, and the count-distinct is the
+    standard two-phase partial agg."""
+    return (
+        tr.filter(F.col("text") != "")
+        .groupBy(F.md5("text").alias("turn_sig"))
+        .agg(
+            F.countDistinct("conv_id").alias("n_convs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.substring(F.min("text"), 1, 40).alias("sample_text"),
+        )
+        .filter(F.col("n_convs") >= 2)
+        .orderBy(F.col("n_convs").desc(), "turn_sig")
+    )
+
+
+def q_turn_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return turn_boilerplate_frame(derived_transcripts(spark, sf_dir))
+
+
+ORACLE_TURN_BOILERPLATE = f"""
+{_CTE}
+SELECT md5(text) AS turn_sig,
+       count(DISTINCT conv_id) AS n_convs,
+       count(*) AS n_occurrences,
+       substr(min(text), 1, 40) AS sample_text
+FROM transcripts WHERE text <> ''
+GROUP BY md5(text) HAVING count(DISTINCT conv_id) >= 2
+ORDER BY n_convs DESC, turn_sig
+"""
+
+
+# ---------------------------------------------------------------------------
+# best_of_n / preference_pairs: shared-prompt candidate selection
+# ---------------------------------------------------------------------------
+
+# The candidate score here is total conversation words — a deterministic,
+# oracle-checkable stand-in for the reward-model / rater score a production
+# pipeline would join in (the operator's shape is identical: any per-conv
+# numeric column works).
+
+
+def _scored_candidates(tr: DataFrame) -> DataFrame:
+    """(prompt_sig, conv_id, score): conversations grouped by identical
+    FIRST turn (the shared prompt), scored per conversation. Both aggs key
+    on conv_id; the prompt join is conv_id-to-conv_id."""
+    prompts = tr.filter(F.col("turn_idx") == 0).select(
+        "conv_id", F.md5("text").alias("prompt_sig")
+    )
+    scores = (
+        tr.withColumn("words", _words())
+        .groupBy("conv_id")
+        .agg(F.sum("words").cast("long").alias("score"))
+    )
+    return prompts.join(scores, "conv_id")
+
+
+_DUCK_CANDIDATES = f"""cand AS (
+  SELECT p.conv_id, p.prompt_sig, s.score
+  FROM (SELECT conv_id, md5(text) AS prompt_sig
+        FROM transcripts WHERE turn_idx = 0) p
+  JOIN (SELECT conv_id, cast(sum({_DUCK_WORDS}) AS bigint) AS score
+        FROM transcripts GROUP BY conv_id) s
+  ON p.conv_id = s.conv_id
+)"""
+
+
+def best_of_n_frame(tr: DataFrame) -> DataFrame:
+    """Rejection sampling / best-of-n: among conversations sharing an
+    identical first turn, keep the single highest-scoring one (ties break
+    to the smallest conv_id). One window over prompt_sig."""
+    cand = _scored_candidates(tr)
+    w = Window.partitionBy("prompt_sig").orderBy(
+        F.col("score").desc(), F.col("conv_id").asc()
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_candidates", F.count(F.lit(1)).over(Window.partitionBy("prompt_sig")))
+        .filter(F.col("rn") == 1)
+        .select("prompt_sig", "conv_id", "score", "n_candidates")
+        .orderBy("prompt_sig")
+    )
+
+
+def q_best_of_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return best_of_n_frame(derived_transcripts(spark, sf_dir))
+
+
+ORACLE_BEST_OF_N = f"""
+{_CTE},
+{_DUCK_CANDIDATES}
+SELECT prompt_sig, conv_id, score, n_candidates FROM (
+  SELECT prompt_sig, conv_id, score,
+         row_number() OVER (PARTITION BY prompt_sig
+                            ORDER BY score DESC, conv_id ASC) AS rn,
+         count(*) OVER (PARTITION BY prompt_sig) AS n_candidates
+  FROM cand
+) WHERE rn = 1 ORDER BY prompt_sig
+"""
+
+
+def preference_pairs_frame(tr: DataFrame) -> DataFrame:
+    """DPO-style pair construction: for every shared-prompt group with
+    >= 2 candidates, emit (chosen, rejected) = (best, worst) by score.
+    Ties: chosen breaks to the smallest conv_id, rejected to the largest,
+    so a two-way tie still yields a well-defined (distinct) pair. Two
+    row_number passes over the SAME prompt_sig partitioning collapse into
+    one shuffle."""
+    cand = _scored_candidates(tr)
+    wb = Window.partitionBy("prompt_sig").orderBy(
+        F.col("score").desc(), F.col("conv_id").asc()
+    )
+    ww = Window.partitionBy("prompt_sig").orderBy(
+        F.col("score").asc(), F.col("conv_id").desc()
+    )
+    ranked = cand.withColumn("rb", F.row_number().over(wb)).withColumn(
+        "rw", F.row_number().over(ww)
+    )
+    return (
+        ranked.groupBy("prompt_sig")
+        .agg(
+            F.max(F.when(F.col("rb") == 1, F.col("conv_id"))).alias("chosen_conv"),
+            F.max(F.when(F.col("rb") == 1, F.col("score"))).alias("chosen_score"),
+            F.max(F.when(F.col("rw") == 1, F.col("conv_id"))).alias(
+                "rejected_conv"
+            ),
+            F.max(F.when(F.col("rw") == 1, F.col("score"))).alias(
+                "rejected_score"
+            ),
+            F.count(F.lit(1)).alias("n_candidates"),
+        )
+        .filter(F.col("n_candidates") >= 2)
+        .select(
+            "prompt_sig",
+            "chosen_conv",
+            "rejected_conv",
+            "chosen_score",
+            "rejected_score",
+            "n_candidates",
+        )
+        .orderBy("prompt_sig")
+    )
+
+
+def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return preference_pairs_frame(derived_transcripts(spark, sf_dir))
+
+
+ORACLE_PREFERENCE_PAIRS = f"""
+{_CTE},
+{_DUCK_CANDIDATES},
+ranked AS (
+  SELECT prompt_sig, conv_id, score,
+         row_number() OVER (PARTITION BY prompt_sig
+                            ORDER BY score DESC, conv_id ASC) AS rb,
+         row_number() OVER (PARTITION BY prompt_sig
+                            ORDER BY score ASC, conv_id DESC) AS rw
+  FROM cand
+)
+SELECT prompt_sig,
+       max(CASE WHEN rb = 1 THEN conv_id END) AS chosen_conv,
+       max(CASE WHEN rw = 1 THEN conv_id END) AS rejected_conv,
+       max(CASE WHEN rb = 1 THEN score END) AS chosen_score,
+       max(CASE WHEN rw = 1 THEN score END) AS rejected_score,
+       count(*) AS n_candidates
+FROM ranked GROUP BY prompt_sig HAVING count(*) >= 2
+ORDER BY prompt_sig
+"""
+
+
+DIALOGUE_QUERIES = {
+    "conv_prefix_stats": (q_conv_prefix_stats, ORACLE_CONV_PREFIX_STATS),
+    "conv_branch_dedup": (q_conv_branch_dedup, ORACLE_CONV_BRANCH_DEDUP),
+    "conv_merge_roles": (q_conv_merge_roles, ORACLE_CONV_MERGE_ROLES),
+    "conv_tail_truncate": (q_conv_tail_truncate, ORACLE_CONV_TAIL_TRUNCATE),
+    "turn_boilerplate": (q_turn_boilerplate, ORACLE_TURN_BOILERPLATE),
+    "best_of_n": (q_best_of_n, ORACLE_BEST_OF_N),
+    "preference_pairs": (q_preference_pairs, ORACLE_PREFERENCE_PAIRS),
+}

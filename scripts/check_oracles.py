@@ -4,7 +4,12 @@ parquet dir, compare row count, column names, and an order-insensitive
 value hash (columns sorted by name, floats rounded upstream by the queries
 themselves).
 
-Usage: python scripts/check_oracles.py [sf_dir] [query ...]
+Usage: python scripts/check_oracles.py [--json OUT] [sf_dir] [query ...]
+
+`--json OUT` additionally writes a CORRECTNESS-style JSON (one object per
+query: rows/schema/hash match booleans + row counts) so a full-registry run
+can be committed as in-repo evidence for the queries past the driver's
+50-entry recording cap.
 """
 
 from __future__ import annotations
@@ -43,8 +48,14 @@ def value_hash(df: pd.DataFrame) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    report: dict[str, dict] = {}
 
     import __spark_entry__ as entrymod
     from janet_spark.session import build_session
@@ -75,6 +86,7 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
             failures.append(name)
+            report[name] = {"err": f"spark: {e}"}
             continue
         finally:
             # release persist()-ed intermediates some queries cache
@@ -82,12 +94,14 @@ def main() -> int:
         if name not in oracles:
             print(f"ok*   {name}: rows={len(sdf)} (rows-only, no oracle) "
                   f"[{time.time()-t0:.1f}s]")
+            report[name] = {"spark_rows": len(sdf), "oracle": None, "err": None}
             continue
         try:
             odf = con.sql(oracles[name]).df()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
             failures.append(name)
+            report[name] = {"err": f"duckdb: {e}"}
             continue
         problems = []
         if len(sdf) != len(odf):
@@ -104,11 +118,27 @@ def main() -> int:
                 diff = a.compare(b) if a.shape == b.shape else None
                 if diff is not None and not diff.empty:
                     print(diff.head(5).to_string())
+        report[name] = {
+            "rows_match": len(sdf) == len(odf),
+            "schema_match": sorted(sdf.columns) == sorted(odf.columns),
+            "hash_match": not problems,
+            "spark_rows": len(sdf),
+            "oracle_rows": len(odf),
+            "sec": round(time.time() - t0, 2),
+            "err": "; ".join(problems) or None,
+        }
         if problems:
             print(f"FAIL  {name}: {'; '.join(problems)} [{time.time()-t0:.1f}s]")
             failures.append(name)
         else:
             print(f"ok    {name}: rows={len(sdf)} hash match [{time.time()-t0:.1f}s]")
+
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "queries": report}, f, indent=1)
+        print(f"wrote {json_out}")
 
     print()
     if failures:

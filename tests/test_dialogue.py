@@ -1,0 +1,180 @@
+"""Dialogue-structure operators (janet_spark/dialogue.py): semantics the
+sf tables can't pin — proper-prefix branch dedup vs exact duplicates,
+role-run merging, suffix-keeping truncation with the first-turn pin,
+cross-conversation boilerplate, and best-of-n / preference-pair ties —
+exercised on hand-built transcripts."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from janet_spark.conversations import BUDGET_WORDS
+from janet_spark.dialogue import (
+    best_of_n_frame,
+    conv_branch_dedup_frame,
+    conv_merge_roles_frame,
+    conv_prefix_stats_frame,
+    conv_tail_truncate_frame,
+    preference_pairs_frame,
+    turn_boilerplate_frame,
+)
+
+TS = datetime(2024, 1, 1)
+
+
+def _tr(spark, rows):
+    return spark.createDataFrame(
+        [(c, i, r, t, "", TS) for (c, i, r, t) in rows],
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+
+
+def test_branch_dedup_drops_proper_prefixes_only(spark):
+    tr = _tr(
+        spark,
+        [
+            # long: the surviving continuation
+            ("long", 0, "user", "fix the bug"),
+            ("long", 1, "assistant", "looking"),
+            ("long", 2, "assistant", "done"),
+            # stub: proper prefix of long (turns 0..1) -> dropped
+            ("stub", 0, "user", "fix the bug"),
+            ("stub", 1, "assistant", "looking"),
+            # twin: EXACT duplicate of long -> kept (proper means shorter)
+            ("twin", 0, "user", "fix the bug"),
+            ("twin", 1, "assistant", "looking"),
+            ("twin", 2, "assistant", "done"),
+            # fork: shares turn 0 but diverges at turn 1 -> kept
+            ("fork", 0, "user", "fix the bug"),
+            ("fork", 1, "assistant", "which bug?"),
+            # solo: unrelated -> kept
+            ("solo", 0, "user", "hello"),
+        ],
+    )
+    kept = {r["conv_id"] for r in conv_branch_dedup_frame(tr).collect()}
+    assert kept == {"long", "twin", "fork", "solo"}
+
+
+def test_prefix_stats_counts_shared_prefixes_per_depth(spark):
+    tr = _tr(
+        spark,
+        [
+            ("a", 0, "user", "q"),
+            ("a", 1, "assistant", "x"),
+            ("b", 0, "user", "q"),
+            ("b", 1, "assistant", "y"),
+            ("c", 0, "user", "other"),
+        ],
+    )
+    rows = conv_prefix_stats_frame(tr).collect()
+    # only the depth-1 prefix "q" is shared (by a and b); depth-2 diverges
+    assert len(rows) == 1
+    assert rows[0]["depth"] == 1 and rows[0]["n_convs"] == 2
+
+
+def test_merge_roles_folds_tool_and_merges_runs(spark):
+    tr = _tr(
+        spark,
+        [
+            ("a", 0, "user", "run ls"),
+            ("a", 1, "assistant", "running"),
+            ("a", 2, "tool", "file1 file2"),
+            ("a", 3, "assistant", "two files"),
+            ("a", 4, "user", "ok"),
+            ("a", 5, "user", "thanks"),
+        ],
+    )
+    out = conv_merge_roles_frame(tr).collect()
+    got = [(r["turn_idx"], r["role"], r["text"], r["n_merged"]) for r in out]
+    assert got == [
+        (0, "user", "run ls", 1),
+        # tool folds into the surrounding assistant block, texts in idx order
+        (1, "assistant", "running file1 file2 two files", 3),
+        (2, "user", "ok thanks", 2),
+    ]
+
+
+def test_tail_truncate_pins_first_turn_keeps_longest_suffix(spark):
+    # words: turn0=2, turns 1..9 = 10 words each -> budget 96 leaves
+    # 94 for the suffix -> longest fitting suffix is the last 9*10=90,
+    # i.e. turns 1..9 all fit?  94//10 = 9 turns -> no gap. Make turn1
+    # huge so it must be dropped: gap between turn0 and the kept tail.
+    rows = [("a", 0, "user", "start here")]
+    rows.append(("a", 1, "assistant", " ".join(["pad"] * 200)))  # over budget
+    for i in range(2, 6):
+        rows.append(("a", i, "assistant", " ".join(["w"] * 10)))
+    tr = _tr(spark, rows)
+    out = conv_tail_truncate_frame(tr).collect()[0]
+    # turn0 (pinned, 2 words) + turns 2..5 (40 words) fit in 96; turn1 dropped
+    assert out["total_turns"] == 6
+    assert out["kept_turns"] == 5
+    assert out["kept_words"] == 2 + 40
+    assert out["has_gap"] == 1
+
+
+def test_tail_truncate_first_turn_alone_over_budget_still_kept(spark):
+    tr = _tr(spark, [("a", 0, "user", " ".join(["x"] * (BUDGET_WORDS + 50)))])
+    out = conv_tail_truncate_frame(tr).collect()[0]
+    assert out["kept_turns"] == 1 and out["has_gap"] == 0
+
+
+def test_turn_boilerplate_requires_two_distinct_convs(spark):
+    tr = _tr(
+        spark,
+        [
+            ("a", 0, "system", "You are a helpful agent."),
+            ("b", 0, "system", "You are a helpful agent."),
+            ("b", 1, "user", "hi"),
+            ("b", 2, "user", "hi"),  # repeats only within b -> not boilerplate
+            ("c", 0, "user", "unique"),
+            ("d", 0, "user", ""),
+            ("e", 0, "user", ""),  # empty never counts
+        ],
+    )
+    rows = turn_boilerplate_frame(tr).collect()
+    assert len(rows) == 1
+    assert rows[0]["sample_text"] == "You are a helpful agent."
+    assert rows[0]["n_convs"] == 2 and rows[0]["n_occurrences"] == 2
+
+
+def test_best_of_n_and_preference_pairs_tiebreaks(spark):
+    tr = _tr(
+        spark,
+        [
+            # group "same prompt": scores b2=6 > b1=4 = b3=4 (tie for worst)
+            ("b1", 0, "user", "same prompt"),
+            ("b1", 1, "assistant", "one two"),  # score 4
+            ("b2", 0, "user", "same prompt"),
+            ("b2", 1, "assistant", "one two three four"),  # score 6
+            ("b3", 0, "user", "same prompt"),
+            ("b3", 1, "assistant", "uno dos"),  # score 4
+            # singleton group: best_of_n keeps it, preference_pairs drops it
+            ("solo", 0, "user", "lonely prompt"),
+        ],
+    )
+    best = {r["conv_id"]: r for r in best_of_n_frame(tr).collect()}
+    assert set(best) == {"b2", "solo"}
+    assert best["b2"]["n_candidates"] == 3 and best["b2"]["score"] == 6
+
+    pairs = preference_pairs_frame(tr).collect()
+    assert len(pairs) == 1
+    p = pairs[0]
+    # chosen = highest score; rejected tie (b1=b3=4) breaks to LARGEST id
+    assert p["chosen_conv"] == "b2" and p["rejected_conv"] == "b3"
+    assert p["chosen_score"] == 6 and p["rejected_score"] == 4
+
+
+def test_preference_pairs_two_way_tie_yields_distinct_pair(spark):
+    tr = _tr(
+        spark,
+        [
+            ("x1", 0, "user", "p"),
+            ("x1", 1, "assistant", "a b"),  # score 3
+            ("x2", 0, "user", "p"),
+            ("x2", 1, "assistant", "c d"),  # score 3 — full tie
+        ],
+    )
+    p = preference_pairs_frame(tr).collect()[0]
+    # chosen breaks to smallest id, rejected to largest -> never the same conv
+    assert p["chosen_conv"] == "x1" and p["rejected_conv"] == "x2"
