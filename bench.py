@@ -165,6 +165,13 @@ def main() -> None:
         "conv_pack",
         "conv_training_pipeline",
         "conv_loss_mask",
+        "conv_prefix_stats",
+        "conv_branch_dedup",
+        "conv_merge_roles",
+        "conv_tail_truncate",
+        "turn_boilerplate",
+        "best_of_n",
+        "preference_pairs",
     ]
     for name in extended:
         fn, _ = registry[name]
