@@ -32,6 +32,9 @@ _PRIORITY = [
     "turn_boilerplate",
     "best_of_n",
     "preference_pairs",
+    "sft_examples",
+    "conv_lang_consistency",
+    "pii_pseudonymize",
     "conv_dedup",
     "conv_stats",
     "conv_budget_truncate",

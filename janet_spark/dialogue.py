@@ -554,6 +554,266 @@ ORDER BY prompt_sig
 """
 
 
+# ---------------------------------------------------------------------------
+# sft_examples: per-assistant-turn (context, target) training examples
+# ---------------------------------------------------------------------------
+
+# context fan-out bounds: at most MAX_CTX_TURNS preceding turns AND at most
+# BUDGET_WORDS context words; the turn cap is what makes the banded join's
+# per-target fan-out a CONSTANT (2 blocks x 32 rows) independent of
+# conversation length.
+MAX_CTX_TURNS = 32
+_CTX_BLK = MAX_CTX_TURNS  # block width == turn cap -> exactly 2 blocks/target
+
+
+def sft_examples_frame(tr: DataFrame) -> DataFrame:
+    """Unroll each conversation into per-assistant-turn training examples:
+    (context = the longest run of immediately-preceding turns that fits
+    BUDGET_WORDS, capped at MAX_CTX_TURNS; target = the assistant turn).
+    A target whose immediately-previous turn alone exceeds the budget is
+    dropped (no usable context).
+
+    Scale shape: the context lookup is a BANDED self-join, never a
+    conv-keyed cross join — targets explode to exactly 2 turn-blocks
+    (floor(idx/32) and its predecessor) and join on (conv_id, blk), so a
+    10^6-turn conversation produces <= 64 candidate rows per target
+    instead of 10^6. Same pattern as `range_join_banded`
+    (queries_extra.py); the word-budget filter then prunes within the
+    band. One window pass for cumulative words, one grouped concat."""
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cur = tr.withColumn("words", _words()).withColumn(
+        "before", F.sum(_words()).over(w) - F.col("words")
+    )
+    targets = (
+        cur.filter((F.col("role") == "assistant") & (F.col("turn_idx") > 0))
+        .select(
+            "conv_id",
+            F.col("turn_idx").alias("t_idx"),
+            F.col("text").alias("target_text"),
+            F.col("before").alias("t_before"),
+        )
+        .withColumn(
+            "blk",
+            F.explode(
+                F.array(
+                    F.floor(F.col("t_idx") / _CTX_BLK),
+                    F.floor(F.col("t_idx") / _CTX_BLK) - 1,
+                )
+            ),
+        )
+    )
+    ctx = cur.select(
+        "conv_id",
+        F.col("turn_idx").alias("j_idx"),
+        F.col("text").alias("j_text"),
+        F.col("words").alias("j_words"),
+        F.col("before").alias("j_before"),
+        F.floor(F.col("turn_idx") / _CTX_BLK).alias("blk"),
+    )
+    joined = targets.join(ctx, ["conv_id", "blk"]).filter(
+        (F.col("j_idx") < F.col("t_idx"))
+        & (F.col("j_idx") >= F.col("t_idx") - MAX_CTX_TURNS)
+        & (F.col("t_before") - F.col("j_before") <= F.lit(BUDGET_WORDS))
+    )
+    return (
+        joined.groupBy("conv_id", "t_idx", "target_text")
+        .agg(
+            _ordered_concat("j_idx", "j_text", " ").alias("context_text"),
+            F.count(F.lit(1)).alias("n_ctx_turns"),
+            F.sum("j_words").cast("long").alias("ctx_words"),
+        )
+        .select(
+            "conv_id",
+            F.col("t_idx").alias("turn_idx"),
+            "context_text",
+            "target_text",
+            "n_ctx_turns",
+            "ctx_words",
+        )
+        .orderBy("conv_id", "turn_idx")
+    )
+
+
+def q_sft_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sft_examples_frame(derived_transcripts(spark, sf_dir))
+
+
+ORACLE_SFT_EXAMPLES = f"""
+{_CTE},
+c AS (
+  SELECT conv_id, turn_idx, role, text, {_DUCK_WORDS} AS words,
+         sum({_DUCK_WORDS}) OVER (PARTITION BY conv_id ORDER BY turn_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - {_DUCK_WORDS} AS bef
+  FROM transcripts
+), tgt AS (
+  SELECT conv_id, turn_idx AS t_idx, text AS target_text, bef AS t_before
+  FROM c WHERE role = 'assistant' AND turn_idx > 0
+)
+SELECT tgt.conv_id, tgt.t_idx AS turn_idx,
+       string_agg(c.text, ' ' ORDER BY c.turn_idx) AS context_text,
+       tgt.target_text,
+       count(*) AS n_ctx_turns,
+       cast(sum(c.words) AS bigint) AS ctx_words
+FROM tgt JOIN c
+  ON c.conv_id = tgt.conv_id
+ AND c.turn_idx < tgt.t_idx
+ AND c.turn_idx >= tgt.t_idx - {MAX_CTX_TURNS}
+ AND tgt.t_before - c.bef <= {BUDGET_WORDS}
+GROUP BY tgt.conv_id, tgt.t_idx, tgt.target_text
+ORDER BY tgt.conv_id, turn_idx
+"""
+
+
+# ---------------------------------------------------------------------------
+# conv_lang_consistency: per-turn language ID -> code-switching gate
+# ---------------------------------------------------------------------------
+
+# Per-turn detection is rendered as pure SQL expressions in BOTH engines
+# from the SAME profile table (textops._PROFILES) used by the Arrow-UDF
+# `lang_id` — entirely whole-stage-codegen on the Spark side (no Python),
+# the better routing for a projection this simple; `lang_id` keeps the
+# Arrow path as the extensible variant. Semantics mirror
+# textops.detect_lang exactly: empty -> 'und'; CJK ratio > 0.05 -> 'zh';
+# stopword arg-max with ties to the lexicographically LARGEST code.
+
+_LANG_WORD_RE = "[a-zA-Zäöüßéèêàçñáíóú]+"
+_LANG_CJK_NEG = "[^一-鿿㐀-䶿]"
+
+
+def _lang_case(words_fn, score_fn) -> str:
+    """Render the detect_lang CASE ladder; `words_fn`/`score_fn` provide
+    the dialect-specific word-array and list-count expressions."""
+    from janet_spark.textops import _PROFILES
+
+    assert set(_PROFILES) == {"en", "de", "fr", "es"}, sorted(_PROFILES)
+    scores = {lang: score_fn(sorted(_PROFILES[lang])) for lang in _PROFILES}
+    best = f"greatest({scores['en']}, {scores['de']}, {scores['fr']}, {scores['es']})"
+    return f"""CASE
+      WHEN text IS NULL OR text = '' THEN 'und'
+      WHEN length(regexp_replace(text, '{_LANG_CJK_NEG}', '')) > 0
+           AND length(regexp_replace(text, '{_LANG_CJK_NEG}', ''))
+               / greatest(length(text), 1) > 0.05 THEN 'zh'
+      WHEN size({words_fn}) = 0 THEN 'und'
+      WHEN {best} = 0 THEN 'und'
+      WHEN {scores['fr']} = {best} THEN 'fr'
+      WHEN {scores['es']} = {best} THEN 'es'
+      WHEN {scores['en']} = {best} THEN 'en'
+      ELSE 'de'
+    END"""
+
+
+def _spark_turn_lang() -> str:
+    words = (
+        f"transform(regexp_extract_all(coalesce(text, ''), "
+        f"'{_LANG_WORD_RE}', 0), w -> lower(w))"
+    )
+
+    def score(stops: list[str]) -> str:
+        lst = "array(" + ",".join(f"'{w}'" for w in stops) + ")"
+        return f"size(filter({words}, w -> array_contains({lst}, w)))"
+
+    return _lang_case(words, score)
+
+
+def _duck_turn_lang() -> str:
+    words = (
+        f"list_transform(regexp_extract_all(coalesce(text, ''), "
+        f"'{_LANG_WORD_RE}'), w -> lower(w))"
+    )
+
+    def score(stops: list[str]) -> str:
+        lst = "[" + ",".join(f"'{w}'" for w in stops) + "]"
+        return f"len(list_filter({words}, w -> list_contains({lst}, w)))"
+
+    sql = _lang_case(words, score)
+    # DuckDB uses len() for list length and 'g' flag for global replace
+    return sql.replace(f"size({words})", f"len({words})").replace(
+        f"'{_LANG_CJK_NEG}', ''", f"'{_LANG_CJK_NEG}', '', 'g'"
+    )
+
+
+def conv_lang_consistency_frame(tr: DataFrame) -> DataFrame:
+    """Code-switching gate: per-turn language ID (pure JVM expression),
+    then per conversation the majority language (ties to the smallest
+    code), the count of distinct detected languages (excluding 'und'),
+    and a consistency flag (<= 1 language). Mixed-language conversations
+    are what a monolingual training mix filters out.
+
+    Both groupBys key on conv_id (the second on (conv_id, lang) — same
+    leading key, map-side combinable); the majority pick is one
+    row_number window over the tiny per-(conv, lang) aggregate."""
+    per_turn = tr.select("conv_id", F.expr(_spark_turn_lang()).alias("lang"))
+    counts = (
+        per_turn.filter(F.col("lang") != "und")
+        .groupBy("conv_id", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wmaj = Window.partitionBy("conv_id").orderBy(
+        F.col("n").desc(), F.col("lang").asc()
+    )
+    stats = (
+        counts.withColumn("rn", F.row_number().over(wmaj))
+        .groupBy("conv_id")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("lang"))).alias("maj"),
+            F.count(F.lit(1)).alias("n_langs"),
+        )
+    )
+    convs = tr.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_turns"))
+    return (
+        convs.join(stats, "conv_id", "left")
+        .select(
+            "conv_id",
+            "n_turns",
+            F.coalesce(F.col("maj"), F.lit("und")).alias("majority_lang"),
+            F.coalesce(F.col("n_langs"), F.lit(0)).cast("long").alias("n_langs"),
+            (F.coalesce(F.col("n_langs"), F.lit(0)) <= 1)
+            .cast("int")
+            .alias("lang_consistent"),
+        )
+        .orderBy("conv_id")
+    )
+
+
+def q_conv_lang_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return conv_lang_consistency_frame(derived_transcripts(spark, sf_dir))
+
+
+def _oracle_conv_lang_consistency() -> str:
+    return f"""
+{_CTE},
+pt AS (
+  SELECT conv_id, {_duck_turn_lang()} AS lang FROM transcripts
+), cnt AS (
+  SELECT conv_id, lang, count(*) AS n FROM pt
+  WHERE lang <> 'und' GROUP BY conv_id, lang
+), st AS (
+  SELECT conv_id,
+         max(CASE WHEN rn = 1 THEN lang END) AS maj,
+         count(*) AS n_langs
+  FROM (SELECT conv_id, lang,
+               row_number() OVER (PARTITION BY conv_id
+                                  ORDER BY n DESC, lang ASC) AS rn
+        FROM cnt)
+  GROUP BY conv_id
+), cv AS (
+  SELECT conv_id, count(*) AS n_turns FROM transcripts GROUP BY conv_id
+)
+SELECT cv.conv_id, cv.n_turns,
+       coalesce(st.maj, 'und') AS majority_lang,
+       cast(coalesce(st.n_langs, 0) AS bigint) AS n_langs,
+       CASE WHEN coalesce(st.n_langs, 0) <= 1 THEN 1 ELSE 0 END
+         AS lang_consistent
+FROM cv LEFT JOIN st ON cv.conv_id = st.conv_id
+ORDER BY cv.conv_id
+"""
+
+
 DIALOGUE_QUERIES = {
     "conv_prefix_stats": (q_conv_prefix_stats, ORACLE_CONV_PREFIX_STATS),
     "conv_branch_dedup": (q_conv_branch_dedup, ORACLE_CONV_BRANCH_DEDUP),
@@ -562,4 +822,9 @@ DIALOGUE_QUERIES = {
     "turn_boilerplate": (q_turn_boilerplate, ORACLE_TURN_BOILERPLATE),
     "best_of_n": (q_best_of_n, ORACLE_BEST_OF_N),
     "preference_pairs": (q_preference_pairs, ORACLE_PREFERENCE_PAIRS),
+    "sft_examples": (q_sft_examples, ORACLE_SFT_EXAMPLES),
+    "conv_lang_consistency": (
+        q_conv_lang_consistency,
+        _oracle_conv_lang_consistency(),
+    ),
 }

@@ -732,6 +732,62 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_pii_pseudonymize(spark, sf_dir):
+    """Consistent pseudonymization: every email is replaced by a STABLE
+    per-entity token `<user-xxxxxxxx>` (first 8 hex of md5 of the
+    lowercased address) — unlike `pii_scrub`'s flat `<EMAIL>`, the same
+    address maps to the same token everywhere in the corpus, preserving
+    cross-references for conversation-linkage analysis while removing the
+    identifier. No mapping table, no join, no Python: consistency comes
+    from the hash itself, so the rewrite is a pure projection (aggregate()
+    fold over the doc's distinct entities, whole-stage codegen) that scales
+    as a narrow map at any corpus size.
+
+    Entities are replaced longest-first (sort key = zero-padded length ||
+    entity, descending) so an address that is a substring of another is
+    never half-eaten; replacement tokens contain no '@', so later steps
+    cannot corrupt earlier ones."""
+    docs = t(spark, sf_dir, "documents")
+    email_sql = _PII_EMAIL.replace("\\", "\\\\")
+    ents = f"array_distinct(regexp_extract_all(text, '{email_sql}', 0))"
+    keys = (
+        f"sort_array(transform({ents}, "
+        "e -> concat(lpad(cast(length(e) AS string), 4, '0'), e)), false)"
+    )
+    rewritten = (
+        f"aggregate({keys}, text, (acc, k) -> replace(acc, substring(k, 5), "
+        "concat('<user-', substring(md5(lower(substring(k, 5))), 1, 8), '>')))"
+    )
+    return docs.select(
+        "doc_id",
+        F.expr(rewritten).alias("pseudonymized"),
+        F.expr(f"size({ents})").cast("long").alias("n_entities"),
+    ).orderBy("doc_id")
+
+
+def _oracle_pii_pseudonymize() -> str:
+    ents = f"list_distinct(regexp_extract_all(text, '{_PII_EMAIL}'))"
+    keys = (
+        f"list_sort(list_transform({ents}, "
+        "e -> lpad(cast(length(e) AS varchar), 4, '0') || e), 'DESC')"
+    )
+    # DuckDB's list_reduce has no init accumulator; prepending the text
+    # makes the first fold step f(text, k1)
+    rewritten = (
+        f"list_reduce(list_prepend(text, {keys}), (acc, k) -> replace(acc, "
+        "k[5:], '<user-' || substr(md5(lower(k[5:])), 1, 8) || '>'))"
+    )
+    return f"""
+SELECT doc_id,
+       {rewritten} AS pseudonymized,
+       cast(len({ents}) AS bigint) AS n_entities
+FROM documents ORDER BY doc_id
+"""
+
+
+ORACLE_PII_PSEUDONYMIZE = _oracle_pii_pseudonymize()
+
+
 _SAMPLE_PCT = 10  # keep ~10% of rows
 
 
@@ -1644,6 +1700,7 @@ EXTRA_QUERIES = {
     "asof_join": (q_asof_join, ORACLE_ASOF_JOIN),
     "range_join_banded": (q_range_join_banded, ORACLE_RANGE_JOIN_BANDED),
     "pii_scrub": (q_pii_scrub, ORACLE_PII_SCRUB),
+    "pii_pseudonymize": (q_pii_pseudonymize, ORACLE_PII_PSEUDONYMIZE),
     "hash_sample": (q_hash_sample, ORACLE_HASH_SAMPLE),
     "image_header_probe": (q_image_header_probe, ORACLE_IMAGE_HEADER_PROBE),
     "authorized_events": (q_authorized_events, ORACLE_AUTHORIZED_EVENTS),

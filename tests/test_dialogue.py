@@ -178,3 +178,84 @@ def test_preference_pairs_two_way_tie_yields_distinct_pair(spark):
     p = preference_pairs_frame(tr).collect()[0]
     # chosen breaks to smallest id, rejected to largest -> never the same conv
     assert p["chosen_conv"] == "x1" and p["rejected_conv"] == "x2"
+
+
+def test_sft_examples_budget_and_turn_cap(spark):
+    from janet_spark.dialogue import MAX_CTX_TURNS, sft_examples_frame
+
+    rows = [("a", 0, "user", "hello world")]  # 2 words
+    rows.append(("a", 1, "user", " ".join(["big"] * 200)))  # over budget alone
+    rows.append(("a", 2, "assistant", "blocked"))  # prev turn won't fit -> dropped
+    rows.append(("a", 3, "user", "short question"))
+    rows.append(("a", 4, "assistant", "short answer"))
+    tr = _tr(spark, rows)
+    out = {r["turn_idx"]: r for r in sft_examples_frame(tr).collect()}
+    # turn 2's only admissible context (turn 1) exceeds the budget -> no row
+    assert 2 not in out
+    # turn 4's context walks back over turn 3 (2w) + turn 2 (1w) then stops
+    # at turn 1 (200w, would blow the budget)
+    assert out[4]["context_text"] == "blocked short question"
+    assert out[4]["n_ctx_turns"] == 2 and out[4]["ctx_words"] == 3
+
+
+def test_sft_examples_turn_cap_limits_context(spark):
+    from janet_spark.conversations import BUDGET_WORDS
+    from janet_spark.dialogue import MAX_CTX_TURNS, sft_examples_frame
+
+    # 50 one-word turns then an assistant target: words fit (50 < 96) but
+    # the turn cap keeps only the last MAX_CTX_TURNS
+    rows = [("a", i, "user", f"w{i}") for i in range(50)]
+    rows.append(("a", 50, "assistant", "target"))
+    tr = _tr(spark, rows)
+    out = sft_examples_frame(tr).filter("turn_idx = 50").collect()[0]
+    assert out["n_ctx_turns"] == MAX_CTX_TURNS
+    assert out["context_text"].split(" ")[0] == f"w{50 - MAX_CTX_TURNS}"
+
+
+def test_conv_lang_consistency_flags_code_switching(spark):
+    from janet_spark.dialogue import conv_lang_consistency_frame
+
+    en = "the cat and the dog are in the house that was for it"
+    de = "der hund und die katze ist nicht mit der maus von den"
+    tr = _tr(
+        spark,
+        [
+            ("mono", 0, "user", en),
+            ("mono", 1, "assistant", en),
+            ("mixed", 0, "user", en),
+            ("mixed", 1, "assistant", de),
+            ("mixed", 2, "user", en),
+            ("und", 0, "user", "zzz qqq xxx"),
+        ],
+    )
+    out = {r["conv_id"]: r for r in conv_lang_consistency_frame(tr).collect()}
+    assert out["mono"]["majority_lang"] == "en"
+    assert out["mono"]["lang_consistent"] == 1 and out["mono"]["n_langs"] == 1
+    assert out["mixed"]["majority_lang"] == "en"  # 2 en vs 1 de
+    assert out["mixed"]["lang_consistent"] == 0 and out["mixed"]["n_langs"] == 2
+    assert out["und"]["majority_lang"] == "und"
+    assert out["und"]["n_langs"] == 0 and out["und"]["lang_consistent"] == 1
+
+
+def test_conv_lang_consistency_matches_python_detector(spark):
+    """The rendered SQL ladder must agree with textops.detect_lang."""
+    from janet_spark.dialogue import conv_lang_consistency_frame
+    from janet_spark.textops import detect_lang
+
+    texts = [
+        "the cat and the dog",
+        "der hund ist nicht da und",
+        "le chat est dans la maison et",
+        "el perro es una casa en la y",
+        "",
+        "汉字汉字汉字",
+        "the der le el",  # cross-profile tie -> largest code wins
+    ]
+    tr = _tr(spark, [(f"c{i}", 0, "user", t) for i, t in enumerate(texts)])
+    out = {
+        r["conv_id"]: r["majority_lang"]
+        for r in conv_lang_consistency_frame(tr).collect()
+    }
+    for i, t in enumerate(texts):
+        want = detect_lang(t)
+        assert out[f"c{i}"] == want, (t, out[f"c{i}"], want)

@@ -1173,3 +1173,48 @@ def test_pack_examples_boundaries_and_tokens(spark, tmp_path):
         "n_tokens": 1,
         "tokens": "customer",
     }
+
+
+# ---------------------------------------------------------------------------
+# pii_pseudonymize: consistency + substring safety (sf corpus has no PII,
+# so the oracle row alone would be vacuous)
+# ---------------------------------------------------------------------------
+
+
+def test_pii_pseudonymize_consistent_and_substring_safe(spark, tmp_path):
+    import hashlib
+
+    import pandas as pd
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            # bob@x.io is a SUBSTRING of abob@x.io: longest-first replace
+            # must keep them distinct
+            "text": [
+                "mail bob@x.io and abob@x.io then bob@x.io again",
+                "bob@x.io shows up in another doc too",
+                "no entities",
+            ],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [10, 10, 10],
+        }
+    )
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(docs).write.parquet(path + "/documents.parquet")
+    from janet_spark.queries_extra import q_pii_pseudonymize
+
+    out = q_pii_pseudonymize(spark, path).toPandas().set_index("doc_id")
+
+    def tok(email):
+        return f"<user-{hashlib.md5(email.lower().encode()).hexdigest()[:8]}>"
+
+    bob, abob = tok("bob@x.io"), tok("abob@x.io")
+    assert out.loc[1, "pseudonymized"] == f"mail {bob} and {abob} then {bob} again"
+    assert out.loc[1, "n_entities"] == 2
+    # SAME address in a different doc -> SAME token (corpus-wide consistency
+    # without any mapping table)
+    assert out.loc[2, "pseudonymized"] == f"{bob} shows up in another doc too"
+    assert out.loc[3, "pseudonymized"] == "no entities"
+    assert out.loc[3, "n_entities"] == 0
