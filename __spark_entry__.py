@@ -35,6 +35,8 @@ _PRIORITY = [
     "sft_examples",
     "conv_lang_consistency",
     "pii_pseudonymize",
+    "conv_decontaminate",
+    "prompt_safe_split",
     "conv_dedup",
     "conv_stats",
     "conv_budget_truncate",

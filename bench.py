@@ -172,6 +172,11 @@ def main() -> None:
         "turn_boilerplate",
         "best_of_n",
         "preference_pairs",
+        "sft_examples",
+        "conv_lang_consistency",
+        "pii_pseudonymize",
+        "conv_decontaminate",
+        "prompt_safe_split",
     ]
     for name in extended:
         fn, _ = registry[name]

@@ -814,6 +814,132 @@ ORDER BY cv.conv_id
 """
 
 
+# ---------------------------------------------------------------------------
+# conv_decontaminate: eval 8-gram probe at conversation grain
+# ---------------------------------------------------------------------------
+
+_DECONTAM_GRAM = 8
+_CONV_EVAL_MOD = 11  # source doc_id % 11 == 0 -> held-out eval conversations
+
+
+def _conv_src_id():
+    # conv_id = 'conv-' || lpad(doc_id, 6, '0') (derive.py) — recover the
+    # numeric source id for the deterministic eval-slice predicate
+    return F.substring(F.col("conv_id"), 6, 6).cast("long")
+
+
+def conv_decontaminate_frame(tr: DataFrame) -> DataFrame:
+    """Conversation-grain benchmark decontamination: flag every TRAINING
+    conversation whose any turn shares a sliding 8-word-gram with a turn
+    of the held-out EVAL conversations (the deterministic %11 slice
+    standing in for a benchmark suite). The doc-grain `decontaminate`
+    can't see this: a contaminated turn buried in a long conversation is
+    a conversation-level removal decision.
+
+    Scale shape (same as queries_text.q_decontaminate): the eval gram set
+    is tiny and BROADCASTS; the probe is map-side over exploded training
+    turn-grams; the only shuffle is the per-conversation hit count
+    (map-side combinable). Grams are distinct within a turn, counted per
+    (turn, gram) across the conversation."""
+    from janet_spark.queries_text import _gram_array
+
+    words = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    turns = tr.select(
+        "conv_id", (_conv_src_id() % _CONV_EVAL_MOD == 0).alias("is_eval"),
+        words.alias("__words"),
+    ).withColumn(
+        "grams", F.array_distinct(_gram_array(F.col("__words"), _DECONTAM_GRAM))
+    )
+    eval_grams = (
+        turns.filter("is_eval").select(F.explode("grams").alias("gram")).distinct()
+    )
+    return (
+        turns.filter(~F.col("is_eval"))
+        .select("conv_id", F.explode("grams").alias("gram"))
+        .join(F.broadcast(eval_grams), "gram")
+        .groupBy("conv_id")
+        .agg(F.count(F.lit(1)).alias("n_hit_grams"))
+        .orderBy("conv_id")
+    )
+
+
+def q_conv_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return conv_decontaminate_frame(derived_transcripts(spark, sf_dir))
+
+
+ORACLE_CONV_DECONTAMINATE = f"""
+{_CTE},
+tu AS (
+  SELECT conv_id,
+         cast(substr(conv_id, 6) AS bigint) % {_CONV_EVAL_MOD} = 0 AS is_eval,
+         string_split(coalesce(text, ''), ' ') AS arr
+  FROM transcripts
+), g AS (
+  SELECT conv_id, is_eval,
+         unnest(list_distinct(
+           list_transform(
+             generate_series(1, greatest(len(arr) - {_DECONTAM_GRAM - 1}, 0)),
+             i -> array_to_string(arr[i:i + {_DECONTAM_GRAM - 1}], ' ')))) AS gram
+  FROM tu
+), ev AS (
+  SELECT DISTINCT gram FROM g WHERE is_eval
+)
+SELECT g.conv_id, count(*) AS n_hit_grams
+FROM g JOIN ev USING (gram)
+WHERE NOT g.is_eval
+GROUP BY g.conv_id ORDER BY conv_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# prompt_safe_split: leakage-free train/eval split by shared prompt
+# ---------------------------------------------------------------------------
+
+_PSPLIT_EVAL_PCT = 10
+_PSPLIT_SEED = "psplit0"
+
+
+def prompt_safe_split_frame(tr: DataFrame) -> DataFrame:
+    """Train/eval split whose UNIT is the shared prompt: conversations
+    with an identical first turn always land on the same side, so a
+    best-of-n sibling of an eval conversation can never leak into
+    training (the conversation-grain analog of `cluster_safe_split`).
+    The side is a deterministic md5 gate on the prompt signature —
+    engine-portable, projection-time, no shuffle beyond the turn-0
+    filter's scan."""
+    prompts = tr.filter(F.col("turn_idx") == 0).select(
+        "conv_id", F.md5("text").alias("prompt_sig")
+    )
+    gate = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(_PSPLIT_SEED), F.col("prompt_sig"))), 1, 2
+        ),
+        16,
+        10,
+    ).cast("int")
+    return prompts.withColumn(
+        "split",
+        F.when(gate < int(256 * _PSPLIT_EVAL_PCT / 100), F.lit("eval")).otherwise(
+            F.lit("train")
+        ),
+    ).orderBy("conv_id")
+
+
+def q_prompt_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return prompt_safe_split_frame(derived_transcripts(spark, sf_dir))
+
+
+ORACLE_PROMPT_SAFE_SPLIT = f"""
+{_CTE}
+SELECT conv_id, md5(text) AS prompt_sig,
+       CASE WHEN CAST('0x' || substr(
+                md5('{_PSPLIT_SEED}:' || md5(text)), 1, 2) AS INT)
+              < {int(256 * _PSPLIT_EVAL_PCT / 100)}
+            THEN 'eval' ELSE 'train' END AS split
+FROM transcripts WHERE turn_idx = 0 ORDER BY conv_id
+"""
+
+
 DIALOGUE_QUERIES = {
     "conv_prefix_stats": (q_conv_prefix_stats, ORACLE_CONV_PREFIX_STATS),
     "conv_branch_dedup": (q_conv_branch_dedup, ORACLE_CONV_BRANCH_DEDUP),
@@ -827,4 +953,6 @@ DIALOGUE_QUERIES = {
         q_conv_lang_consistency,
         _oracle_conv_lang_consistency(),
     ),
+    "conv_decontaminate": (q_conv_decontaminate, ORACLE_CONV_DECONTAMINATE),
+    "prompt_safe_split": (q_prompt_safe_split, ORACLE_PROMPT_SAFE_SPLIT),
 }

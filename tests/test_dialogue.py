@@ -259,3 +259,51 @@ def test_conv_lang_consistency_matches_python_detector(spark):
     for i, t in enumerate(texts):
         want = detect_lang(t)
         assert out[f"c{i}"] == want, (t, out[f"c{i}"], want)
+
+
+def test_conv_decontaminate_planted_contamination(spark):
+    from janet_spark.dialogue import conv_decontaminate_frame
+
+    eight = "w1 w2 w3 w4 w5 w6 w7 w8"
+    seven = "v1 v2 v3 v4 v5 v6 v7"
+    tr = _tr(
+        spark,
+        [
+            # conv-000011: source id 11 % 11 == 0 -> EVAL conversation
+            ("conv-000011", 0, "user", f"intro {eight} outro"),
+            ("conv-000011", 1, "assistant", seven),
+            # training conv hits the eval 8-gram inside a longer turn
+            ("conv-000001", 0, "user", f"padding {eight} more padding"),
+            # training conv shares only a 7-gram -> NOT flagged
+            ("conv-000002", 0, "user", f"{seven} different tail here x"),
+            # clean training conv
+            ("conv-000003", 0, "user", "totally unrelated text right here ok"),
+        ],
+    )
+    out = {r["conv_id"]: r["n_hit_grams"] for r in conv_decontaminate_frame(tr).collect()}
+    assert "conv-000001" in out and out["conv-000001"] >= 1
+    assert "conv-000002" not in out
+    assert "conv-000003" not in out
+    assert "conv-000011" not in out  # eval convs are never in the removal list
+
+
+def test_prompt_safe_split_groups_never_straddle(spark):
+    from janet_spark.dialogue import prompt_safe_split_frame
+
+    rows = []
+    for g in range(100):  # 100 prompt groups x 3 sibling conversations
+        for s in range(3):
+            cid = f"conv-{g:04d}-{s}"
+            rows.append((cid, 0, "user", f"shared prompt number {g}"))
+            rows.append((cid, 1, "assistant", f"answer {g} {s}"))
+    tr = _tr(spark, rows)
+    out = prompt_safe_split_frame(tr).collect()
+    sides = {}
+    for r in out:
+        sides.setdefault(r["prompt_sig"], set()).add(r["split"])
+    assert len(out) == 300
+    # every shared-prompt group lands entirely on one side
+    assert all(len(s) == 1 for s in sides.values())
+    # and with 100 groups the deterministic gate puts at least one on each side
+    flat = {next(iter(s)) for s in sides.values()}
+    assert flat == {"train", "eval"}
