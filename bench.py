@@ -34,6 +34,7 @@ def main() -> None:
 
     from janet_spark.conversations import CONV_QUERIES
     from janet_spark.derive import derived_transcripts
+    from janet_spark.dialogue import DIALOGUE_QUERIES
     from janet_spark.pipeline import extract_only
     from janet_spark.queries_extra import EXTRA_QUERIES
     from janet_spark.queries_relational import RELATIONAL_QUERIES
@@ -88,6 +89,7 @@ def main() -> None:
         **EXTRA_QUERIES,
         **SEARCH_QUERIES,
         **CONV_QUERIES,
+        **DIALOGUE_QUERIES,
     }
     headline = [
         "manifest_upsert",
@@ -177,6 +179,8 @@ def main() -> None:
         "pii_pseudonymize",
         "conv_decontaminate",
         "prompt_safe_split",
+        "apply_mixture",
+        "chat_render",
     ]
     for name in extended:
         fn, _ = registry[name]

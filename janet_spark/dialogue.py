@@ -940,6 +940,92 @@ FROM transcripts WHERE turn_idx = 0 ORDER BY conv_id
 """
 
 
+# ---------------------------------------------------------------------------
+# chat_render: SFT chat-template serialization with char-span offsets
+# ---------------------------------------------------------------------------
+
+_RENDER_EOT = "<|eot|>"
+
+
+def chat_render_frame(tr: DataFrame) -> DataFrame:
+    """Serialize each conversation into the chat-template text a trainer
+    consumes — WITHOUT ever materializing a conversation-sized string.
+    Each turn renders as ``<|role|>text<|eot|>``; the output is one row
+    per turn carrying the rendered fragment plus character offsets into
+    the implied concatenation: ``char_start/char_end`` bound the whole
+    fragment and ``target_start/target_end`` bound just the text (the
+    span a loss mask keeps when ``is_target`` — role == assistant).
+
+    A 10^6-turn conversation therefore contributes 10^6 bounded rows,
+    never a 50 MB concat on one reducer: the writer streams fragments in
+    (conv_id, turn_idx) order and the offsets are already absolute. The
+    char-grain complement of ``conv_loss_mask`` (token-grain over packed
+    sequences). One conv_id-keyed window shuffle; everything else is a
+    narrow projection."""
+    header_len = F.length(F.col("role")) + F.lit(4)  # '<|' + role + '|>'
+    rendered = F.concat(
+        F.lit("<|"), F.col("role"), F.lit("|>"), F.col("text"), F.lit(_RENDER_EOT)
+    )
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = tr.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        rendered.alias("rendered"),
+        F.length(rendered).alias("rlen"),
+        header_len.alias("hlen"),
+    )
+    char_start = F.coalesce(F.sum("rlen").over(w), F.lit(0)).cast("long")
+    return (
+        base.select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            "rendered",
+            char_start.alias("char_start"),
+            (char_start + F.col("rlen")).cast("long").alias("char_end"),
+            (char_start + F.col("hlen")).cast("long").alias("target_start"),
+            (char_start + F.col("rlen") - F.lit(len(_RENDER_EOT)))
+            .cast("long")
+            .alias("target_end"),
+            (F.col("role") == "assistant").alias("is_target"),
+        )
+        .orderBy("conv_id", "turn_idx")
+    )
+
+
+def q_chat_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chat_render_frame(derived_transcripts(spark, sf_dir))
+
+
+ORACLE_CHAT_RENDER = f"""
+{_CTE}, r AS (
+  SELECT conv_id, turn_idx, role,
+         '<|' || role || '|>' || text || '{_RENDER_EOT}' AS rendered,
+         length('<|' || role || '|>' || text || '{_RENDER_EOT}') AS rlen,
+         length(role) + 4 AS hlen
+  FROM transcripts
+), c AS (
+  SELECT conv_id, turn_idx, role, rendered, rlen, hlen,
+         cast(coalesce(sum(rlen) OVER (PARTITION BY conv_id ORDER BY turn_idx
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bigint)
+              AS char_start
+  FROM r
+)
+SELECT conv_id, turn_idx, role, rendered,
+       char_start,
+       cast(char_start + rlen AS bigint) AS char_end,
+       cast(char_start + hlen AS bigint) AS target_start,
+       cast(char_start + rlen - {len(_RENDER_EOT)} AS bigint) AS target_end,
+       role = 'assistant' AS is_target
+FROM c ORDER BY conv_id, turn_idx
+"""
+
+
 DIALOGUE_QUERIES = {
     "conv_prefix_stats": (q_conv_prefix_stats, ORACLE_CONV_PREFIX_STATS),
     "conv_branch_dedup": (q_conv_branch_dedup, ORACLE_CONV_BRANCH_DEDUP),
@@ -955,4 +1041,5 @@ DIALOGUE_QUERIES = {
     ),
     "conv_decontaminate": (q_conv_decontaminate, ORACLE_CONV_DECONTAMINATE),
     "prompt_safe_split": (q_prompt_safe_split, ORACLE_PROMPT_SAFE_SPLIT),
+    "chat_render": (q_chat_render, ORACLE_CHAT_RENDER),
 }

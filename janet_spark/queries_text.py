@@ -1078,6 +1078,109 @@ FROM s, tot ORDER BY source
 """
 
 
+_MIX_MAX_COPIES = 3  # epoch cap: never repeat any document more than this
+_MIX_SEED = "mix0"
+
+
+def q_apply_mixture(spark, sf_dir):
+    """Materialize the data recipe: turn `mixture_weights`' per-source
+    uniform-rebalance weight into an actual resampled corpus membership
+    list — `floor(w)` whole epochs per document plus one fractional epoch
+    admitted by a deterministic md5-byte gate (same engine-portable gate
+    as `hash_sample`, quantized to /256), with repeats capped at
+    _MIX_MAX_COPIES (the standard "no more than N epochs of any document"
+    rule). Downsampling (w < 1) falls out of the same formula: zero whole
+    epochs, gate at floor(w*256)/256.
+
+    Scale shape: the weight table is one row per source (broadcast); the
+    fan-out is explode(sequence(..)) bounded by the cap — a narrow map
+    over the corpus with NO shuffle of document rows. Output is the
+    (doc_id, copy_idx) membership list, not copied text: downstream
+    shuffling/sharding joins it back, so the resample never rewrites
+    payload bytes it doesn't have to."""
+    docs = t(spark, sf_dir, "documents")
+    words = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    per_source = docs.groupBy("source").agg(
+        F.sum(F.size(words)).cast("long").alias("n_tokens")
+    )
+    totals = per_source.agg(
+        F.sum("n_tokens").cast("double").alias("tot_tokens"),
+        F.count(F.lit(1)).cast("double").alias("n_sources"),
+    )
+    weights = (
+        per_source.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            F.round(
+                (1 / F.col("n_sources"))
+                / (F.col("n_tokens") / F.col("tot_tokens")),
+                6,
+            ).alias("w"),
+        )
+    )
+    gate = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(_MIX_SEED + ":"), F.col("doc_id").cast("string"))),
+                1,
+                2,
+            ),
+            16,
+            10,
+        )
+        .cast("int")
+    )
+    n_full = F.least(F.floor(F.col("w")).cast("int"), F.lit(_MIX_MAX_COPIES))
+    frac_gate = F.floor((F.col("w") - F.floor(F.col("w"))) * 256).cast("int")
+    n_copies = F.least(
+        n_full + F.when(gate < frac_gate, 1).otherwise(0),
+        F.lit(_MIX_MAX_COPIES),
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(F.broadcast(weights), "source")
+        .select("doc_id", "source", n_copies.alias("n_copies"))
+        .filter(F.col("n_copies") >= 1)
+        .select(
+            "doc_id",
+            "source",
+            "n_copies",
+            F.explode(F.sequence(F.lit(0), F.col("n_copies") - 1)).alias("copy_idx"),
+        )
+        .orderBy("doc_id", "copy_idx")
+    )
+
+
+ORACLE_APPLY_MIXTURE = f"""
+WITH s AS (
+  SELECT source,
+         cast(sum(len(string_split(coalesce(text, ''), ' '))) AS bigint)
+           AS n_tokens
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT sum(n_tokens)::double AS tot_tokens, count(*)::double AS n_sources
+  FROM s
+), w AS (
+  SELECT source,
+         round((1 / n_sources) / (n_tokens / tot_tokens), 6) AS w
+  FROM s, tot
+), d AS (
+  SELECT doc_id, d.source,
+         least(
+           least(cast(floor(w) AS int), {_MIX_MAX_COPIES})
+           + CASE WHEN CAST('0x' || substr(
+                    md5('{_MIX_SEED}:' || cast(doc_id AS varchar)), 1, 2) AS INT)
+                  < cast(floor((w - floor(w)) * 256) AS int)
+             THEN 1 ELSE 0 END,
+           {_MIX_MAX_COPIES}) AS n_copies
+  FROM documents d JOIN w ON d.source = w.source
+)
+SELECT doc_id, source, n_copies, cast(unnest(range(0, n_copies)) AS int) AS copy_idx
+FROM d WHERE n_copies >= 1
+ORDER BY doc_id, copy_idx
+"""
+
+
 _SHUFFLE_SEED = "ep0"
 _SHUFFLE_SHARD_SIZE = 100
 
@@ -2466,6 +2569,7 @@ TEXT_QUERIES = {
     "pack_examples": (q_pack_examples, _pack_examples_oracle()),
     "curation_pipeline_v2": (q_curation_pipeline_v2, ORACLE_CURATION_PIPELINE_V2),
     "mixture_weights": (q_mixture_weights, ORACLE_MIXTURE_WEIGHTS),
+    "apply_mixture": (q_apply_mixture, ORACLE_APPLY_MIXTURE),
     "corpus_shuffle": (q_corpus_shuffle, ORACLE_CORPUS_SHUFFLE),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, ORACLE_NGRAM_JACCARD_PAIRS),
     "dedup_clusters": (q_dedup_clusters, _dedup_clusters_oracle()),

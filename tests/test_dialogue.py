@@ -307,3 +307,45 @@ def test_prompt_safe_split_groups_never_straddle(spark):
     # and with 100 groups the deterministic gate puts at least one on each side
     flat = {next(iter(s)) for s in sides.values()}
     assert flat == {"train", "eval"}
+
+
+def test_chat_render_offsets_reconstruct_exactly(spark):
+    """chat_render's absolute char offsets must index into the implied
+    concatenation exactly: fragments abut with no gaps, target spans
+    carve out just the turn text, and only assistant turns are targets."""
+    from janet_spark.dialogue import chat_render_frame
+
+    tr = _tr(
+        spark,
+        [
+            ("c1", 0, "user", "fix the bug"),
+            ("c1", 1, "assistant", "looking"),
+            ("c1", 2, "tool", "grep output"),
+            ("c1", 3, "assistant", ""),  # empty turn still renders
+            ("c2", 0, "user", "hi"),
+        ],
+    )
+    out = chat_render_frame(tr).collect()
+    by_conv = {}
+    for r in out:
+        by_conv.setdefault(r.conv_id, []).append(r)
+    for conv, rows in by_conv.items():
+        rows.sort(key=lambda r: r.turn_idx)
+        full = "".join(r.rendered for r in rows)
+        pos = 0
+        for r in rows:
+            assert r.char_start == pos
+            assert r.char_end == pos + len(r.rendered)
+            assert full[r.char_start : r.char_end] == r.rendered
+            # target span is exactly the raw turn text
+            header = f"<|{r.role}|>"
+            text = r.rendered[len(header) : len(r.rendered) - len("<|eot|>")]
+            assert full[r.target_start : r.target_end] == text
+            assert r.is_target == (r.role == "assistant")
+            pos = r.char_end
+    c1 = by_conv["c1"]
+    assert "".join(r.rendered for r in c1).startswith("<|user|>fix the bug<|eot|>")
+    # empty assistant turn: zero-width target span, header+eot only
+    empty = c1[3]
+    assert empty.target_start == empty.target_end
+    assert empty.is_target

@@ -1218,3 +1218,42 @@ def test_pii_pseudonymize_consistent_and_substring_safe(spark, tmp_path):
     assert out.loc[2, "pseudonymized"] == f"{bob} shows up in another doc too"
     assert out.loc[3, "pseudonymized"] == "no entities"
     assert out.loc[3, "n_entities"] == 0
+
+
+def test_apply_mixture_caps_and_rebalances(spark):
+    """apply_mixture materializes the uniform-target recipe: copy ordinals
+    are dense per document and capped, and the realized per-source token
+    shares sit strictly closer to uniform than the raw corpus shares."""
+    from collections import defaultdict
+
+    from janet_spark.queries_text import _MIX_MAX_COPIES, q_apply_mixture
+
+    rows = q_apply_mixture(spark, SF).collect()
+    per_doc = defaultdict(list)
+    for r in rows:
+        assert 1 <= r.n_copies <= _MIX_MAX_COPIES
+        per_doc[r.doc_id].append(r.copy_idx)
+    for idxs in per_doc.values():
+        assert sorted(idxs) == list(range(len(idxs)))
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id",
+        F.col("source").alias("src"),
+        F.size(F.split(F.coalesce(F.col("text"), F.lit("")), " ")).alias("tok"),
+    )
+    raw = {r.src: r.t for r in docs.groupBy("src").agg(F.sum("tok").alias("t")).collect()}
+    out = spark.createDataFrame([(r.doc_id,) for r in rows], "doc_id long")
+    realized = {
+        r.src: r.t
+        for r in out.join(docs, "doc_id").groupBy("src").agg(F.sum("tok").alias("t")).collect()
+    }
+
+    def l1_from_uniform(shares: dict) -> float:
+        tot = sum(shares.values())
+        u = 1.0 / len(shares)
+        return sum(abs(v / tot - u) for v in shares.values())
+
+    assert set(realized) == set(raw)  # no source vanishes entirely
+    # sf0.001 is already near-uniform so the headroom is small; the recipe
+    # must still move shares strictly toward uniform, never away
+    assert l1_from_uniform(realized) < l1_from_uniform(raw)
