@@ -181,6 +181,7 @@ def main() -> None:
         "prompt_safe_split",
         "apply_mixture",
         "chat_render",
+        "conv_neardup",
     ]
     for name in extended:
         fn, _ = registry[name]

@@ -682,3 +682,216 @@ CONV_QUERIES["conv_training_pipeline"] = (
     ORACLE_CONV_TRAINING_PIPELINE,
 )
 CONV_QUERIES["conv_loss_mask"] = (q_conv_loss_mask, ORACLE_CONV_LOSS_MASK)
+
+
+# ---------------------------------------------------------------------------
+# conv_neardup: fuzzy whole-conversation near-dup pairs (MinHash LSH at the
+# conversation grain, no conversation-sized strings anywhere)
+# ---------------------------------------------------------------------------
+#
+# `conv_dedup` above catches EXACT duplicates (order-sensitive signature);
+# real agent corpora also carry near-duplicates — re-runs with tweaked
+# phrasing, re-ingested sessions with edited turns. Those need set-
+# similarity, and at 10^12 turns the doc-grain trick of "concat the
+# conversation, then minhash the string" is exactly what the skew notes
+# forbid (a 10^6-turn conversation = a 50 MB reducer row). The identity
+# minhash(A ∪ B) = elementwise_min(minhash(A), minhash(B)) makes the
+# concat unnecessary: per-TURN signatures (bounded rows) fold into the
+# conversation signature through an associative, map-side-combinable MIN
+# aggregation. Shingles are WITHIN-turn word 5-grams (a turn shorter than
+# 5 words contributes itself) — the contract the DuckDB oracle recomputes.
+
+_CONV_LSH_HOT_BUCKET_CAP = 256
+
+
+def _conv_shingle_df(tr: DataFrame) -> DataFrame:
+    """(conv_id, sh): the conversation's DISTINCT within-turn shingle set.
+    Words are materialized as a column before any lambda references them
+    (the O(words^2) inline-split lesson from the curation stress)."""
+    from janet_spark.queries_text import _SHINGLE_WORDS
+
+    tw = tr.select("conv_id", F.split(F.coalesce(F.col("text"), F.lit("")), " ").alias("__ws"))
+    ws = F.col("__ws")
+    n = F.greatest(F.size(ws) - (_SHINGLE_WORDS - 1), F.lit(1))
+    shingles = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(ws, i, _SHINGLE_WORDS), " "),
+    )
+    return (
+        tw.select("conv_id", F.explode(F.array_distinct(shingles)).alias("sh"))
+        .distinct()
+    )
+
+
+def conv_band_df(tr: DataFrame) -> DataFrame:
+    """(conv_id, band_key): conversation-grain MinHash banding. Stage 1
+    computes per-turn signatures and folds them WITHIN each Arrow batch
+    (partial elementwise min per conversation seen in the batch); stage 2
+    is a conv_id groupBy of 64 MIN aggregates — map-side combinable, so a
+    10^6-turn conversation reduces to one 64-long row without shuffling
+    its text; stage 3 mixes each band's 4 values down to one int64 key
+    (same multiply-xor scheme and rationale as queries_text._band_df:
+    collisions only ADD candidates, and every candidate is exact-verified)."""
+    import numpy as np
+    import pandas as pd
+
+    from janet_spark.queries_text import (
+        _MH_BANDS,
+        _MH_PERMS,
+        _MH_ROWS,
+        _doc_shingles,
+        _minhash_signature,
+    )
+
+    def partial_sigs(batches):
+        for pdf in batches:
+            by: dict = {}
+            for cid, text in zip(pdf["conv_id"], pdf["text"].fillna("")):
+                sig = _minhash_signature(_doc_shingles(text))
+                cur = by.get(cid)
+                by[cid] = sig if cur is None else np.minimum(cur, sig)
+            yield pd.DataFrame(
+                {"conv_id": list(by), "sig": [s.tolist() for s in by.values()]}
+            )
+
+    partial = tr.select("conv_id", "text").mapInPandas(
+        partial_sigs, schema="conv_id string, sig array<long>"
+    )
+    combined = partial.groupBy("conv_id").agg(
+        F.array(
+            *[F.min(F.col("sig")[i]) for i in range(_MH_PERMS)]
+        ).alias("sig")
+    )
+
+    _mix = np.array(
+        [0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9, 0x27D4EB2F165667C5],
+        dtype=np.uint64,
+    )
+
+    def mix_bands(batches):
+        band_idx = np.arange(_MH_BANDS, dtype=np.uint64)
+        for pdf in batches:
+            ids, keys = [], []
+            for cid, sig in zip(pdf["conv_id"], pdf["sig"]):
+                chunks = np.asarray(sig, dtype=np.int64).astype(np.uint64).reshape(
+                    _MH_BANDS, _MH_ROWS
+                )
+                mixed = (chunks * _mix[None, :]).sum(axis=1, dtype=np.uint64)
+                mixed ^= mixed >> np.uint64(33)
+                mixed = mixed * np.uint64(0xFF51AFD7ED558CCD) + band_idx
+                ids.extend([cid] * _MH_BANDS)
+                keys.append(mixed.view(np.int64))
+            yield pd.DataFrame(
+                {
+                    "conv_id": ids,
+                    "band_key": np.concatenate(keys) if keys else np.array([], dtype=np.int64),
+                }
+            )
+
+    return combined.mapInPandas(mix_bands, schema="conv_id string, band_key long")
+
+
+def conv_neardup_frame(
+    tr: DataFrame, hot_bucket_cap: int = _CONV_LSH_HOT_BUCKET_CAP
+) -> DataFrame:
+    """Near-duplicate conversation pairs (c1 < c2, Jaccard >= threshold
+    over the conversations' within-turn shingle sets), mined by LSH
+    banding and verified by DISTRIBUTED exact Jaccard — the verify stage
+    never materializes a conversation either: candidate pairs join the
+    candidate-restricted shingle table per side, so intersection counting
+    is a per-pair-bounded equi-join, and set sizes are one count per
+    conversation. Hot buckets fall back to the same star expansion as the
+    doc-grain miner."""
+    from janet_spark.queries_text import _JACCARD_THRESHOLD
+
+    spark = tr.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    bands = conv_band_df(tr).persist()
+    bucket_sizes = bands.groupBy("band_key").agg(
+        F.count(F.lit(1)).alias("bkt_n"), F.min("conv_id").alias("bkt_rep")
+    )
+    sized = bands.join(bucket_sizes, "band_key")
+    cold = sized.filter(F.col("bkt_n") <= hot_bucket_cap)
+    a = cold.alias("a")
+    b = cold.alias("b")
+    cold_pairs = a.join(
+        b,
+        (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("a.conv_id") < F.col("b.conv_id")),
+    ).select(F.col("a.conv_id").alias("c1"), F.col("b.conv_id").alias("c2"))
+    star_pairs = (
+        sized.filter(
+            (F.col("bkt_n") > hot_bucket_cap) & (F.col("conv_id") != F.col("bkt_rep"))
+        )
+        .select(F.col("bkt_rep").alias("c1"), F.col("conv_id").alias("c2"))
+    )
+    candidates = cold_pairs.unionByName(star_pairs).distinct().persist()
+
+    cand_convs = (
+        candidates.select(F.col("c1").alias("conv_id"))
+        .unionByName(candidates.select(F.col("c2").alias("conv_id")))
+        .distinct()
+    )
+    cand_turns = tr.join(cand_convs, "conv_id", "left_semi").repartition(
+        n_part, "conv_id"
+    )
+    sh = _conv_shingle_df(cand_turns)
+    counts = sh.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    s1 = sh.select(F.col("conv_id").alias("c1"), F.col("sh").alias("sh1"))
+    s2 = sh.select(F.col("conv_id").alias("c2_r"), F.col("sh").alias("sh2"))
+    inter = (
+        candidates.join(s1, "c1")
+        .join(s2, (F.col("c2") == F.col("c2_r")) & (F.col("sh1") == F.col("sh2")))
+        .groupBy("c1", "c2")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    n1 = counts.select(F.col("conv_id").alias("c1"), F.col("n_sh").alias("n1"))
+    n2 = counts.select(F.col("conv_id").alias("c2"), F.col("n_sh").alias("n2"))
+    jac = F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter"))
+    return (
+        inter.join(n1, "c1")
+        .join(n2, "c2")
+        .withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+        .select("c1", "c2", "jaccard")
+        .orderBy("c1", "c2")
+    )
+
+
+def q_conv_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return conv_neardup_frame(derived_transcripts(spark, sf_dir))
+
+
+def _oracle_conv_neardup() -> str:
+    from janet_spark.queries_text import _JACCARD_THRESHOLD, _SHINGLE_WORDS
+
+    k = _SHINGLE_WORDS
+    return f"""
+{_CTE}, tw AS (
+  SELECT conv_id, string_split(coalesce(text, ''), ' ') AS ws FROM transcripts
+), tsh AS (
+  SELECT conv_id,
+         unnest(CASE WHEN len(ws) < {k} THEN [array_to_string(ws, ' ')]
+                ELSE list_transform(range(1, len(ws) - {k - 1} + 1),
+                       i -> array_to_string(list_slice(ws, i, i + {k - 1}), ' '))
+                END) AS sh
+  FROM tw
+), s AS (
+  SELECT DISTINCT conv_id, sh FROM tsh
+), c AS (
+  SELECT conv_id, count(*) AS n FROM s GROUP BY conv_id
+), i AS (
+  SELECT a.conv_id AS c1, b.conv_id AS c2, count(*) AS inter
+  FROM s a JOIN s b ON a.sh = b.sh AND a.conv_id < b.conv_id
+  GROUP BY 1, 2
+)
+SELECT c1, c2,
+       round(inter::double / (ca.n + cb.n - inter), 4) AS jaccard
+FROM i JOIN c ca ON i.c1 = ca.conv_id JOIN c cb ON i.c2 = cb.conv_id
+WHERE round(inter::double / (ca.n + cb.n - inter), 4) >= {_JACCARD_THRESHOLD}
+ORDER BY c1, c2
+"""
+
+
+CONV_QUERIES["conv_neardup"] = (q_conv_neardup, _oracle_conv_neardup())

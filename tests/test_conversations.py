@@ -233,3 +233,52 @@ def test_conv_loss_mask_spans(spark, tmp_path):
         ("conv-000000", 4, 0, 64, 80),
         ("conv-000003", 1, 0, 112, 128),
     ]
+
+
+def test_conv_neardup_matches_bruteforce_and_partitioning(spark):
+    """conv_neardup == brute-force exact Jaccard over the conversations'
+    within-turn shingle sets (LSH recall + distributed verify exactness),
+    and the per-batch signature fold is partition-invariant — the
+    minhash(union) = min(minhash) identity that lets a skewed conversation
+    sign without ever concatenating."""
+    from itertools import combinations
+
+    from janet_spark.conversations import conv_neardup_frame
+    from janet_spark.queries_text import _JACCARD_THRESHOLD, _doc_shingles
+
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "a second turn with plenty of shared words across the variants",
+        "closing remarks that stay identical in every near duplicate copy",
+        "one more long turn so the shingle sets are big enough to matter",
+    ]
+    rows = []
+    for i, text in enumerate(base):
+        role = "user" if i % 2 == 0 else "assistant"
+        rows.append(("orig", i, role, text))
+        # near dup: one word edited in one turn
+        edited = text.replace("second", "2nd") if "second" in text else text
+        rows.append(("tweak", i, role, edited))
+        # far: every turn rewritten
+        rows.append(("other", i, role, f"completely different content number {i} here"))
+    rows.append(("short", 0, "user", "tiny"))  # <5-word turn: shingle = itself
+    tr = _tr(spark, rows)
+
+    # brute force over union-of-turn shingle sets
+    sets: dict = {}
+    for c, _, _, t in rows:
+        sets.setdefault(c, set()).update(_doc_shingles(t))
+    expected = set()
+    for a, b in combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        jac = inter / (len(sets[a]) + len(sets[b]) - inter)
+        if round(jac, 4) >= _JACCARD_THRESHOLD:
+            expected.add((a, b))
+
+    got = {(r.c1, r.c2) for r in conv_neardup_frame(tr).collect()}
+    assert got == expected
+    assert ("orig", "tweak") in got  # the planted near dup is found
+    # partition-invariance: turns scattered across 7 partitions fold to
+    # the same pairs (partial per-batch min == global min)
+    got7 = {(r.c1, r.c2) for r in conv_neardup_frame(tr.repartition(7)).collect()}
+    assert got7 == expected
