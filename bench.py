@@ -182,6 +182,8 @@ def main() -> None:
         "apply_mixture",
         "chat_render",
         "conv_neardup",
+        "doc_chunk",
+        "bpe_pair_census",
     ]
     for name in extended:
         fn, _ = registry[name]

@@ -1181,6 +1181,126 @@ ORDER BY doc_id, copy_idx
 """
 
 
+_CHUNK_WORDS = 64  # context-window chunk size (words)
+_CHUNK_STRIDE = 48  # stride between chunk starts (overlap = 16)
+
+
+def q_doc_chunk(spark, sf_dir):
+    """Sliding-window document chunking — the long-document step every
+    context-bounded consumer needs (RAG indexing, fixed-window pretrain
+    on long docs): word-grain chunks of _CHUNK_WORDS with _CHUNK_STRIDE
+    spacing (16-word overlap), each row carrying its absolute word offset
+    so provenance survives the split. Pure narrow projection: the words
+    array is materialized ONCE per doc (the O(words^2) inline-split
+    lesson), chunk count is closed-form, and the fan-out per doc is
+    ceil(len/stride) — linear in document length, no shuffle at all."""
+    docs = t(spark, sf_dir, "documents")
+    wdocs = _word_docs(docs)
+    size = F.size(F.col("__words"))
+    n_chunks = F.when(size <= _CHUNK_WORDS, F.lit(1)).otherwise(
+        F.ceil((size - _CHUNK_WORDS) / F.lit(float(_CHUNK_STRIDE))).cast("int") + 1
+    )
+    chunks = wdocs.select(
+        "doc_id",
+        "__words",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    ).withColumn(
+        "__chunk",
+        F.expr(f"slice(__words, chunk_idx * {_CHUNK_STRIDE} + 1, {_CHUNK_WORDS})"),
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        (F.col("chunk_idx") * _CHUNK_STRIDE).alias("word_start"),
+        F.size("__chunk").alias("n_words"),
+        F.array_join("__chunk", " ").alias("chunk_text"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+ORACLE_DOC_CHUNK = f"""
+WITH d AS (
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws FROM documents
+), n AS (
+  SELECT doc_id, ws,
+         CASE WHEN len(ws) <= {_CHUNK_WORDS} THEN 1
+              ELSE cast(ceil((len(ws) - {_CHUNK_WORDS}) / {_CHUNK_STRIDE}) AS int) + 1
+         END AS nc
+  FROM d
+), e AS (
+  SELECT doc_id, ws, cast(unnest(range(0, nc)) AS int) AS chunk_idx FROM n
+)
+SELECT doc_id, chunk_idx,
+       chunk_idx * {_CHUNK_STRIDE} AS word_start,
+       cast(len(list_slice(ws, chunk_idx * {_CHUNK_STRIDE} + 1,
+                           chunk_idx * {_CHUNK_STRIDE} + {_CHUNK_WORDS})) AS int)
+         AS n_words,
+       array_to_string(list_slice(ws, chunk_idx * {_CHUNK_STRIDE} + 1,
+                                  chunk_idx * {_CHUNK_STRIDE} + {_CHUNK_WORDS}), ' ')
+         AS chunk_text
+FROM e ORDER BY doc_id, chunk_idx
+"""
+
+
+_PAIR_TOP_K = 50
+
+
+def q_bpe_pair_census(spark, sf_dir):
+    """The distributed inner loop of BPE tokenizer TRAINING: adjacent
+    symbol-pair counts across the corpus (here: the character-pair round,
+    i.e. iteration one — each further merge round is the same query over
+    the re-segmented vocabulary). The scale insight that makes this
+    tractable at 100 TB: aggregate the WORD census first (map-side
+    combinable, output = vocabulary-sized), then explode pairs over the
+    DISTINCT vocabulary weighted by count — the pair fan-out runs over
+    ~10^6 vocab rows, never 10^12 corpus words. scripts/train_bpe.py is
+    the driver-side consumer of exactly these counts (greedy pick,
+    count DESC then lexicographic — the tie-break reproduced here)."""
+    from janet_spark.extract.bpe import TOKEN_SPLIT
+
+    docs = t(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(
+            F.explode(
+                F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), TOKEN_SPLIT)
+            ).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        vocab.filter(F.length("w") >= 2)
+        .select(
+            "cnt",
+            F.explode(
+                F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+            ).alias("pair"),
+        )
+        .groupBy("pair")
+        .agg(F.sum("cnt").cast("long").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(_PAIR_TOP_K)
+    )
+
+
+ORACLE_BPE_PAIR_CENSUS = f"""
+WITH words AS (
+  SELECT unnest(list_filter(
+           string_split_regex(lower(coalesce(text, '')), '[^a-z0-9]+'),
+           x -> x != '')) AS w
+  FROM documents
+), v AS (
+  SELECT w, count(*) AS cnt FROM words GROUP BY w
+), p AS (
+  SELECT substr(w, cast(i AS int), 2) AS pair, cnt
+  FROM v, unnest(range(1, len(w))) AS t(i)
+  WHERE len(w) >= 2
+)
+SELECT pair, cast(sum(cnt) AS bigint) AS n
+FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT {_PAIR_TOP_K}
+"""
+
+
 _SHUFFLE_SEED = "ep0"
 _SHUFFLE_SHARD_SIZE = 100
 
@@ -2570,6 +2690,8 @@ TEXT_QUERIES = {
     "curation_pipeline_v2": (q_curation_pipeline_v2, ORACLE_CURATION_PIPELINE_V2),
     "mixture_weights": (q_mixture_weights, ORACLE_MIXTURE_WEIGHTS),
     "apply_mixture": (q_apply_mixture, ORACLE_APPLY_MIXTURE),
+    "doc_chunk": (q_doc_chunk, ORACLE_DOC_CHUNK),
+    "bpe_pair_census": (q_bpe_pair_census, ORACLE_BPE_PAIR_CENSUS),
     "corpus_shuffle": (q_corpus_shuffle, ORACLE_CORPUS_SHUFFLE),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, ORACLE_NGRAM_JACCARD_PAIRS),
     "dedup_clusters": (q_dedup_clusters, _dedup_clusters_oracle()),

@@ -1257,3 +1257,66 @@ def test_apply_mixture_caps_and_rebalances(spark):
     # sf0.001 is already near-uniform so the headroom is small; the recipe
     # must still move shares strictly toward uniform, never away
     assert l1_from_uniform(realized) < l1_from_uniform(raw)
+
+
+def test_doc_chunk_covers_and_overlaps(spark):
+    """Sliding chunks reconstruct every document exactly: chunk 0 starts
+    at word 0, starts advance by the stride, the stitched chunks equal the
+    original word sequence, and no chunk exceeds the window."""
+    from janet_spark.queries_text import _CHUNK_STRIDE, _CHUNK_WORDS, q_doc_chunk
+
+    docs = {
+        r.doc_id: (r.text or "").split(" ")
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    out = q_doc_chunk(spark, SF).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(docs)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r.chunk_idx)
+        words = docs[doc_id]
+        assert rows[0].word_start == 0
+        for i, r in enumerate(rows):
+            assert r.chunk_idx == i
+            assert r.word_start == i * _CHUNK_STRIDE
+            expect = words[r.word_start : r.word_start + _CHUNK_WORDS]
+            assert r.chunk_text.split(" ") == (expect if expect else [""])
+            assert r.n_words == len(expect) if expect else 1
+            assert r.n_words <= _CHUNK_WORDS
+        # stitch: stride-prefix of every chunk + full last chunk == doc
+        stitched = []
+        for r in rows[:-1]:
+            stitched.extend(r.chunk_text.split(" ")[:_CHUNK_STRIDE])
+        stitched.extend(rows[-1].chunk_text.split(" "))
+        assert stitched == words
+        # every chunk but the last is full-width (stride < window)
+        for r in rows[:-1]:
+            assert r.n_words == _CHUNK_WORDS
+
+
+def test_bpe_pair_census_counts_weighted_pairs(spark, tmp_path):
+    """Adjacent-pair counts weighted by word frequency, on a hand-checked
+    fixture: the census over the distinct vocabulary must equal the naive
+    per-occurrence count."""
+    import pandas as pd
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["abab cd abab", "Cd! cd-ab"],
+            "lang": ["en", "en"],
+            "source": ["s", "s"],
+            "n_chars": [12, 9],
+        }
+    )
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(docs).write.parquet(path + "/documents.parquet")
+    from janet_spark.queries_text import q_bpe_pair_census
+
+    got = {r.pair: r.n for r in q_bpe_pair_census(spark, path).collect()}
+    # vocabulary: abab x2, cd x3 (lowercased, split on non-alnum), ab x1
+    # abab pairs: ab, ba, ab -> per occurrence {ab:2, ba:1}; x2 occurrences
+    # cd pairs: {cd:1} x3 ; ab pairs: {ab:1} x1
+    assert got == {"ab": 5, "ba": 2, "cd": 3}
