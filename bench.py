@@ -184,6 +184,8 @@ def main() -> None:
         "conv_neardup",
         "doc_chunk",
         "bpe_pair_census",
+        "bigram_lm",
+        "corpus_report",
     ]
     for name in extended:
         fn, _ = registry[name]

@@ -1,11 +1,16 @@
-"""spark-submit entrypoint for the extraction pipeline.
+"""spark-submit entrypoint for the extraction and SFT-data pipelines.
 
     spark-submit --py-files janet_spark.zip janet_spark/job.py \
         --input /path/to/transcripts \
         --output /path/to/output \
+        [--mode extract|sft] \
         [--input-format parquet|orc|json|csv] [--n-buckets 256] [--write-salt 4]
 
-On a real cluster the input/output would be Iceberg tables
+``--mode extract`` (default) runs the per-bucket checkpointed extraction
+job (pipeline.run_job); ``--mode sft`` builds the packed-training-data
+artifact (sft_job.run_sft_job: gate -> dedup -> truncate -> pack +
+loss-mask spans + chat-render offsets, committed as one atomic
+generation). On a real cluster the input/output would be Iceberg tables
 (`spark.read.table` / `MERGE INTO`); the parquet layout used here keeps the
 same commit ordering and the same resume contract (see checkpoint.py).
 """
@@ -36,6 +41,12 @@ def main(argv: list[str] | None = None) -> int:
         help="files per checkpoint bucket (conv-level write salt)",
     )
     p.add_argument("--run-id", default=None)
+    p.add_argument("--mode", default="extract", choices=["extract", "sft"])
+    p.add_argument(
+        "--force",
+        action="store_true",
+        help="sft mode: rebuild even if a generation is already committed",
+    )
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -49,6 +60,21 @@ def main(argv: list[str] | None = None) -> int:
 
     t0 = time.time()
     transcripts = read_transcripts(spark, args.input, format=args.input_format)
+
+    if args.mode == "sft":
+        from janet_spark.sft_job import run_sft_job
+
+        summary = run_sft_job(
+            spark,
+            transcripts,
+            args.output,
+            run_id=args.run_id,
+            force=args.force,
+        )
+        summary["elapsed_sec"] = round(time.time() - t0, 2)
+        print(json.dumps(summary))
+        return 0
+
     summary = run_job(
         spark,
         transcripts,

@@ -1241,6 +1241,109 @@ FROM e ORDER BY doc_id, chunk_idx
 """
 
 
+_BIGRAM_TOP_K = 100
+
+
+def q_bigram_lm(spark, sf_dir):
+    """Bigram LM TRAINING at corpus scale — the model-estimation step
+    behind the CCNet-style perplexity filter that `lm_score` applies
+    (there with unigrams): within-doc adjacent word pairs, counted
+    map-side-combinably, with the conditional MLE p(w2|w1) derived from
+    the bigram table itself (left-context totals = one vocab-sized
+    groupBy on w1 — no second corpus pass). Reported as the top-100
+    bigrams with deterministic tie-break; at 100 TB the full table is the
+    artifact you'd broadcast to the scorer, exactly like lm_score's
+    vocabulary join."""
+    docs = t(spark, sf_dir, "documents")
+    wdocs = _word_docs(docs)
+    pairs = (
+        wdocs.filter(F.size("__words") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(__words) - 1), "
+                    "i -> struct(element_at(__words, i) AS w1, "
+                    "element_at(__words, i + 1) AS w2))"
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+    )
+    bc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n"))
+    ctx = bc.groupBy("w1").agg(F.sum("n").alias("c1"))
+    return (
+        bc.join(ctx, "w1")
+        .select(
+            "w1",
+            "w2",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n") / F.col("c1"), 6).alias("p"),
+        )
+        .orderBy(F.desc("n"), "w1", "w2")
+        .limit(_BIGRAM_TOP_K)
+    )
+
+
+ORACLE_BIGRAM_LM = f"""
+WITH d AS (
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws FROM documents
+), b AS (
+  SELECT ws[cast(i AS int)] AS w1, ws[cast(i AS int) + 1] AS w2
+  FROM d, unnest(range(1, len(ws))) AS t(i)
+  WHERE len(ws) >= 2
+), bc AS (
+  SELECT w1, w2, count(*) AS n FROM b GROUP BY 1, 2
+), ctx AS (
+  SELECT w1, sum(n) AS c1 FROM bc GROUP BY 1
+)
+SELECT w1, w2, cast(n AS bigint) AS n, round(n / c1, 6) AS p
+FROM bc JOIN ctx USING (w1)
+ORDER BY n DESC, w1, w2 LIMIT {_BIGRAM_TOP_K}
+"""
+
+
+def q_corpus_report(spark, sf_dir):
+    """The corpus health census a data team reads before training: per
+    source, document and token volume, the word-count distribution
+    (exact interpolated p50/p90 — Spark `percentile` and DuckDB
+    `quantile_cont` share the linear-interpolation definition), and
+    language spread. One map-side-combinable groupBy over a narrow
+    3-column projection; the percentile is the only sorted state and it
+    sorts per (source) group, never globally."""
+    docs = t(spark, sf_dir, "documents")
+    words = F.when(F.coalesce(F.col("text"), F.lit("")) == "", F.lit(0)).otherwise(
+        F.size(F.split(F.col("text"), " "))
+    )
+    return (
+        docs.select("source", "lang", words.alias("n_words"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_tokens"),
+            F.round(F.expr("percentile(n_words, 0.5)"), 4).alias("p50_words"),
+            F.round(F.expr("percentile(n_words, 0.9)"), 4).alias("p90_words"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+        )
+        .orderBy("source")
+    )
+
+
+ORACLE_CORPUS_REPORT = """
+WITH d AS (
+  SELECT source, lang,
+         CASE WHEN coalesce(text, '') = '' THEN 0
+              ELSE len(string_split(text, ' ')) END AS n_words
+  FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       cast(sum(n_words) AS bigint) AS n_tokens,
+       round(quantile_cont(n_words, 0.5), 4) AS p50_words,
+       round(quantile_cont(n_words, 0.9), 4) AS p90_words,
+       cast(count(DISTINCT lang) AS bigint) AS n_langs
+FROM d GROUP BY source ORDER BY source
+"""
+
+
 _PAIR_TOP_K = 50
 
 
@@ -2692,6 +2795,8 @@ TEXT_QUERIES = {
     "apply_mixture": (q_apply_mixture, ORACLE_APPLY_MIXTURE),
     "doc_chunk": (q_doc_chunk, ORACLE_DOC_CHUNK),
     "bpe_pair_census": (q_bpe_pair_census, ORACLE_BPE_PAIR_CENSUS),
+    "bigram_lm": (q_bigram_lm, ORACLE_BIGRAM_LM),
+    "corpus_report": (q_corpus_report, ORACLE_CORPUS_REPORT),
     "corpus_shuffle": (q_corpus_shuffle, ORACLE_CORPUS_SHUFFLE),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, ORACLE_NGRAM_JACCARD_PAIRS),
     "dedup_clusters": (q_dedup_clusters, _dedup_clusters_oracle()),

@@ -265,3 +265,42 @@ def test_output_row_groups_clustered_by_conv(spark, tmp_path):
         t = pq.read_table(f, columns=["conv_id", "turn_idx"])
         pairs = list(zip(t["conv_id"].to_pylist(), t["turn_idx"].to_pylist()))
         assert pairs == sorted(pairs), f
+
+
+def test_sft_job_commits_generation_and_resumes(spark, tmp_path):
+    """run_sft_job writes seqs/loss_mask/render as ONE atomic generation
+    (lineage row last), a rerun short-circuits on the committed
+    generation without running Spark, and force=True rebuilds."""
+    import os
+
+    from janet_spark.conversations import (
+        conv_loss_mask_frame,
+        conv_training_pipeline_frame,
+    )
+    from janet_spark.derive import derived_transcripts
+    from janet_spark.sft_job import committed_generation, run_sft_job
+
+    tr = derived_transcripts(spark, "/root/testdata/sf0.001")
+    out = str(tmp_path / "sft")
+    s1 = run_sft_job(spark, tr, out, run_id="gen-1")
+    assert s1["resumed"] is False
+    for table in ("seqs", "loss_mask", "render"):
+        assert os.path.isdir(os.path.join(out, table)), table
+    # committed counts match the registered frames exactly
+    assert s1["n_seqs"] == conv_training_pipeline_frame(tr).count()
+    assert s1["n_mask_spans"] == conv_loss_mask_frame(tr).count()
+    assert spark.read.parquet(os.path.join(out, "seqs")).count() == s1["n_seqs"]
+    assert committed_generation(out)["run_id"] == "gen-1"
+    # no staging debris
+    assert not [d for d in os.listdir(out) if d.startswith("_staging")]
+
+    # rerun: resumes on the lineage row, same counts, same run id
+    s2 = run_sft_job(spark, tr, out, run_id="gen-2")
+    assert s2["resumed"] is True and s2["run_id"] == "gen-1"
+    assert s2["n_seqs"] == s1["n_seqs"]
+
+    # force: rebuilds under the new run id
+    s3 = run_sft_job(spark, tr, out, run_id="gen-3", force=True)
+    assert s3["resumed"] is False and s3["run_id"] == "gen-3"
+    assert committed_generation(out)["run_id"] == "gen-3"
+    assert s3["n_seqs"] == s1["n_seqs"]
