@@ -186,6 +186,8 @@ def main() -> None:
         "bpe_pair_census",
         "bigram_lm",
         "corpus_report",
+        "conv_dedup_fuzzy",
+        "quality_features",
     ]
     for name in extended:
         fn, _ = registry[name]

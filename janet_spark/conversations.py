@@ -895,3 +895,63 @@ ORDER BY c1, c2
 
 
 CONV_QUERIES["conv_neardup"] = (q_conv_neardup, _oracle_conv_neardup())
+
+
+# ---------------------------------------------------------------------------
+# conv_dedup_fuzzy: near-dup pairs -> clusters -> one keeper per cluster
+# ---------------------------------------------------------------------------
+
+
+def conv_dedup_fuzzy_frame(tr: DataFrame) -> DataFrame:
+    """The conversation-grain analog of `dedup_clusters_lsh` — what a
+    production transcript-dedup run executes after `conv_neardup` mines
+    pairs: connected components over the near-dup edge list, one keeper
+    per cluster (min conv_id), everything else marked for drop. Reuses
+    queries_text._clusters_from_pairs verbatim (same min-label
+    propagation with localCheckpoint lineage cuts, same keeper rule) so
+    the doc-grain and conversation-grain compositions can never drift."""
+    from janet_spark.queries_text import _clusters_from_pairs
+
+    pairs = conv_neardup_frame(tr).select(
+        F.col("c1").alias("d1"), F.col("c2").alias("d2")
+    )
+    return _clusters_from_pairs(pairs).select(
+        F.col("doc_id").alias("conv_id"),
+        "cluster_rep",
+        "cluster_size",
+        "keep",
+    )
+
+
+def q_conv_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return conv_dedup_fuzzy_frame(derived_transcripts(spark, sf_dir))
+
+
+def _oracle_conv_dedup_fuzzy() -> str:
+    pair_sql = _oracle_conv_neardup().replace("ORDER BY c1, c2", "")
+    return f"""
+WITH RECURSIVE pairs AS ({pair_sql}),
+edges AS (
+  SELECT c1 AS a, c2 AS b FROM pairs
+  UNION ALL
+  SELECT c2 AS a, c1 AS b FROM pairs
+),
+walk(src, node) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT w.src, e.b FROM walk w JOIN edges e ON e.a = w.node
+),
+comp AS (
+  SELECT src AS conv_id, min(node) AS cluster_rep FROM walk GROUP BY src
+),
+sizes AS (
+  SELECT cluster_rep, count(*) AS cluster_size FROM comp GROUP BY cluster_rep
+)
+SELECT c.conv_id, c.cluster_rep, s.cluster_size,
+       c.conv_id = c.cluster_rep AS keep
+FROM comp c JOIN sizes s USING (cluster_rep)
+ORDER BY conv_id
+"""
+
+
+CONV_QUERIES["conv_dedup_fuzzy"] = (q_conv_dedup_fuzzy, _oracle_conv_dedup_fuzzy())

@@ -1181,14 +1181,14 @@ ORDER BY doc_id, copy_idx
 """
 
 
-_CHUNK_WORDS = 64  # context-window chunk size (words)
-_CHUNK_STRIDE = 48  # stride between chunk starts (overlap = 16)
+_WINDOW_WORDS = 64  # context-window chunk size (words)
+_WINDOW_STRIDE = 48  # stride between chunk starts (overlap = 16)
 
 
 def q_doc_chunk(spark, sf_dir):
     """Sliding-window document chunking — the long-document step every
     context-bounded consumer needs (RAG indexing, fixed-window pretrain
-    on long docs): word-grain chunks of _CHUNK_WORDS with _CHUNK_STRIDE
+    on long docs): word-grain chunks of _WINDOW_WORDS with _WINDOW_STRIDE
     spacing (16-word overlap), each row carrying its absolute word offset
     so provenance survives the split. Pure narrow projection: the words
     array is materialized ONCE per doc (the O(words^2) inline-split
@@ -1197,8 +1197,8 @@ def q_doc_chunk(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     wdocs = _word_docs(docs)
     size = F.size(F.col("__words"))
-    n_chunks = F.when(size <= _CHUNK_WORDS, F.lit(1)).otherwise(
-        F.ceil((size - _CHUNK_WORDS) / F.lit(float(_CHUNK_STRIDE))).cast("int") + 1
+    n_chunks = F.when(size <= _WINDOW_WORDS, F.lit(1)).otherwise(
+        F.ceil((size - _WINDOW_WORDS) / F.lit(float(_WINDOW_STRIDE))).cast("int") + 1
     )
     chunks = wdocs.select(
         "doc_id",
@@ -1206,12 +1206,12 @@ def q_doc_chunk(spark, sf_dir):
         F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
     ).withColumn(
         "__chunk",
-        F.expr(f"slice(__words, chunk_idx * {_CHUNK_STRIDE} + 1, {_CHUNK_WORDS})"),
+        F.expr(f"slice(__words, chunk_idx * {_WINDOW_STRIDE} + 1, {_WINDOW_WORDS})"),
     )
     return chunks.select(
         "doc_id",
         "chunk_idx",
-        (F.col("chunk_idx") * _CHUNK_STRIDE).alias("word_start"),
+        (F.col("chunk_idx") * _WINDOW_STRIDE).alias("word_start"),
         F.size("__chunk").alias("n_words"),
         F.array_join("__chunk", " ").alias("chunk_text"),
     ).orderBy("doc_id", "chunk_idx")
@@ -1222,20 +1222,20 @@ WITH d AS (
   SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws FROM documents
 ), n AS (
   SELECT doc_id, ws,
-         CASE WHEN len(ws) <= {_CHUNK_WORDS} THEN 1
-              ELSE cast(ceil((len(ws) - {_CHUNK_WORDS}) / {_CHUNK_STRIDE}) AS int) + 1
+         CASE WHEN len(ws) <= {_WINDOW_WORDS} THEN 1
+              ELSE cast(ceil((len(ws) - {_WINDOW_WORDS}) / {_WINDOW_STRIDE}) AS int) + 1
          END AS nc
   FROM d
 ), e AS (
   SELECT doc_id, ws, cast(unnest(range(0, nc)) AS int) AS chunk_idx FROM n
 )
 SELECT doc_id, chunk_idx,
-       chunk_idx * {_CHUNK_STRIDE} AS word_start,
-       cast(len(list_slice(ws, chunk_idx * {_CHUNK_STRIDE} + 1,
-                           chunk_idx * {_CHUNK_STRIDE} + {_CHUNK_WORDS})) AS int)
+       chunk_idx * {_WINDOW_STRIDE} AS word_start,
+       cast(len(list_slice(ws, chunk_idx * {_WINDOW_STRIDE} + 1,
+                           chunk_idx * {_WINDOW_STRIDE} + {_WINDOW_WORDS})) AS int)
          AS n_words,
-       array_to_string(list_slice(ws, chunk_idx * {_CHUNK_STRIDE} + 1,
-                                  chunk_idx * {_CHUNK_STRIDE} + {_CHUNK_WORDS}), ' ')
+       array_to_string(list_slice(ws, chunk_idx * {_WINDOW_STRIDE} + 1,
+                                  chunk_idx * {_WINDOW_STRIDE} + {_WINDOW_WORDS}), ' ')
          AS chunk_text
 FROM e ORDER BY doc_id, chunk_idx
 """
@@ -1341,6 +1341,46 @@ SELECT source, count(*) AS n_docs,
        round(quantile_cont(n_words, 0.9), 4) AS p90_words,
        cast(count(DISTINCT lang) AS bigint) AS n_langs
 FROM d GROUP BY source ORDER BY source
+"""
+
+
+def q_quality_features(spark, sf_dir):
+    """The assembled per-document FEATURE VECTOR a model-based quality
+    filter consumes (the FineWeb-Edu / DCLM pattern: heuristics feed a
+    classifier, the classifier gates the corpus): Gopher repetition
+    fractions + surface ratios + unigram-LM cross-entropy + language,
+    joined into one row per document. Each component is its own
+    oracle-checked query; this composition reuses those exact frames so
+    the artifact can never drift from the audited parts. All joins key
+    on doc_id (co-partitioned after the first shuffle); at 100 TB you'd
+    persist the narrow survivors like curation_pipeline_v2 does."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    qs = q_quality_scores(spark, sf_dir)
+    qr = q_quality_repetition(spark, sf_dir)
+    lm = q_lm_score(spark, sf_dir).select("doc_id", "xent_bits")
+    return (
+        docs.join(qs, "doc_id")
+        .join(qr, "doc_id")
+        .join(lm, "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def _quality_features_oracle() -> str:
+    qs = ORACLE_QUALITY_SCORES.replace("ORDER BY doc_id", "")
+    qr = ORACLE_QUALITY_REPETITION.replace("ORDER BY doc_id", "")
+    lm = ORACLE_LM_SCORE.replace("ORDER BY doc_id", "")
+    return f"""
+WITH qs AS ({qs}),
+qr AS ({qr}),
+lm AS ({lm})
+SELECT d.doc_id, d.lang, d.source,
+       qs.n_words, qs.stopword_ratio, qs.alpha_ratio,
+       qr.dup_word_frac, qr.top_bigram_frac, qr.dup_5gram_frac,
+       lm.xent_bits
+FROM documents d
+JOIN qs USING (doc_id) JOIN qr USING (doc_id) JOIN lm USING (doc_id)
+ORDER BY doc_id
 """
 
 
@@ -2797,6 +2837,7 @@ TEXT_QUERIES = {
     "bpe_pair_census": (q_bpe_pair_census, ORACLE_BPE_PAIR_CENSUS),
     "bigram_lm": (q_bigram_lm, ORACLE_BIGRAM_LM),
     "corpus_report": (q_corpus_report, ORACLE_CORPUS_REPORT),
+    "quality_features": (q_quality_features, _quality_features_oracle()),
     "corpus_shuffle": (q_corpus_shuffle, ORACLE_CORPUS_SHUFFLE),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, ORACLE_NGRAM_JACCARD_PAIRS),
     "dedup_clusters": (q_dedup_clusters, _dedup_clusters_oracle()),

@@ -282,3 +282,41 @@ def test_conv_neardup_matches_bruteforce_and_partitioning(spark):
     # the same pairs (partial per-batch min == global min)
     got7 = {(r.c1, r.c2) for r in conv_neardup_frame(tr.repartition(7)).collect()}
     assert got7 == expected
+
+
+def test_conv_dedup_fuzzy_keeps_min_per_cluster(spark):
+    """Near-dup clusters keep exactly the min conv_id; transitive chains
+    (a~b, b~c but a!~c directly) still land in ONE cluster."""
+    from janet_spark.conversations import conv_dedup_fuzzy_frame
+
+    # 20-word turns: 16 shingles each, 64 per conversation — a one-word
+    # edit moves 5 shingles (j = 59/69 = 0.855 > 0.8) while a two-word
+    # diff drops to 54/74 = 0.73 < 0.8, so the chain is transitive-only
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again while"
+        " everyone watches the show from the old porch",
+        "a second turn with plenty of shared words across the variants that"
+        " keeps the shingle sets wide enough for mining",
+        "closing remarks that stay identical in every near duplicate copy"
+        " because the ending boilerplate never changes between the reruns",
+        "one more long turn so the shingle sets are big enough to matter"
+        " when the verify stage computes exact jaccard",
+    ]
+    rows = []
+    for i, text in enumerate(base):
+        rows.append(("a-orig", i, "user", text))
+        rows.append(("b-tweak", i, "user", text.replace("second", "2nd")))
+        # chain link: near b-tweak (shares its edit) AND carries one more
+        rows.append(
+            ("c-chain", i, "user", text.replace("second", "2nd").replace("lazy", "idle"))
+        )
+        rows.append(("z-far", i, "user", f"entirely unrelated content row {i} here"))
+    tr = _tr(spark, rows)
+    out = {r.conv_id: r for r in conv_dedup_fuzzy_frame(tr).collect()}
+    assert set(out) >= {"a-orig", "b-tweak", "c-chain"}
+    assert "z-far" not in out  # never paired -> not in any cluster
+    cluster = {out[c].cluster_rep for c in ("a-orig", "b-tweak", "c-chain")}
+    assert cluster == {"a-orig"}  # one transitive cluster, min-id rep
+    assert out["a-orig"].keep is True
+    assert out["b-tweak"].keep is False and out["c-chain"].keep is False
+    assert out["a-orig"].cluster_size == 3

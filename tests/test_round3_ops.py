@@ -1263,7 +1263,7 @@ def test_doc_chunk_covers_and_overlaps(spark):
     """Sliding chunks reconstruct every document exactly: chunk 0 starts
     at word 0, starts advance by the stride, the stitched chunks equal the
     original word sequence, and no chunk exceeds the window."""
-    from janet_spark.queries_text import _CHUNK_STRIDE, _CHUNK_WORDS, q_doc_chunk
+    from janet_spark.queries_text import _WINDOW_STRIDE, _WINDOW_WORDS, q_doc_chunk
 
     docs = {
         r.doc_id: (r.text or "").split(" ")
@@ -1280,20 +1280,20 @@ def test_doc_chunk_covers_and_overlaps(spark):
         assert rows[0].word_start == 0
         for i, r in enumerate(rows):
             assert r.chunk_idx == i
-            assert r.word_start == i * _CHUNK_STRIDE
-            expect = words[r.word_start : r.word_start + _CHUNK_WORDS]
+            assert r.word_start == i * _WINDOW_STRIDE
+            expect = words[r.word_start : r.word_start + _WINDOW_WORDS]
             assert r.chunk_text.split(" ") == (expect if expect else [""])
             assert r.n_words == len(expect) if expect else 1
-            assert r.n_words <= _CHUNK_WORDS
+            assert r.n_words <= _WINDOW_WORDS
         # stitch: stride-prefix of every chunk + full last chunk == doc
         stitched = []
         for r in rows[:-1]:
-            stitched.extend(r.chunk_text.split(" ")[:_CHUNK_STRIDE])
+            stitched.extend(r.chunk_text.split(" ")[:_WINDOW_STRIDE])
         stitched.extend(rows[-1].chunk_text.split(" "))
         assert stitched == words
         # every chunk but the last is full-width (stride < window)
         for r in rows[:-1]:
-            assert r.n_words == _CHUNK_WORDS
+            assert r.n_words == _WINDOW_WORDS
 
 
 def test_bpe_pair_census_counts_weighted_pairs(spark, tmp_path):
