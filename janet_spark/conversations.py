@@ -430,6 +430,22 @@ def _conv_ordinal():
     return F.substring(F.col("conv_id"), 6, 10).cast("long")
 
 
+def _apply_ordinal(sized: DataFrame, ordinal) -> DataFrame:
+    """Attach the long pack-order column `doc_id`. `ordinal` may be a
+    column expression over conv_id (default: the derived-id parse) or a
+    (conv_id, ord:long) DataFrame — the production contract where the
+    table carries an explicit DENSE ordinal (sparse ordinals, e.g. a raw
+    hash, would make the prefix-sum block table corpus-sized; see
+    sft_job.run_sft_job for the scheme-agnostic dense ranking)."""
+    if isinstance(ordinal, DataFrame):
+        return sized.join(
+            ordinal.select("conv_id", F.col("ord").cast("long").alias("doc_id")),
+            "conv_id",
+        )
+    ordinal = _conv_ordinal() if ordinal is None else ordinal
+    return sized.withColumn("doc_id", ordinal)
+
+
 def conv_pack_frame(tr: DataFrame, ordinal=None) -> DataFrame:
     """Assign whole conversations, in pack-order, to fixed-token-budget
     training sequences — the conversation-grain analog of sequence_pack:
@@ -438,19 +454,19 @@ def conv_pack_frame(tr: DataFrame, ordinal=None) -> DataFrame:
     running total is the shared two-level distributed prefix sum (never a
     corpus-sized window).
 
-    `ordinal` is the long pack-order column expression; defaults to the
+    `ordinal` is the long pack-order column expression OR a
+    (conv_id, ord) DataFrame (see _apply_ordinal); defaults to the
     derived-conv_id parse. A caller whose conv_ids do not follow the
     derived scheme MUST supply one — the parse yields NULL otherwise,
     which would collapse the prefix-sum blocking."""
     from janet_spark.queries_text import _pack_sequences
 
-    ordinal = _conv_ordinal() if ordinal is None else ordinal
     totals = (
         tr.withColumn("words", _words())
         .groupBy("conv_id")
         .agg(F.sum("words").cast("long").alias("n_tokens"))
     )
-    d = totals.select("conv_id", ordinal.alias("doc_id"), "n_tokens")
+    d = _apply_ordinal(totals, ordinal).select("conv_id", "doc_id", "n_tokens")
     return (
         _pack_sequences(d)
         .select("conv_id", "n_tokens", "seq_id", "seq_offset")
@@ -540,9 +556,8 @@ def _pipeline_parts(tr: DataFrame, ordinal=None):
         F.sum("words").cast("long").alias("kept_words")
     )
     sized = survivors.join(kept, "conv_id")
-    ordinal = _conv_ordinal() if ordinal is None else ordinal
-    d = sized.select(
-        "conv_id", ordinal.alias("doc_id"),
+    d = _apply_ordinal(sized, ordinal).select(
+        "conv_id", "doc_id",
         F.col("kept_words").alias("n_tokens"),
     )
     packed = _pack_sequences(d).select(

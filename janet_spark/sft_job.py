@@ -98,9 +98,26 @@ def run_sft_job(
     started = datetime.now(timezone.utc).isoformat()
     t0 = time.time()
 
+    # scheme-agnostic DENSE pack ordinal: the job must accept ANY conv_id
+    # scheme, so the pack order is a seeded-md5 permutation ranked through
+    # the same 256-block + broadcast-prefix-sum helper as corpus_shuffle
+    # (dense ranks keep the prefix-sum block table bounded; a raw hash
+    # ordinal would make it corpus-sized). Seqs and loss_mask MUST share
+    # one ordinal or spans would point into the wrong sequences.
+    from pyspark.sql import functions as F
+
+    from janet_spark.shard_writer import shuffle_ranked
+
+    ordinal = shuffle_ranked(
+        transcripts.select("conv_id").distinct(),
+        seed="pack0",
+        shard_size=1_000_000,
+        key_col="conv_id",
+    ).select("conv_id", F.col("shuffle_rank").alias("ord"))
+
     frames: dict[str, DataFrame] = {
-        "seqs": conv_training_pipeline_frame(transcripts),
-        "loss_mask": conv_loss_mask_frame(transcripts),
+        "seqs": conv_training_pipeline_frame(transcripts, ordinal=ordinal),
+        "loss_mask": conv_loss_mask_frame(transcripts, ordinal=ordinal),
         "render": chat_render_frame(transcripts),
     }
     counts: dict[str, int] = {}
