@@ -188,6 +188,7 @@ def main() -> None:
         "corpus_report",
         "conv_dedup_fuzzy",
         "quality_features",
+        "decontaminate_semantic",
     ]
     for name in extended:
         fn, _ = registry[name]

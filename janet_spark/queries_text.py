@@ -2322,6 +2322,80 @@ SELECT q_id, vec_id, sim, rank FROM ranked WHERE rank <= 5 ORDER BY q_id, rank
 """
 
 
+_SEMDECON_MOD = 13  # vec_id % 13 == 0 -> the held-out eval slice
+_SEMDECON_THRESHOLD = 0.4  # same cosine bar as the embed near-dup family
+
+
+def q_decontaminate_semantic(spark, sf_dir):
+    """Embedding-space benchmark decontamination — the semantic
+    complement of the 8-gram `decontaminate`: a training vector whose
+    cosine against ANY eval vector clears the bar is flagged for
+    removal (paraphrased eval leakage that n-gram overlap misses).
+
+    Deployment shape mirrors `decontaminate` exactly: the eval slice is
+    SMALL by construction (benchmarks are thousands of rows, the corpus
+    is billions), so the normalized eval matrix broadcasts and the scan
+    side does one per-partition numpy GEMM — only flagged rows survive
+    to the output, which is the removal list. Nearest eval vector is
+    picked on the ROUNDED similarity with min-eval_id tie-break (the
+    eval matrix is sorted by id and argmax takes the first maximum), so
+    the DuckDB oracle's (sim DESC, eval_id ASC) ranking reproduces it."""
+    emb = t(spark, sf_dir, "embeddings")
+    is_eval = F.col("vec_id") % _SEMDECON_MOD == 0
+    eval_rows = (
+        emb.filter(is_eval).select("vec_id", "embedding").orderBy("vec_id").collect()
+    )
+    e_ids = np.array([r["vec_id"] for r in eval_rows])
+    e_mat = np.array([r["embedding"] for r in eval_rows], dtype=np.float64)
+    e_norm = e_mat / np.linalg.norm(e_mat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((e_ids, e_norm))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, en = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(list(pdf["embedding"]), dtype=np.float64)
+            mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+            sims = np.round(mn @ en.T, 4)  # (n, e); round BEFORE argmax
+            best = sims.argmax(axis=1)  # first max = min eval_id on ties
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "eval_id": ids[best],
+                    "sim": sims[np.arange(len(best)), best],
+                }
+            )
+
+    flagged = emb.filter(~is_eval).mapInPandas(
+        run, schema="vec_id long, eval_id long, sim double"
+    )
+    return flagged.filter(F.col("sim") >= _SEMDECON_THRESHOLD).orderBy("vec_id")
+
+
+ORACLE_DECONTAMINATE_SEMANTIC = f"""
+WITH ev AS (
+  SELECT vec_id AS eval_id, embedding::DOUBLE[] AS ee
+  FROM embeddings WHERE vec_id % {_SEMDECON_MOD} = 0
+), c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS ce
+  FROM embeddings WHERE vec_id % {_SEMDECON_MOD} != 0
+), sims AS (
+  SELECT c.vec_id, ev.eval_id,
+         round(list_cosine_similarity(c.ce, ev.ee), 4) AS sim
+  FROM c CROSS JOIN ev
+), best AS (
+  SELECT vec_id, eval_id, sim,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY sim DESC, eval_id ASC) AS rn
+  FROM sims
+)
+SELECT vec_id, eval_id, sim FROM best
+WHERE rn = 1 AND sim >= {_SEMDECON_THRESHOLD}
+ORDER BY vec_id
+"""
+
+
 # Per-task row target: bounds the in-memory GEMM of one chunk-pair task at
 # ~2*2048 embeddings (a few MB + a 4096^2 sim matrix ~= 134 MB float64 —
 # comfortably inside an executor). Blocks below this size take the original
@@ -2838,6 +2912,7 @@ TEXT_QUERIES = {
     "bigram_lm": (q_bigram_lm, ORACLE_BIGRAM_LM),
     "corpus_report": (q_corpus_report, ORACLE_CORPUS_REPORT),
     "quality_features": (q_quality_features, _quality_features_oracle()),
+    "decontaminate_semantic": (q_decontaminate_semantic, ORACLE_DECONTAMINATE_SEMANTIC),
     "corpus_shuffle": (q_corpus_shuffle, ORACLE_CORPUS_SHUFFLE),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, ORACLE_NGRAM_JACCARD_PAIRS),
     "dedup_clusters": (q_dedup_clusters, _dedup_clusters_oracle()),

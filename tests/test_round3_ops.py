@@ -1320,3 +1320,44 @@ def test_bpe_pair_census_counts_weighted_pairs(spark, tmp_path):
     # abab pairs: ab, ba, ab -> per occurrence {ab:2, ba:1}; x2 occurrences
     # cd pairs: {cd:1} x3 ; ab pairs: {ab:1} x1
     assert got == {"ab": 5, "ba": 2, "cd": 3}
+
+
+def test_decontaminate_semantic_flags_planted_leak(spark, tmp_path):
+    """A training vector that is a near copy of an eval vector (paraphrase
+    leakage) is flagged with that eval vector as its nearest neighbor; an
+    orthogonal vector is not. Eval rows never appear in the removal list."""
+    import numpy as np
+    import pandas as pd
+
+    from janet_spark.queries_text import (
+        _SEMDECON_MOD,
+        _SEMDECON_THRESHOLD,
+        q_decontaminate_semantic,
+    )
+
+    dim = 8
+    base = np.zeros(dim); base[0] = 1.0
+    ortho = np.zeros(dim); ortho[1] = 1.0
+    leak = base.copy(); leak[2] = 0.05  # cosine ~0.999 vs base
+    rows = [
+        (0, base),                      # eval (0 % 13 == 0)
+        (_SEMDECON_MOD, ortho),         # eval #2
+        (1, leak),                      # train: leaked copy of eval 0
+        (2, ortho * 0.9 + base * 0.1),  # train: near eval #2
+        (3, -base),                     # train: anti-correlated -> sim < 0
+    ]
+    pdf = pd.DataFrame(
+        {
+            "vec_id": [r[0] for r in rows],
+            "embedding": [list(map(float, r[1])) for r in rows],
+            "label": [0] * len(rows),
+        }
+    )
+    sf = str(tmp_path)
+    spark.createDataFrame(pdf).write.parquet(f"{sf}/embeddings.parquet")
+    out = {r.vec_id: r for r in q_decontaminate_semantic(spark, sf).collect()}
+    assert set(out) == {1, 2}  # the two leaks; vec 3 is below threshold
+    assert out[1].eval_id == 0 and out[1].sim > 0.99
+    assert out[2].eval_id == _SEMDECON_MOD
+    assert all(v % _SEMDECON_MOD != 0 for v in out)  # eval side never flagged
+    assert all(r.sim >= _SEMDECON_THRESHOLD for r in out.values())
