@@ -72,6 +72,7 @@ def run_sft_job(
     output_path: str,
     run_id: str | None = None,
     force: bool = False,
+    fail_after_n_tables: int | None = None,
 ) -> dict:
     """Build and atomically commit the SFT training artifact. Returns a
     summary dict; ``resumed=True`` means a committed generation already
@@ -128,8 +129,14 @@ def run_sft_job(
         counts[name] = spark.read.parquet(path).count()
 
     # all three staged -> move into place (atomic per-table rename), then
-    # append the lineage row LAST so readers never see a partial generation
-    for name in _TABLES:
+    # append the lineage row LAST so readers never see a partial
+    # generation: a crash between moves leaves table dirs on disk but no
+    # lineage row, committed_generation() stays at the previous
+    # generation, and the next run rebuilds everything (fail_after_n_tables
+    # injects exactly that crash for the pytest).
+    for i, name in enumerate(_TABLES):
+        if fail_after_n_tables is not None and i >= fail_after_n_tables:
+            raise RuntimeError(f"injected failure after {i} table moves")
         dst = os.path.join(output_path, name)
         if os.path.exists(dst):
             shutil.rmtree(dst)

@@ -304,3 +304,24 @@ def test_sft_job_commits_generation_and_resumes(spark, tmp_path):
     assert s3["resumed"] is False and s3["run_id"] == "gen-3"
     assert committed_generation(out)["run_id"] == "gen-3"
     assert s3["n_seqs"] == s1["n_seqs"]
+
+
+def test_sft_job_crash_mid_commit_is_invisible_then_recovers(spark, tmp_path):
+    """A crash BETWEEN table moves leaves no committed generation (the
+    lineage row lands last), and the next run rebuilds cleanly."""
+    import pytest as _pytest
+
+    from janet_spark.derive import derived_transcripts
+    from janet_spark.sft_job import committed_generation, run_sft_job
+
+    tr = derived_transcripts(spark, "/root/testdata/sf0.001")
+    out = str(tmp_path / "sft")
+    with _pytest.raises(RuntimeError, match="injected failure"):
+        run_sft_job(spark, tr, out, run_id="gen-crash", fail_after_n_tables=1)
+    # the crashed run is invisible: no lineage row, so no generation
+    assert committed_generation(out) is None
+    # recovery: a fresh run commits normally and the counts are intact
+    s = run_sft_job(spark, tr, out, run_id="gen-ok")
+    assert s["resumed"] is False and s["run_id"] == "gen-ok"
+    assert committed_generation(out)["run_id"] == "gen-ok"
+    assert s["n_seqs"] > 0 and s["n_render_rows"] > 0
