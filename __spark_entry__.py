@@ -24,6 +24,17 @@ SF0001 = "/root/testdata/sf0.001"
 # that round), pushing the longest-green queries past the cap where the
 # script evidence stands in.
 _PRIORITY = [
+    # newest (late round 3) — recorded by this round's driver run
+    "apply_mixture",
+    "chat_render",
+    "conv_neardup",
+    "conv_dedup_fuzzy",
+    "doc_chunk",
+    "bpe_pair_census",
+    "bigram_lm",
+    "corpus_report",
+    "quality_features",
+    "decontaminate_semantic",
     # new in round 3
     "conv_prefix_stats",
     "conv_branch_dedup",
