@@ -35,6 +35,7 @@ _PRIORITY = [
     "corpus_report",
     "quality_features",
     "decontaminate_semantic",
+    "contrastive_pairs",
     # new in round 3
     "conv_prefix_stats",
     "conv_branch_dedup",

@@ -189,6 +189,7 @@ def main() -> None:
         "conv_dedup_fuzzy",
         "quality_features",
         "decontaminate_semantic",
+        "contrastive_pairs",
     ]
     for name in extended:
         fn, _ = registry[name]

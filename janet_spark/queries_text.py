@@ -2322,6 +2322,83 @@ SELECT q_id, vec_id, sim, rank FROM ranked WHERE rank <= 5 ORDER BY q_id, rank
 """
 
 
+_NEG_SEED = "neg0"
+
+
+def q_contrastive_pairs(spark, sf_dir):
+    """Training triplets for an embedding model (SimCSE/E5 shape):
+    (anchor, positive, negative) where positives are the mined near-dup
+    pairs (the LSH scale path — exact-verified, so below the hot-bucket
+    cap identical to the exact-Jaccard oracle) and negatives are
+    SHUFFLE-ADJACENT: the document at seeded-md5 rank r+1 relative to
+    the anchor's rank r (wrapping to rank 0). Deterministic in any
+    engine, and crucially LAZY — no count() to learn the corpus size:
+    the wrap row is a broadcast 1-row cross join of the rank-0 doc, and
+    the rank itself is the same 256-block distributed ranking the shard
+    writer uses (rank by (block, key) == rank by key since the block is
+    a key prefix). Degenerate triplets (negative == anchor/positive)
+    are dropped on both engines."""
+    from janet_spark.shard_writer import shuffle_ranked
+
+    pairs = q_minhash_lsh_pairs(spark, sf_dir)
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    ranked = shuffle_ranked(
+        docs, seed=_NEG_SEED, shard_size=1 << 40, key_col="doc_id"
+    ).select("doc_id", "shuffle_rank")
+    nbr = ranked.select(
+        (F.col("shuffle_rank") - 1).alias("shuffle_rank"),
+        F.col("doc_id").alias("neg_id"),
+    )
+    first = ranked.filter(F.col("shuffle_rank") == 0).select(
+        F.col("doc_id").alias("wrap_id")
+    )
+    negatives = (
+        ranked.join(nbr, "shuffle_rank", "left")
+        .crossJoin(F.broadcast(first))
+        .select(
+            F.col("doc_id").alias("anchor_id"),
+            F.coalesce("neg_id", "wrap_id").alias("negative_id"),
+        )
+    )
+    return (
+        pairs.select(
+            F.col("d1").alias("anchor_id"),
+            F.col("d2").alias("positive_id"),
+            "jaccard",
+        )
+        .join(negatives, "anchor_id")
+        .filter(
+            (F.col("negative_id") != F.col("anchor_id"))
+            & (F.col("negative_id") != F.col("positive_id"))
+        )
+        .select("anchor_id", "positive_id", "negative_id", "jaccard")
+        .orderBy("anchor_id", "positive_id")
+    )
+
+
+def _contrastive_pairs_oracle() -> str:
+    pair_sql = ORACLE_NGRAM_JACCARD_PAIRS.replace("ORDER BY d1, d2", "")
+    return f"""
+WITH pairs AS ({pair_sql}),
+r AS (
+  SELECT doc_id,
+         row_number() OVER (
+           ORDER BY md5('{_NEG_SEED}:' || cast(doc_id AS varchar))) - 1 AS rk
+  FROM documents
+),
+nb AS (
+  SELECT a.doc_id AS anchor_id, coalesce(b.doc_id, z.doc_id) AS negative_id
+  FROM r a
+  LEFT JOIN r b ON b.rk = a.rk + 1
+  CROSS JOIN (SELECT doc_id FROM r WHERE rk = 0) z
+)
+SELECT p.d1 AS anchor_id, p.d2 AS positive_id, nb.negative_id, p.jaccard
+FROM pairs p JOIN nb ON nb.anchor_id = p.d1
+WHERE nb.negative_id != p.d1 AND nb.negative_id != p.d2
+ORDER BY anchor_id, positive_id
+"""
+
+
 _SEMDECON_MOD = 13  # vec_id % 13 == 0 -> the held-out eval slice
 _SEMDECON_THRESHOLD = 0.4  # same cosine bar as the embed near-dup family
 
@@ -2913,6 +2990,7 @@ TEXT_QUERIES = {
     "corpus_report": (q_corpus_report, ORACLE_CORPUS_REPORT),
     "quality_features": (q_quality_features, _quality_features_oracle()),
     "decontaminate_semantic": (q_decontaminate_semantic, ORACLE_DECONTAMINATE_SEMANTIC),
+    "contrastive_pairs": (q_contrastive_pairs, _contrastive_pairs_oracle()),
     "corpus_shuffle": (q_corpus_shuffle, ORACLE_CORPUS_SHUFFLE),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, ORACLE_NGRAM_JACCARD_PAIRS),
     "dedup_clusters": (q_dedup_clusters, _dedup_clusters_oracle()),

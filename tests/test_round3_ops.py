@@ -1361,3 +1361,25 @@ def test_decontaminate_semantic_flags_planted_leak(spark, tmp_path):
     assert out[2].eval_id == _SEMDECON_MOD
     assert all(v % _SEMDECON_MOD != 0 for v in out)  # eval side never flagged
     assert all(r.sim >= _SEMDECON_THRESHOLD for r in out.values())
+
+
+def test_contrastive_pairs_triplet_invariants(spark):
+    """Every triplet: positive is a mined near-dup of the anchor, the
+    negative is never the anchor or its positive, and each anchor carries
+    exactly ONE deterministic negative (rerun-stable)."""
+    from janet_spark.queries_text import q_contrastive_pairs, q_minhash_lsh_pairs
+
+    rows = q_contrastive_pairs(spark, SF).collect()
+    assert rows
+    pos = {(r.d1, r.d2) for r in q_minhash_lsh_pairs(spark, SF).collect()}
+    neg_by_anchor = {}
+    for r in rows:
+        assert (r.anchor_id, r.positive_id) in pos
+        assert r.negative_id != r.anchor_id
+        assert r.negative_id != r.positive_id
+        neg_by_anchor.setdefault(r.anchor_id, set()).add(r.negative_id)
+    assert all(len(v) == 1 for v in neg_by_anchor.values())
+    # deterministic: a second run yields the same triplets
+    again = {(r.anchor_id, r.positive_id, r.negative_id) for r in
+             q_contrastive_pairs(spark, SF).collect()}
+    assert again == {(r.anchor_id, r.positive_id, r.negative_id) for r in rows}
