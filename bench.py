@@ -222,7 +222,14 @@ def main() -> None:
     }
     bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
     os.makedirs(bench_dir, exist_ok=True)
-    with open(os.path.join(bench_dir, "bench_detail.json"), "w") as f:
+    # SF-suffixed detail file so a small-SF run (e.g. the acceptance
+    # battery at sf0.001) can never overwrite the committed sf0.1 record;
+    # the canonical unsuffixed name is reserved for the default sf0.1
+    base = os.path.basename(os.path.normpath(sf_dir))
+    detail_name = (
+        "bench_detail.json" if base == "sf0.1" else f"bench_detail_{base}.json"
+    )
+    with open(os.path.join(bench_dir, detail_name), "w") as f:
         json.dump(detail, f, indent=2)
 
     out = {
@@ -235,7 +242,7 @@ def main() -> None:
         "n_queries": len(timings) + len(ext_timings),
         "sf": sf_dir,
         "cpus": int(cpus),
-        "detail": "BENCH/bench_detail.json",
+        "detail": f"BENCH/{detail_name}",
         "queries": timings,
     }
     print(json.dumps(out))

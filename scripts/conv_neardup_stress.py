@@ -21,6 +21,13 @@ Hard asserts (not eyeballed):
 - the mega conversation appears in no pair;
 - no pair BELOW the 0.8 threshold is emitted (verify stage filters).
 
+After the pair phase, `clustering_phase` runs conv_dedup_fuzzy over the
+same corpus (connected components over the ~10^6 mined pairs / 100k
+nodes) with its own hard asserts: no replica family splits across
+clusters, every cluster's keeper is its min conv_id (cross-family merges
+via document-level near-dups are legal), exactly one keep=True per
+cluster, and every planted near-dup is clustered with its replicas.
+
 Writes BENCH/conv_neardup_stress.json with timings + pair counts.
 
 Usage: python scripts/conv_neardup_stress.py   (local[32], ~1.4M+10^6 turns)
@@ -103,6 +110,59 @@ def materialize(spark, sf_dir: str) -> list[str]:
     return plant_ids
 
 
+def clustering_phase(spark, tr, results: dict) -> None:
+    """Clustering tail at stress scale: conv_dedup_fuzzy over the ~10^6
+    mined pairs (connected components over 100k nodes). Hard asserts:
+    every replica family lands in ONE cluster, the keeper of every
+    cluster is the cluster-wide min conv_id (cross-family merges via
+    document-level near-dups are legal — the rep is then the min over
+    the MERGED cluster), and each planted near-dup is clustered with its
+    replicas, never as a singleton."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from janet_spark.conversations import conv_dedup_fuzzy_frame
+
+    t0 = _time.time()
+    clusters = conv_dedup_fuzzy_frame(tr).persist()
+    n_rows = clusters.count()
+    results["cluster_s"] = round(_time.time() - t0, 2)
+    results["n_clustered_convs"] = n_rows
+
+    # one cluster per replica family (replicas share the base prefix)
+    base = clusters.withColumn("base_id", F.substring("conv_id", 1, 11))
+    split = (
+        base.groupBy("base_id")
+        .agg(F.countDistinct("cluster_rep").alias("n_reps"))
+        .filter(F.col("n_reps") != 1)
+        .count()
+    )
+    assert split == 0, f"{split} replica families split across clusters"
+    # keeper rule: the rep IS the min conv_id of its whole cluster
+    wrong_rep = (
+        clusters.groupBy("cluster_rep")
+        .agg(F.min("conv_id").alias("min_member"))
+        .filter(F.col("cluster_rep") != F.col("min_member"))
+        .count()
+    )
+    assert wrong_rep == 0, wrong_rep
+    # exactly one keep=True per cluster
+    multi_keep = (
+        clusters.groupBy("cluster_rep")
+        .agg(F.sum(F.col("keep").cast("int")).alias("k"))
+        .filter(F.col("k") != 1)
+        .count()
+    )
+    assert multi_keep == 0, multi_keep
+    # every planted -nd conv clusters WITH its replicas (size >= 21)
+    nd_rows = clusters.filter(F.col("conv_id").endswith("-nd"))
+    results["n_planted_clustered"] = nd_rows.count()
+    lonely = nd_rows.filter(F.col("cluster_size") < 21).count()
+    assert lonely == 0, f"{lonely} planted near-dups without their replicas"
+    clusters.unpersist()
+
+
 def main() -> int:
     from pyspark.sql import functions as F
 
@@ -176,6 +236,7 @@ def main() -> int:
     results["exact_clique_pairs"] = int(clique_pairs)
 
     pairs.unpersist()
+    clustering_phase(spark, tr, results)
     os.makedirs(os.path.dirname(RESULT), exist_ok=True)
     with open(RESULT, "w") as f:
         json.dump(results, f, indent=1)
@@ -186,3 +247,4 @@ def main() -> int:
 
 if __name__ == "__main__":
     sys.exit(main())
+
