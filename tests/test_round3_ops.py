@@ -1383,3 +1383,51 @@ def test_contrastive_pairs_triplet_invariants(spark):
     again = {(r.anchor_id, r.positive_id, r.negative_id) for r in
              q_contrastive_pairs(spark, SF).collect()}
     assert again == {(r.anchor_id, r.positive_id, r.negative_id) for r in rows}
+
+
+def test_bpe_distributed_training_matches_reference(spark):
+    """The distributed BPE trainer reproduces greedy training exactly:
+    (a) against a pure-Python reference over the same sf0.001 vocabulary
+    (same tie-break: count desc, then lexicographically smallest pair),
+    and (b) the sf0.01/48 run equals the FROZEN shipped merges table —
+    the tokenizer the engine applies is the one it can train."""
+    import collections
+    import re as _re
+
+    from janet_spark.extract.bpe import TOKEN_SPLIT
+    from janet_spark.extract.bpe_merges import MERGES
+    from janet_spark.tokenizer_train import train_bpe_distributed
+
+    got = train_bpe_distributed(spark, SF, n_merges=16)
+
+    # pure-Python reference (the scripts/train_bpe.py loop, inlined)
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("text").collect()
+    vocab: collections.Counter = collections.Counter()
+    for r in docs:
+        for w in _re.split(TOKEN_SPLIT, (r.text or "").lower()):
+            if w:
+                vocab[w] += 1
+
+    def tokenize(word, merges):
+        s = " " + " ".join(word) + " "
+        for a, b in merges:
+            s = s.replace(f" {a} {b} ", f" {a}{b} ")
+        return s.split()
+
+    expected = []
+    for _ in range(16):
+        pf: collections.Counter = collections.Counter()
+        for word, freq in vocab.items():
+            toks = tokenize(word, expected)
+            for a, b in zip(toks, toks[1:]):
+                pf[(a, b)] += freq
+        best = max(
+            pf.items(),
+            key=lambda kv: (kv[1], [-ord(c) for c in "\x00".join(kv[0])]),
+        )
+        expected.append(best[0])
+    assert got == expected
+
+    # the shipped artifact is reproducible end to end
+    full = train_bpe_distributed(spark, "/root/testdata/sf0.01", n_merges=48)
+    assert full == list(MERGES)
