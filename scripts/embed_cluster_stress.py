@@ -1,4 +1,5 @@
-"""Embedding-clustering stress: kmeans_assign + semdedup at 80k vectors.
+"""Embedding-clustering stress: kmeans_assign + semdedup + semantic
+decontamination at 80k vectors.
 
 Corpus: sf0.1 embeddings (2,000 x 64-dim) replicated x40 with remapped
 vec_ids (80,000 vectors) — every original becomes a 40-clique of IDENTICAL vectors
@@ -106,6 +107,47 @@ def main() -> int:
     checks["at_most_one_keeper_per_clique"] = 1
     checks["keeper_is_group_min"] = 1
     checks["n_keepers"] = int(n_kept)
+    # --- decontaminate_semantic at 80k: the eval slice is vec_id % 13 ==
+    # 0 over REMAPPED ids, so every eval vector has 39+ identical twins
+    # among the training rows (cosine 1.0) — each MUST be flagged with
+    # sim == 1.0; and no eval id may appear on the removal list.
+    from janet_spark.queries_text import _SEMDECON_MOD, q_decontaminate_semantic
+
+    times = []
+    for _ in range(2):
+        t0 = time.time()
+        q_decontaminate_semantic(spark, out_dir).agg(
+            F.count(F.lit(1)),
+            F.sum(F.xxhash64("vec_id", "eval_id").cast("double")),
+        ).collect()
+        times.append(round(time.time() - t0, 2))
+    results["ops"]["decontaminate_semantic"] = {
+        "cold_s": times[0], "warm_s": times[1]
+    }
+    print(f"decontaminate_semantic: cold={times[0]}s warm={times[1]}s")
+
+    ds = q_decontaminate_semantic(spark, out_dir).persist()
+    assert ds.filter(F.col("vec_id") % _SEMDECON_MOD == 0).count() == 0
+    # training twins of eval vectors: identical embedding, different id —
+    # every one flagged at sim 1.0
+    eval_origs = (
+        spark.read.parquet(f"{out_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") % _SEMDECON_MOD == 0)
+        .select((F.col("vec_id") % 1_000_000).alias("orig"))
+        .distinct()
+    )
+    twins = (
+        spark.read.parquet(f"{out_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") % _SEMDECON_MOD != 0)
+        .withColumn("orig", F.col("vec_id") % 1_000_000)
+        .join(eval_origs, "orig", "left_semi")
+    )
+    n_twins = twins.count()
+    missed = twins.join(ds.filter(F.col("sim") == 1.0), "vec_id", "left_anti").count()
+    assert missed == 0, f"{missed} identical twins of eval vectors not flagged"
+    checks["eval_twins_flagged_at_1"] = int(n_twins)
+    ds.unpersist()
+
     results["checks"] = checks
 
     os.makedirs("BENCH", exist_ok=True)
