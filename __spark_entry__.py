@@ -36,6 +36,7 @@ _PRIORITY = [
     "quality_features",
     "decontaminate_semantic",
     "contrastive_pairs",
+    "incremental_conv_neardup",
     # new in round 3
     "conv_prefix_stats",
     "conv_branch_dedup",

@@ -190,6 +190,7 @@ def main() -> None:
         "quality_features",
         "decontaminate_semantic",
         "contrastive_pairs",
+        "incremental_conv_neardup",
     ]
     for name in extended:
         fn, _ = registry[name]

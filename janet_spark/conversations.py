@@ -817,11 +817,6 @@ def conv_neardup_frame(
     is a per-pair-bounded equi-join, and set sizes are one count per
     conversation. Hot buckets fall back to the same star expansion as the
     doc-grain miner."""
-    from janet_spark.queries_text import _JACCARD_THRESHOLD
-
-    spark = tr.sparkSession
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-
     bands = conv_band_df(tr).persist()
     bucket_sizes = bands.groupBy("band_key").agg(
         F.count(F.lit(1)).alias("bkt_n"), F.min("conv_id").alias("bkt_rep")
@@ -841,7 +836,22 @@ def conv_neardup_frame(
         )
         .select(F.col("bkt_rep").alias("c1"), F.col("conv_id").alias("c2"))
     )
-    candidates = cold_pairs.unionByName(star_pairs).distinct().persist()
+    return _conv_verify_candidates(tr, cold_pairs.unionByName(star_pairs))
+
+
+def _conv_verify_candidates(tr: DataFrame, candidates: DataFrame) -> DataFrame:
+    """Shared distributed exact-Jaccard verify tail for the full and
+    incremental conversation miners (one implementation, same reasons as
+    queries_text._verify_candidates): candidate pairs dedup + persist,
+    shingle explode restricted to candidate conversations via semi-join
+    with an explicit conv_id repartition (the Spark 4.1.2 union
+    co-partitioning pin), intersection counted by joining candidates to
+    each side — per-pair bounded, never a shingle-keyed self-join."""
+    from janet_spark.queries_text import _JACCARD_THRESHOLD
+
+    spark = candidates.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    candidates = candidates.distinct().persist()
 
     cand_convs = (
         candidates.select(F.col("c1").alias("conv_id"))
@@ -970,3 +980,90 @@ ORDER BY conv_id
 
 
 CONV_QUERIES["conv_dedup_fuzzy"] = (q_conv_dedup_fuzzy, _oracle_conv_dedup_fuzzy())
+
+
+# ---------------------------------------------------------------------------
+# incremental_conv_neardup: daily delta vs corpus at conversation grain
+# ---------------------------------------------------------------------------
+
+# deterministic stand-in for "arrived since the last run": conversations
+# whose derived numeric ordinal % 7 == 0 are today's batch (mirrors
+# queries_text._DELTA_MOD so the oracle is a one-line predicate)
+_CONV_DELTA_MOD = 7
+
+
+def _conv_is_new():
+    return F.substring(F.col("conv_id"), 6, 10).cast("long") % _CONV_DELTA_MOD == 0
+
+
+def incremental_conv_neardup_frame(
+    tr: DataFrame, hot_bucket_cap: int = _CONV_LSH_HOT_BUCKET_CAP
+) -> DataFrame:
+    """The daily production shape of conversation dedup: mine only the
+    near-dup pairs touching today's delta conversations. Delta band rows
+    join the FULL band table (in production: the maintained signature
+    table — 16 int64 keys per conversation, four orders of magnitude
+    smaller than transcript text), so per-run cost is O(|delta| × bucket
+    size) and base×base pairs are structurally impossible. Hot buckets
+    keep the star expansion, with the rep-is-new branch so no
+    delta-touching pair is lost to the cap (same three-branch shape as
+    queries_text.q_incremental_neardup). Verify tail shared with the
+    full miner (_conv_verify_candidates) so the two can never drift."""
+    is_new = _conv_is_new()
+    bands = conv_band_df(tr).persist()
+    delta_bands = bands.filter(is_new)
+    bucket_sizes = bands.groupBy("band_key").agg(
+        F.count(F.lit(1)).alias("bkt_n"), F.min("conv_id").alias("bkt_rep")
+    )
+    sized_delta = delta_bands.join(bucket_sizes, "band_key")
+    a = sized_delta.filter(F.col("bkt_n") <= hot_bucket_cap).alias("a")
+    b = bands.alias("b")
+    # new x new pairs arrive twice (once per endpoint's delta row);
+    # least/greatest orients them identically and the verify tail dedups
+    cold_pairs = a.join(
+        b,
+        (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("a.conv_id") != F.col("b.conv_id")),
+    ).select(
+        F.least("a.conv_id", "b.conv_id").alias("c1"),
+        F.greatest("a.conv_id", "b.conv_id").alias("c2"),
+    )
+    hot_delta = sized_delta.filter(
+        (F.col("bkt_n") > hot_bucket_cap) & (F.col("conv_id") != F.col("bkt_rep"))
+    ).select(F.col("bkt_rep").alias("c1"), F.col("conv_id").alias("c2"))
+    rep_is_new = (
+        F.substring(F.col("bkt_rep"), 6, 10).cast("long") % _CONV_DELTA_MOD == 0
+    )
+    hot_rep_new = (
+        bands.join(
+            bucket_sizes.filter((F.col("bkt_n") > hot_bucket_cap) & rep_is_new),
+            "band_key",
+        )
+        .filter(F.col("conv_id") != F.col("bkt_rep"))
+        .select(F.col("bkt_rep").alias("c1"), F.col("conv_id").alias("c2"))
+    )
+    candidates = cold_pairs.unionByName(hot_delta).unionByName(hot_rep_new)
+    return _conv_verify_candidates(tr, candidates)
+
+
+def q_incremental_conv_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return incremental_conv_neardup_frame(derived_transcripts(spark, sf_dir))
+
+
+def _oracle_incremental_conv_neardup() -> str:
+    pair_sql = _oracle_conv_neardup().replace("ORDER BY c1, c2", "")
+    new = (
+        f"CAST(substr({{col}}, 6) AS BIGINT) % {_CONV_DELTA_MOD} = 0"
+    )
+    return f"""
+WITH pairs AS ({pair_sql})
+SELECT c1, c2, jaccard FROM pairs
+WHERE {new.format(col='c1')} OR {new.format(col='c2')}
+ORDER BY c1, c2
+"""
+
+
+CONV_QUERIES["incremental_conv_neardup"] = (
+    q_incremental_conv_neardup,
+    _oracle_incremental_conv_neardup(),
+)

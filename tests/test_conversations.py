@@ -320,3 +320,29 @@ def test_conv_dedup_fuzzy_keeps_min_per_cluster(spark):
     assert out["a-orig"].keep is True
     assert out["b-tweak"].keep is False and out["c-chain"].keep is False
     assert out["a-orig"].cluster_size == 3
+
+
+def test_incremental_conv_neardup_is_delta_filtered_full(spark):
+    """The daily incremental miner returns EXACTLY the full miner's pairs
+    that touch a delta conversation — no base-only pair leaks in, no
+    delta-touching pair is missed."""
+    from janet_spark.conversations import (
+        _CONV_DELTA_MOD,
+        conv_neardup_frame,
+        incremental_conv_neardup_frame,
+    )
+    from janet_spark.derive import derived_transcripts
+
+    tr = derived_transcripts(spark, "/root/testdata/sf0.001")
+
+    def is_new(cid: str) -> bool:
+        return int(cid[5:]) % _CONV_DELTA_MOD == 0
+
+    full = {(r.c1, r.c2, r.jaccard) for r in conv_neardup_frame(tr).collect()}
+    expected = {t for t in full if is_new(t[0]) or is_new(t[1])}
+    got = {
+        (r.c1, r.c2, r.jaccard)
+        for r in incremental_conv_neardup_frame(tr).collect()
+    }
+    assert got == expected
+    assert got and got < full  # nontrivial and a strict subset
