@@ -37,6 +37,7 @@ _PRIORITY = [
     "decontaminate_semantic",
     "contrastive_pairs",
     "incremental_conv_neardup",
+    "dedup_report",
     # new in round 3
     "conv_prefix_stats",
     "conv_branch_dedup",

@@ -191,6 +191,7 @@ def main() -> None:
         "decontaminate_semantic",
         "contrastive_pairs",
         "incremental_conv_neardup",
+        "dedup_report",
     ]
     for name in extended:
         fn, _ = registry[name]

@@ -2322,6 +2322,88 @@ SELECT q_id, vec_id, sim, rank FROM ranked WHERE rank <= 5 ORDER BY q_id, rank
 """
 
 
+def q_dedup_report(spark, sf_dir):
+    """The duplication census a data team reads next to `corpus_report`:
+    per source, how many documents sit in an exact-duplicate group
+    (corpus-wide md5-prefix key) and how many appear in at least one
+    verified near-dup pair, with rates. Composes the audited pieces —
+    the exact-dup key of `exact_dedup` and the LSH pair miner (equal to
+    the exact-Jaccard pair set below the hot-bucket cap, so the oracle
+    recomputes with the exact SQL). Everything aggregates to one row per
+    source; the widest intermediates are the miners' own."""
+    docs = t(spark, sf_dir, "documents")
+    k = docs.select("doc_id", "source", F.md5(F.substring("text", 1, 24)).alias("kk"))
+    dup_keys = k.groupBy("kk").agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") > 1)
+    exact = (
+        k.join(dup_keys.select("kk"), "kk", "left_semi")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("exact_dup_docs"))
+    )
+    pairs = q_minhash_lsh_pairs(spark, sf_dir)
+    nd_docs = (
+        pairs.select(F.col("d1").alias("doc_id"))
+        .unionByName(pairs.select(F.col("d2").alias("doc_id")))
+        .distinct()
+    )
+    near = (
+        docs.join(nd_docs, "doc_id", "left_semi")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("neardup_docs"))
+    )
+    base = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        base.join(exact, "source", "left")
+        .join(near, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("exact_dup_docs", F.lit(0)).cast("long").alias("exact_dup_docs"),
+            F.round(
+                F.coalesce("exact_dup_docs", F.lit(0)) / F.col("n_docs"), 6
+            ).alias("exact_dup_rate"),
+            F.coalesce("neardup_docs", F.lit(0)).cast("long").alias("neardup_docs"),
+            F.round(
+                F.coalesce("neardup_docs", F.lit(0)) / F.col("n_docs"), 6
+            ).alias("neardup_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+def _dedup_report_oracle() -> str:
+    pair_sql = ORACLE_NGRAM_JACCARD_PAIRS.replace("ORDER BY d1, d2", "")
+    return f"""
+WITH k AS (
+  SELECT doc_id, source, md5(substr(text, 1, 24)) AS kk FROM documents
+), dupk AS (
+  SELECT kk FROM k GROUP BY kk HAVING count(*) > 1
+), ex AS (
+  SELECT source, count(*) AS exact_dup_docs
+  FROM k WHERE kk IN (SELECT kk FROM dupk) GROUP BY source
+), pairs AS ({pair_sql}),
+nd AS (
+  SELECT DISTINCT d FROM (
+    SELECT d1 AS d FROM pairs UNION ALL SELECT d2 AS d FROM pairs
+  )
+), nr AS (
+  SELECT d2.source, count(*) AS neardup_docs
+  FROM nd JOIN documents d2 ON d2.doc_id = nd.d GROUP BY d2.source
+), base AS (
+  SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+)
+SELECT b.source, b.n_docs,
+       cast(coalesce(ex.exact_dup_docs, 0) AS bigint) AS exact_dup_docs,
+       round(coalesce(ex.exact_dup_docs, 0) / b.n_docs::double, 6)
+         AS exact_dup_rate,
+       cast(coalesce(nr.neardup_docs, 0) AS bigint) AS neardup_docs,
+       round(coalesce(nr.neardup_docs, 0) / b.n_docs::double, 6) AS neardup_rate
+FROM base b
+LEFT JOIN ex ON ex.source = b.source
+LEFT JOIN nr ON nr.source = b.source
+ORDER BY b.source
+"""
+
+
 _NEG_SEED = "neg0"
 
 
@@ -2991,6 +3073,7 @@ TEXT_QUERIES = {
     "quality_features": (q_quality_features, _quality_features_oracle()),
     "decontaminate_semantic": (q_decontaminate_semantic, ORACLE_DECONTAMINATE_SEMANTIC),
     "contrastive_pairs": (q_contrastive_pairs, _contrastive_pairs_oracle()),
+    "dedup_report": (q_dedup_report, _dedup_report_oracle()),
     "corpus_shuffle": (q_corpus_shuffle, ORACLE_CORPUS_SHUFFLE),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, ORACLE_NGRAM_JACCARD_PAIRS),
     "dedup_clusters": (q_dedup_clusters, _dedup_clusters_oracle()),
