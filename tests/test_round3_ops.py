@@ -1431,3 +1431,43 @@ def test_bpe_distributed_training_matches_reference(spark):
     # the shipped artifact is reproducible end to end
     full = train_bpe_distributed(spark, "/root/testdata/sf0.01", n_merges=48)
     assert full == list(MERGES)
+
+
+def test_doc_chunk_boundary_sweep(spark, tmp_path):
+    """One document of every word count 1..150 in a single job: the
+    closed-form chunk count and slicing must cover each length exactly —
+    including the boundaries (len == window, len == window+1, len ==
+    window + k*stride, empty-ish one-word docs)."""
+    import pandas as pd
+
+    from janet_spark.queries_text import _WINDOW_STRIDE, _WINDOW_WORDS, q_doc_chunk
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": list(range(1, 151)),
+            "text": [" ".join(f"w{j}" for j in range(n)) for n in range(1, 151)],
+            "lang": ["en"] * 150,
+            "source": ["s"] * 150,
+            "n_chars": [0] * 150,
+        }
+    )
+    sf = str(tmp_path)
+    spark.createDataFrame(docs).write.parquet(f"{sf}/documents.parquet")
+    out = {}
+    for r in q_doc_chunk(spark, sf).collect():
+        out.setdefault(r.doc_id, []).append(r)
+    for n in range(1, 151):
+        rows = sorted(out[n], key=lambda r: r.chunk_idx)
+        if n <= _WINDOW_WORDS:
+            expect_chunks = 1
+        else:
+            expect_chunks = -(-(n - _WINDOW_WORDS) // _WINDOW_STRIDE) + 1
+        assert len(rows) == expect_chunks, (n, len(rows), expect_chunks)
+        words = [f"w{j}" for j in range(n)]
+        stitched = []
+        for r in rows[:-1]:
+            stitched.extend(r.chunk_text.split(" ")[:_WINDOW_STRIDE])
+        stitched.extend(rows[-1].chunk_text.split(" "))
+        assert stitched == words, n
+        # no empty trailing chunk: the last chunk always has content
+        assert rows[-1].n_words >= 1
