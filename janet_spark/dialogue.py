@@ -737,6 +737,56 @@ def _duck_turn_lang() -> str:
     )
 
 
+def _turn_lang_col(tr: DataFrame) -> DataFrame:
+    """(conv_id, lang): the detect_lang ladder with its inputs
+    MATERIALIZED as columns first. The rendered one-expression CASE
+    (still used verbatim by the DuckDB oracle) textually interpolates
+    the words-regexp into every score and every score into every branch
+    (~14 appearances per row) — but whole-stage codegen's subexpression
+    elimination already de-duplicates most of that, so the honest
+    interleaved A/B on the 1.38M-turn stress corpus shows a MODEST,
+    consistent win for computing (__w, __cjk, four scores) once: warm
+    pairs old 17.8-18.0 s vs new 13.9-15.1 s (~1.25x at local[32]; a
+    33.5 s first-run "old" was JIT warmup, not the expression tree).
+    Kept because it is never slower and the contract is pinned twice:
+    pytest equates the ladder with textops.detect_lang, and the oracle
+    hash-check equates this path with the rendered SQL."""
+    from janet_spark.textops import _PROFILES
+
+    words = F.expr(
+        f"transform(regexp_extract_all(coalesce(text, ''), "
+        f"'{_LANG_WORD_RE}', 0), w -> lower(w))"
+    )
+    cjk_len = F.length(F.regexp_replace("text", _LANG_CJK_NEG, ""))
+    base = tr.select(
+        "conv_id", "text", words.alias("__w"), cjk_len.alias("__cjk")
+    )
+    score_cols = {}
+    for lang in sorted(_PROFILES):
+        lst = ",".join(f"'{w}'" for w in sorted(_PROFILES[lang]))
+        score_cols[lang] = F.expr(
+            f"size(filter(__w, w -> array_contains(array({lst}), w)))"
+        ).alias(f"__s_{lang}")
+    scored = base.select("conv_id", "text", "__w", "__cjk", *score_cols.values())
+    s = {lang: F.col(f"__s_{lang}") for lang in _PROFILES}
+    best = F.greatest(s["en"], s["de"], s["fr"], s["es"])
+    lang = (
+        F.when(F.col("text").isNull() | (F.col("text") == ""), F.lit("und"))
+        .when(
+            (F.col("__cjk") > 0)
+            & (F.col("__cjk") / F.greatest(F.length("text"), F.lit(1)) > 0.05),
+            F.lit("zh"),
+        )
+        .when(F.size("__w") == 0, F.lit("und"))
+        .when(best == 0, F.lit("und"))
+        .when(s["fr"] == best, F.lit("fr"))
+        .when(s["es"] == best, F.lit("es"))
+        .when(s["en"] == best, F.lit("en"))
+        .otherwise(F.lit("de"))
+    )
+    return scored.select("conv_id", lang.alias("lang"))
+
+
 def conv_lang_consistency_frame(tr: DataFrame) -> DataFrame:
     """Code-switching gate: per-turn language ID (pure JVM expression),
     then per conversation the majority language (ties to the smallest
@@ -747,7 +797,7 @@ def conv_lang_consistency_frame(tr: DataFrame) -> DataFrame:
     Both groupBys key on conv_id (the second on (conv_id, lang) — same
     leading key, map-side combinable); the majority pick is one
     row_number window over the tiny per-(conv, lang) aggregate."""
-    per_turn = tr.select("conv_id", F.expr(_spark_turn_lang()).alias("lang"))
+    per_turn = _turn_lang_col(tr)
     counts = (
         per_turn.filter(F.col("lang") != "und")
         .groupBy("conv_id", "lang")
