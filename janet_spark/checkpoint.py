@@ -219,5 +219,21 @@ def commit_staged(
     return committed
 
 
+_last_run_ns = 0
+
+
 def new_run_id() -> str:
-    return f"run-{int(time.time())}-{uuid.uuid4().hex[:8]}"
+    """Strictly monotonic run id: lexicographic order == creation order.
+
+    Generation readers (dedup_incremental.read_census /
+    read_cluster_assignments) resolve "latest" as the lexicographic max of
+    gen=<run_id> dirs, so two runs in the same second must not tie-break on
+    random hex (the older snapshot could shadow the newer). Nanosecond time
+    has a fixed 19-digit width until ~2262 so lexicographic == numeric, and
+    the process-local monotonic guard breaks same-nanosecond ties; legacy
+    10-digit-seconds ids sort before any ns id with the same prefix
+    ('-' < digit), so mixed directories stay correctly ordered."""
+    global _last_run_ns
+    ns = max(time.time_ns(), _last_run_ns + 1)
+    _last_run_ns = ns
+    return f"run-{ns}-{uuid.uuid4().hex[:8]}"

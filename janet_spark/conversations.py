@@ -171,7 +171,7 @@ SELECT conv_id,
        cast(sum({_DUCK_WORDS}) AS bigint) AS n_words,
        cast(sum(CASE WHEN text = '' THEN 1 ELSE 0 END) AS bigint) AS n_empty,
        round(avg({_DUCK_WORDS}), 6) AS avg_words,
-       date_diff('minute', min(ts), max(ts)) AS duration_min
+       date_diff('second', min(ts), max(ts)) // 60 AS duration_min
 FROM transcripts GROUP BY conv_id ORDER BY conv_id
 """
 

@@ -79,8 +79,10 @@ def _census_of(bands: DataFrame) -> DataFrame:
 def read_census(spark: SparkSession, census_path: str) -> DataFrame | None:
     """Latest committed census snapshot (full snapshot per run, like the
     cluster assignments — a delta changes existing rows, so snapshots are
-    the unit of atomic replacement). run_ids embed epoch seconds, so
-    lexicographic max is the newest; 'bootstrap' sorts before every run."""
+    the unit of atomic replacement). run_ids embed monotonic epoch
+    nanoseconds (checkpoint.new_run_id), so lexicographic max is the
+    newest even for runs in the same second; 'bootstrap' sorts before
+    every run."""
     gens = _generation_dirs(census_path)
     if not gens:
         return None
@@ -291,7 +293,8 @@ def read_cluster_assignments(spark: SparkSession, clu_path: str) -> DataFrame | 
     """Latest committed snapshot (each run writes a FULL snapshot, unlike
     the additive signature generations — a merge can relabel an existing
     cluster, so snapshots are the unit of atomic replacement). run_ids
-    embed epoch seconds, so lexicographic max is the newest."""
+    embed monotonic epoch nanoseconds (checkpoint.new_run_id), so
+    lexicographic max is the newest even for same-second runs."""
     gens = _generation_dirs(clu_path)
     if not gens:
         return None

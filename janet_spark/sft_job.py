@@ -9,21 +9,29 @@ turn loss-mask spans (`conv_loss_mask`), and the chat-template render
 offsets (`chat_render`) written together as one atomically committed
 generation:
 
-    <output>/seqs/        one row per surviving conversation: its packed
-                          sequence assignment (seq_id, seq_offset, tokens)
-    <output>/loss_mask/   per-assistant-turn token spans inside the packs
-    <output>/render/      per-turn chat-template fragments + char offsets
-    <output>/_lineage/    one success row per committed generation
+    <output>/gen=<run_id>/seqs/       one row per surviving conversation:
+                                      packed sequence assignment
+                                      (seq_id, seq_offset, tokens)
+    <output>/gen=<run_id>/loss_mask/  per-assistant-turn token spans
+    <output>/gen=<run_id>/render/     per-turn chat fragments + offsets
+    <output>/_lineage/                one success row per committed
+                                      generation (records the gen dir)
 
 Commit protocol (same discipline as checkpoint.py / dedup_incremental.py,
 mirroring the reference's temp-then-rename two-phase write,
-apps/legacy/rename.ts:29-34): every table stages under
-``_staging_<run_id>/`` and moves into place by atomic rename ONLY after
-all three finished; the lineage row is appended last, so a crashed run
-leaves either nothing visible or a complete generation. Resume mirrors
-the reference's "PDF text already exists" idempotence guard
-(apps/ocr/src/lib/ocr-utils.ts:376-378): a rerun that finds a success
-lineage row for this output short-circuits without touching Spark —
+apps/legacy/rename.ts:29-34): all three tables stage together under
+``_staging_<run_id>/`` and the WHOLE generation commits with ONE
+``os.rename`` to ``gen=<run_id>/`` — there is no state where tables from
+two generations are visible at once (per-table moves had exactly that
+crash window: seqs moved, loss_mask not, old lineage row still standing,
+so loss-mask spans could point into a different packing). The lineage row
+is appended after the rename; a crash in between leaves an orphan gen dir
+with no lineage row, which the next run deletes before building (the
+committed view never includes it — ``committed_generation`` only trusts
+lineage rows whose gen dir exists). Readers resolve tables through
+``table_path``. Resume mirrors the reference's "PDF text already exists"
+idempotence guard (apps/ocr/src/lib/ocr-utils.ts:376-378): a rerun that
+finds a committed generation short-circuits without touching Spark —
 pass ``force=True`` to rebuild.
 
 Scale notes: all three tables come out of plans audited in PLANS.md —
@@ -52,8 +60,14 @@ def _lineage_path(output_path: str) -> str:
     return os.path.join(output_path, "_lineage", "generations.jsonl")
 
 
+def _gen_dir(output_path: str, run_id: str) -> str:
+    return os.path.join(output_path, f"gen={run_id}")
+
+
 def committed_generation(output_path: str) -> dict | None:
-    """The latest success row, or None if no generation is committed."""
+    """The latest success row whose generation dir actually exists, or
+    None. A lineage row without its dir (should not happen — the rename
+    precedes the append) is skipped rather than trusted."""
     path = _lineage_path(output_path)
     if not os.path.exists(path):
         return None
@@ -61,9 +75,44 @@ def committed_generation(output_path: str) -> dict | None:
     with open(path) as f:
         for line in f:
             row = json.loads(line)
-            if row.get("status") == "success":
+            if row.get("status") == "success" and os.path.isdir(
+                _gen_dir(output_path, row["run_id"])
+            ):
                 last = row
     return last
+
+
+def table_path(output_path: str, name: str) -> str:
+    """Resolve a table of the latest committed generation. Raises if no
+    generation is committed or the name is unknown."""
+    if name not in _TABLES:
+        raise ValueError(f"unknown table {name!r}; expected one of {_TABLES}")
+    gen = committed_generation(output_path)
+    if gen is None:
+        raise FileNotFoundError(f"no committed generation under {output_path}")
+    return os.path.join(_gen_dir(output_path, gen["run_id"]), name)
+
+
+def _clean_uncommitted(output_path: str) -> None:
+    """Delete staging debris and orphan gen dirs (renamed but crashed
+    before the lineage append). Committed generations always have a
+    lineage row, so everything removed here was never visible."""
+    if not os.path.isdir(output_path):
+        return
+    committed = set()
+    path = _lineage_path(output_path)
+    if os.path.exists(path):
+        with open(path) as f:
+            for line in f:
+                row = json.loads(line)
+                if row.get("status") == "success":
+                    committed.add(row["run_id"])
+    for name in os.listdir(output_path):
+        full = os.path.join(output_path, name)
+        if name.startswith("_staging_"):
+            shutil.rmtree(full, ignore_errors=True)
+        elif name.startswith("gen=") and name[len("gen="):] not in committed:
+            shutil.rmtree(full, ignore_errors=True)
 
 
 def run_sft_job(
@@ -73,10 +122,13 @@ def run_sft_job(
     run_id: str | None = None,
     force: bool = False,
     fail_after_n_tables: int | None = None,
+    fail_before_lineage: bool = False,
 ) -> dict:
     """Build and atomically commit the SFT training artifact. Returns a
     summary dict; ``resumed=True`` means a committed generation already
-    existed and nothing ran."""
+    existed and nothing ran. ``fail_after_n_tables`` /
+    ``fail_before_lineage`` inject crashes for the commit-protocol pytest
+    (mid-staging, and between the rename and the lineage append)."""
     from janet_spark.conversations import (
         conv_loss_mask_frame,
         conv_training_pipeline_frame,
@@ -94,6 +146,7 @@ def run_sft_job(
         }
 
     run_id = run_id or new_run_id()
+    _clean_uncommitted(output_path)
     staging = os.path.join(output_path, f"_staging_{run_id}")
     os.makedirs(staging, exist_ok=True)
     started = datetime.now(timezone.utc).isoformat()
@@ -122,26 +175,27 @@ def run_sft_job(
         "render": chat_render_frame(transcripts),
     }
     counts: dict[str, int] = {}
-    for name, df in frames.items():
+    for i, (name, df) in enumerate(frames.items()):
+        if fail_after_n_tables is not None and i >= fail_after_n_tables:
+            raise RuntimeError(f"injected failure after {i} tables staged")
         path = os.path.join(staging, name)
         df.write.mode("overwrite").parquet(path)
         # metadata-only count over what was actually written
         counts[name] = spark.read.parquet(path).count()
 
-    # all three staged -> move into place (atomic per-table rename), then
-    # append the lineage row LAST so readers never see a partial
-    # generation: a crash between moves leaves table dirs on disk but no
-    # lineage row, committed_generation() stays at the previous
-    # generation, and the next run rebuilds everything (fail_after_n_tables
-    # injects exactly that crash for the pytest).
-    for i, name in enumerate(_TABLES):
-        if fail_after_n_tables is not None and i >= fail_after_n_tables:
-            raise RuntimeError(f"injected failure after {i} table moves")
-        dst = os.path.join(output_path, name)
-        if os.path.exists(dst):
-            shutil.rmtree(dst)
-        shutil.move(os.path.join(staging, name), dst)
-    shutil.rmtree(staging, ignore_errors=True)
+    # all three staged -> ONE rename commits the whole generation, then
+    # the lineage row lands last. Tables from two generations are never
+    # visible together: readers go through table_path, which resolves the
+    # latest lineage row's gen dir. A crash before the rename leaves only
+    # staging debris; between the rename and the append, an orphan gen dir
+    # with no lineage row — both invisible, both removed by the next run's
+    # _clean_uncommitted.
+    gen_dir = _gen_dir(output_path, run_id)
+    if os.path.exists(gen_dir):
+        shutil.rmtree(gen_dir)
+    os.rename(staging, gen_dir)
+    if fail_before_lineage:
+        raise RuntimeError("injected failure between rename and lineage append")
 
     row = {
         "run_id": run_id,

@@ -70,7 +70,10 @@ def write_training_shards(
     the number of shards written. One file per shard, rows in shuffle
     order within the file (parquet preserves task row order)."""
     ranked = shuffle_ranked(docs, seed, shard_size)
-    n_shards = int(ranked.agg(F.max("shard")).collect()[0][0]) + 1
+    max_shard = ranked.agg(F.max("shard")).collect()[0][0]
+    if max_shard is None:  # empty input: zero shards, nothing to write
+        return 0
+    n_shards = int(max_shard) + 1
     (
         ranked.repartition(n_shards, "shard")
         .sortWithinPartitions("shard", "shuffle_rank")

@@ -267,7 +267,11 @@ def update_index_stream(
     but a crash BETWEEN the swap and the checkpoint commit would re-merge
     one batch (at-least-once). Production closes that with Iceberg
     `MERGE INTO` keyed on batchId (DEPLOYMENT.md); the batch resume
-    anti-join remains the full-rebuild backstop."""
+    anti-join remains the full-rebuild backstop. A crash INSIDE the swap
+    (after index_dir moved to __old, before staging moved in) is recovered
+    at the top of the next merge: a missing index_dir with a standing
+    __old dir is renamed back before reading, so the accumulated history
+    is never lost to a single-batch rebuild."""
     import os
     import shutil
 
@@ -281,6 +285,14 @@ def update_index_stream(
 
     def merge_batch(batch_df, batch_id: int) -> None:
         sess = batch_df.sparkSession
+        # recover a stranded swap: a crash between rename(index_dir, __old)
+        # and rename(staging, index_dir) leaves index_dir ABSENT with the
+        # full accumulated table at __old — without this, the replayed
+        # batch would see no index and silently reset every accumulated
+        # document frequency to this one batch's delta
+        old = f"{index_dir}__old"
+        if not os.path.isdir(index_dir) and os.path.isdir(old):
+            os.rename(old, index_dir)
         delta = (
             batch_df.select(
                 "doc_id",
@@ -301,7 +313,6 @@ def update_index_stream(
             merged = delta.select("tok", F.col("df").cast("long").alias("df"))
         staging = f"{index_dir}__staging"
         merged.write.mode("overwrite").parquet(staging)
-        old = f"{index_dir}__old"
         if os.path.isdir(index_dir):
             os.rename(index_dir, old)
         os.rename(staging, index_dir)

@@ -346,3 +346,40 @@ def test_incremental_conv_neardup_is_delta_filtered_full(spark):
     }
     assert got == expected
     assert got and got < full  # nontrivial and a strict subset
+
+
+def test_conv_stats_duration_min_subminute_semantics(spark):
+    """Round-3 advice: duration_min must mean floor(elapsed_seconds/60) in
+    BOTH the Spark frame and the DuckDB oracle. The sf data is
+    minute-aligned by construction, so this pins the divergence the gate
+    can't see: 10:00:59 -> 10:01:01 is 0 elapsed minutes, not 1 crossed
+    minute boundary."""
+    import datetime as dt
+
+    import duckdb
+    import pandas as pd
+
+    from janet_spark.conversations import conv_stats_frame
+
+    rows = pd.DataFrame(
+        {
+            "conv_id": ["c1", "c1"],
+            "turn_idx": [0, 1],
+            "role": ["user", "assistant"],
+            "text": ["hi", "hello"],
+            "tool": ["", ""],
+            "ts": [
+                dt.datetime(2026, 1, 1, 10, 0, 59),
+                dt.datetime(2026, 1, 1, 10, 1, 1),
+            ],
+        }
+    )
+    tr = spark.createDataFrame(rows)
+    got = conv_stats_frame(tr).collect()[0]["duration_min"]
+    assert got == 0
+    # the oracle's expression (conversations.ORACLE_CONV_STATS) agrees
+    oracle = duckdb.sql(
+        "SELECT date_diff('second', TIMESTAMP '2026-01-01 10:00:59',"
+        " TIMESTAMP '2026-01-01 10:01:01') // 60"
+    ).fetchone()[0]
+    assert oracle == got == 0

@@ -278,18 +278,18 @@ def test_sft_job_commits_generation_and_resumes(spark, tmp_path):
         conv_training_pipeline_frame,
     )
     from janet_spark.derive import derived_transcripts
-    from janet_spark.sft_job import committed_generation, run_sft_job
+    from janet_spark.sft_job import committed_generation, run_sft_job, table_path
 
     tr = derived_transcripts(spark, "/root/testdata/sf0.001")
     out = str(tmp_path / "sft")
     s1 = run_sft_job(spark, tr, out, run_id="gen-1")
     assert s1["resumed"] is False
     for table in ("seqs", "loss_mask", "render"):
-        assert os.path.isdir(os.path.join(out, table)), table
+        assert os.path.isdir(table_path(out, table)), table
     # committed counts match the registered frames exactly
     assert s1["n_seqs"] == conv_training_pipeline_frame(tr).count()
     assert s1["n_mask_spans"] == conv_loss_mask_frame(tr).count()
-    assert spark.read.parquet(os.path.join(out, "seqs")).count() == s1["n_seqs"]
+    assert spark.read.parquet(table_path(out, "seqs")).count() == s1["n_seqs"]
     assert committed_generation(out)["run_id"] == "gen-1"
     # no staging debris
     assert not [d for d in os.listdir(out) if d.startswith("_staging")]
@@ -307,8 +307,10 @@ def test_sft_job_commits_generation_and_resumes(spark, tmp_path):
 
 
 def test_sft_job_crash_mid_commit_is_invisible_then_recovers(spark, tmp_path):
-    """A crash BETWEEN table moves leaves no committed generation (the
-    lineage row lands last), and the next run rebuilds cleanly."""
+    """A crash at any point before the lineage append leaves no committed
+    generation, and the next run rebuilds cleanly."""
+    import os
+
     import pytest as _pytest
 
     from janet_spark.derive import derived_transcripts
@@ -320,8 +322,63 @@ def test_sft_job_crash_mid_commit_is_invisible_then_recovers(spark, tmp_path):
         run_sft_job(spark, tr, out, run_id="gen-crash", fail_after_n_tables=1)
     # the crashed run is invisible: no lineage row, so no generation
     assert committed_generation(out) is None
-    # recovery: a fresh run commits normally and the counts are intact
+    # recovery: a fresh run commits normally, cleans the crash debris,
+    # and the counts are intact
     s = run_sft_job(spark, tr, out, run_id="gen-ok")
     assert s["resumed"] is False and s["run_id"] == "gen-ok"
     assert committed_generation(out)["run_id"] == "gen-ok"
     assert s["n_seqs"] > 0 and s["n_render_rows"] > 0
+    assert not [d for d in os.listdir(out) if d.startswith("_staging")]
+
+
+def test_sft_job_force_rebuild_crash_keeps_old_generation_consistent(
+    spark, tmp_path
+):
+    """The round-3 advice scenario: a FORCE rebuild that crashes mid-commit
+    must leave the OLD generation fully intact and self-consistent — never
+    a mix of old and new tables under the standing lineage row. With the
+    single-rename commit, a crash between the rename and the lineage
+    append leaves an orphan gen dir that committed_generation never
+    reports and the next run deletes."""
+    import os
+
+    import pytest as _pytest
+
+    from janet_spark.derive import derived_transcripts
+    from janet_spark.sft_job import (
+        committed_generation,
+        run_sft_job,
+        table_path,
+    )
+
+    tr = derived_transcripts(spark, "/root/testdata/sf0.001")
+    out = str(tmp_path / "sft")
+    s1 = run_sft_job(spark, tr, out, run_id="gen-1")
+    seqs_before = spark.read.parquet(table_path(out, "seqs")).count()
+    mask_before = spark.read.parquet(table_path(out, "loss_mask")).count()
+
+    # force rebuild crashes after the rename, before the lineage append
+    with _pytest.raises(RuntimeError, match="injected failure"):
+        run_sft_job(
+            spark, tr, out, run_id="gen-2", force=True, fail_before_lineage=True
+        )
+    # the committed view is still gen-1, and ALL THREE tables resolve to
+    # gen-1's dirs — no mixed-generation state is reachable
+    gen = committed_generation(out)
+    assert gen["run_id"] == "gen-1"
+    for table in ("seqs", "loss_mask", "render"):
+        assert "gen=gen-1" in table_path(out, table)
+    assert spark.read.parquet(table_path(out, "seqs")).count() == seqs_before
+    assert spark.read.parquet(table_path(out, "loss_mask")).count() == mask_before
+
+    # a rerun WITHOUT force resumes on gen-1 (it is genuinely committed)
+    s2 = run_sft_job(spark, tr, out, run_id="gen-3")
+    assert s2["resumed"] is True and s2["run_id"] == "gen-1"
+    assert s2["n_seqs"] == s1["n_seqs"]
+
+    # a force rerun repairs: the orphan gen-2 dir is gone, gen-4 commits
+    s3 = run_sft_job(spark, tr, out, run_id="gen-4", force=True)
+    assert s3["resumed"] is False and s3["run_id"] == "gen-4"
+    assert committed_generation(out)["run_id"] == "gen-4"
+    assert not os.path.isdir(os.path.join(out, "gen=gen-2"))
+    assert s3["n_seqs"] == s1["n_seqs"]

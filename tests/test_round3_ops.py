@@ -1071,6 +1071,31 @@ def test_write_training_shards_order_and_layout(spark, tmp_path):
     assert perm == q
 
 
+def test_write_training_shards_empty_input_writes_zero_shards(spark, tmp_path):
+    """Round-3 advice: an empty input frame must return 0 shards, not
+    crash on int(None) from the max(shard) collect."""
+    from janet_spark.shard_writer import write_training_shards
+
+    docs = spark.read.parquet(SF + "/documents.parquet").limit(0)
+    n = write_training_shards(docs, str(tmp_path / "shards"), seed="ep0")
+    assert n == 0
+
+
+def test_new_run_id_is_strictly_monotonic():
+    """Round-3 advice: generation readers resolve 'latest' by
+    lexicographic max, so ids issued back-to-back (same second, same
+    nanosecond) must still sort in creation order; 'bootstrap' and legacy
+    seconds-format ids must sort before any new id."""
+    from janet_spark.checkpoint import new_run_id
+
+    ids = [new_run_id() for _ in range(1000)]
+    assert ids == sorted(ids)
+    assert len(set(ids)) == len(ids)
+    legacy = "run-1755500000-deadbeef"
+    assert legacy < min(ids)
+    assert "bootstrap" < min("gen=" + i for i in ids).removeprefix("gen=")
+
+
 def test_cluster_safe_split_no_leakage(spark):
     """The split's whole point: no near-dup pair may straddle the
     train/eval boundary, every doc gets a side, and both sides are

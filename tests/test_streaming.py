@@ -343,6 +343,51 @@ def test_update_index_stream_additive_merge(spark, tmp_path):
     assert got["spark"] == 2 and got["merge"] == 2 and got["sort"] == 2
 
 
+def test_update_index_stream_recovers_stranded_swap(spark, tmp_path):
+    """Round-3 advice: a crash between rename(index, __old) and
+    rename(staging, index) leaves index_dir absent with the full history
+    at __old. The next batch must rename it back before reading — not
+    rebuild the table from that batch's delta alone."""
+    import os
+
+    from janet_spark.streaming import update_index_stream
+
+    landing = str(tmp_path / "docs")
+    index = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_docs(rows):
+        pdf = pd.DataFrame(
+            rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+        )
+        spark.createDataFrame(
+            pdf,
+            schema="doc_id long, text string, lang string, source string, n_chars long",
+        ).coalesce(1).write.mode("append").parquet(landing)
+
+    write_docs([(0, "spark merge sort", "en", "s1", 16)])
+    q = update_index_stream(spark, landing, index, ckpt)
+    q.awaitTermination(120)
+    assert {r["tok"] for r in spark.read.parquet(index).collect()} == {
+        "spark",
+        "merge",
+        "sort",
+    }
+
+    # simulate the mid-swap crash: history stranded at __old, index gone
+    os.rename(index, f"{index}__old")
+
+    write_docs([(1, "merge table", "en", "s1", 11)])
+    q = update_index_stream(spark, landing, index, ckpt)
+    q.awaitTermination(120)
+
+    got = {r["tok"]: r["df"] for r in spark.read.parquet(index).collect()}
+    # accumulated history survived the stranded swap: df('spark') from
+    # batch 1 is still there, and 'merge' merged additively across both
+    assert got == {"spark": 1, "merge": 2, "sort": 1, "table": 1}
+    assert not os.path.isdir(f"{index}__old")
+
+
 def test_curate_turns_stream_gate_and_decontamination(spark, tmp_path):
     """The streaming curation gate: (a) a too-short turn and a
     high-repetition turn are dropped by the stateless quality filter;
