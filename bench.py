@@ -28,6 +28,35 @@ def force(df) -> int:
     return 0
 
 
+def numpy_probe() -> float:
+    """Fixed single-core CPU calibration: identical work every round, so
+    the ratio against a quiet-host reference separates shared-host
+    contention from real code regressions (round-3 verdict #1: the r3
+    headline regressed ~17% uniformly across all queries with no code
+    cause, and the protocol had no in-band evidence). Element-wise numpy
+    stays on one thread regardless of BLAS threading config."""
+    import numpy as np
+
+    x = np.arange(2_000_000, dtype=np.float64)
+    t0 = time.time()
+    for _ in range(40):
+        float(np.sin(x).sum())
+        x = (x + 1.0) % 1000.0
+    return round(time.time() - t0, 3)
+
+
+def jvm_probe(spark) -> float:
+    """Fixed JVM-side calibration: a constant whole-stage-codegen
+    aggregation over spark.range — no input data, no Python workers, no
+    shuffle variation. Its round-over-round drift measures the JVM/host,
+    never the repo's code."""
+    t0 = time.time()
+    spark.range(0, 200_000_000, 1).selectExpr(
+        "sum(id % 7) AS s"
+    ).write.format("noop").mode("overwrite").save()
+    return round(time.time() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -49,6 +78,10 @@ def main() -> None:
         shuffle_partitions=int(cpus),
     )
     spark.sparkContext.setLogLevel("ERROR")
+
+    # calibration BEFORE the suite (and again after) — see probe docstrings
+    cal_numpy_start = numpy_probe()
+    cal_jvm = min(jvm_probe(spark), jvm_probe(spark))
 
     timings: dict[str, float] = {}
     timings_first: dict[str, float] = {}
@@ -206,8 +239,20 @@ def main() -> None:
     # (<1 KB) so the driver's tail-capture window always parses it —
     # round 2's detail-laden line overflowed that window and the round was
     # recorded with "parsed": null (VERDICT r2, "What's wrong" #2).
+    cal_numpy_end = numpy_probe()
+    calibration = {
+        # quiet-host reference values measured at round-4 HEAD (see
+        # BASELINE.md "Bench noise control"): numpy ~1.40 s, jvm ~0.29 s.
+        # A round whose probes run >1.2x the reference is host-contended;
+        # scale the headline by the probe ratio before comparing rounds.
+        "numpy_single_core_sec": cal_numpy_start,
+        "numpy_single_core_sec_end": cal_numpy_end,
+        "jvm_range_sum_sec": cal_jvm,
+    }
+
     detail = {
         "metric": "headline_suite_sec",
+        "calibration": calibration,
         "value": round(sum(timings.values()), 3),
         "value_first": round(sum(timings_first.values()), 3),
         "unit": "sec",
@@ -245,6 +290,7 @@ def main() -> None:
         "sf": sf_dir,
         "cpus": int(cpus),
         "detail": f"BENCH/{detail_name}",
+        "calibration": calibration,
         "queries": timings,
     }
     print(json.dumps(out))
