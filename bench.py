@@ -150,6 +150,7 @@ def main() -> None:
     # headline `value` stays comparable with earlier rounds' 17-query suite
     extended = [
         "ranked_search",
+        "prefix_search",
         "fuzzy_search",
         "typo_ranked_search",
         "phrase_search",

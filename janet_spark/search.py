@@ -94,6 +94,46 @@ def _index_relations(docs: DataFrame):
     return tf, dl, stats, df_t
 
 
+def _bm25_topk(tf: DataFrame, dl: DataFrame, term_idf: DataFrame) -> DataFrame:
+    """Shared BM25 scoring tail: broadcast the (tiny) per-(query, term) idf
+    table into the corpus-sized postings, sum per-doc contributions, and
+    WindowGroupLimit the top-10. `term_idf` columns:
+    (q_id, f_source, f_lang, tok, idf, avgdl). Explicit aliases because
+    term_idf usually descends from the same postings lineage as tf (the
+    vocabulary is derived from it), which would otherwise make the join
+    columns ambiguous self-references."""
+    p = tf.alias("__p")
+    ti = term_idf.alias("__ti")
+    matched = p.join(
+        F.broadcast(ti),
+        (F.col("__p.tok") == F.col("__ti.tok"))
+        & (F.col("__p.source") == F.col("__ti.f_source"))
+        & (F.col("__p.lang") == F.col("__ti.f_lang")),
+    ).select("q_id", "doc_id", "tf", "idf", "avgdl")
+    # dl joins AFTER the term match pruned the doc set: AQE sees the small
+    # matched side and broadcasts it, so the corpus-sized dl never shuffles
+    contrib = matched.join(dl, "doc_id").withColumn(
+        "contrib",
+        F.col("idf")
+        * F.col("tf")
+        * (_BM25_K1 + 1)
+        / (
+            F.col("tf")
+            + _BM25_K1 * ((1 - _BM25_B) + _BM25_B * F.col("dl") / F.col("avgdl"))
+        ),
+    )
+    scored = contrib.groupBy("q_id", "doc_id").agg(
+        F.round(F.sum("contrib"), 4).alias("score")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("q_id", "rank", "doc_id", "score")
+        .orderBy("q_id", "rank")
+    )
+
+
 def q_ranked_search(spark, sf_dir):
     """BM25 top-10 per query (k1=1.2, b=0.75), idf = ln(1 + (N-df+.5)/(df+.5)).
 
@@ -131,34 +171,7 @@ def q_ranked_search(spark, sf_dir):
             "avgdl",
         )
     )
-    matched = tf.join(
-        F.broadcast(term_idf),
-        (tf.tok == term_idf.tok)
-        & (tf.source == term_idf.f_source)
-        & (tf.lang == term_idf.f_lang),
-    ).select("q_id", "doc_id", "tf", "idf", "avgdl")
-    # dl joins AFTER the term match pruned the doc set: AQE sees the small
-    # matched side and broadcasts it, so the corpus-sized dl never shuffles
-    contrib = matched.join(dl, "doc_id").withColumn(
-        "contrib",
-        F.col("idf")
-        * F.col("tf")
-        * (_BM25_K1 + 1)
-        / (
-            F.col("tf")
-            + _BM25_K1 * ((1 - _BM25_B) + _BM25_B * F.col("dl") / F.col("avgdl"))
-        ),
-    )
-    scored = contrib.groupBy("q_id", "doc_id").agg(
-        F.round(F.sum("contrib"), 4).alias("score")
-    )
-    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _TOP_K)
-        .select("q_id", "rank", "doc_id", "score")
-        .orderBy("q_id", "rank")
-    )
+    return _bm25_topk(tf, dl, term_idf)
 
 
 def _queries_values_sql() -> str:
@@ -388,32 +401,7 @@ def q_typo_ranked_search(spark, sf_dir):
         ).alias("idf"),
         "avgdl",
     )
-    matched = tf.join(
-        F.broadcast(term_idf),
-        (tf.tok == term_idf.tok)
-        & (tf.source == term_idf.f_source)
-        & (tf.lang == term_idf.f_lang),
-    ).select("q_id", "doc_id", "tf", "idf", "avgdl")
-    contrib = matched.join(dl, "doc_id").withColumn(
-        "contrib",
-        F.col("idf")
-        * F.col("tf")
-        * (_BM25_K1 + 1)
-        / (
-            F.col("tf")
-            + _BM25_K1 * ((1 - _BM25_B) + _BM25_B * F.col("dl") / F.col("avgdl"))
-        ),
-    )
-    scored = contrib.groupBy("q_id", "doc_id").agg(
-        F.round(F.sum("contrib"), 4).alias("score")
-    )
-    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _TOP_K)
-        .select("q_id", "rank", "doc_id", "score")
-        .orderBy("q_id", "rank")
-    )
+    return _bm25_topk(tf, dl, term_idf)
 
 
 def _typo_queries_values_sql() -> str:
@@ -774,8 +762,177 @@ ORDER BY q_id, rank
 """
 
 
+# ---------------------------------------------------------------------------
+# prefix search: Meili's search-as-you-type (last term prefix-matches)
+# ---------------------------------------------------------------------------
+
+# the viewer searches on EVERY keystroke (the reference debounces input at
+# apps/web/components/pdf-viewer/hooks/use-pdf-search.ts:56 and hits
+# apps/web/app/api/search/route.ts:35 with the partial query), so Meili's
+# default treats the LAST query term as a prefix: "merge s" must already
+# surface sort/scan/spark/... docs. Query shapes covered: multi-expansion
+# prefix ("s" -> 6 vocabulary words), a last term matching nothing
+# ("pipe"), a single-word prefix ("tab" -> table), and a complete last
+# word ("window") which must score exact-only, not double as its own
+# prefix.
+_PREFIX_QUERIES = [
+    (1, "merge s", "src7", "en"),
+    (2, "spark data pipe", "src18", "en"),
+    (3, "the tab", "src6", "en"),
+    (4, "window", "src12", "en"),
+]
+
+_PREFIX_DAMP = 0.5  # exact-before-prefix, like _TYPO_DAMP's exact-before-typo
+
+# every prefix of a word, shortest first — the prefix-key analogue of
+# _DELETES_EXPR: vocabulary-sized * avg word length, never corpus-sized
+_PREFIXES_EXPR = "transform(sequence(1, length({w})), i -> substr({w}, 1, i))"
+
+
+def q_prefix_search(spark, sf_dir):
+    """Search-as-you-type: BM25 top-10 where the last query term ALSO
+    matches every vocabulary word it prefixes (Meili's default prefix
+    rule; non-last terms are whole-word only because the user already
+    ended them with a separator). Mechanism mirrors typo_ranked_search:
+    the vocabulary explodes into prefix keys (one row per (word, prefix)),
+    the tiny query-term table broadcasts into an equi-join against those
+    keys — never a LIKE scan over the vocabulary — and each matched word
+    scores BM25 with idf damped 0.5 per expansion step (exact = 1.0,
+    proper prefix = 0.5; per (query, word) the best wins). The oracle
+    recomputes the expansion with brute-force LIKE over the vocabulary,
+    so prefix-key completeness is value-checked."""
+    docs = t(spark, sf_dir, "documents")
+    tf, dl, stats, df_t = _index_relations(docs)
+
+    queries = spark.createDataFrame(
+        _PREFIX_QUERIES, "q_id int, q_text string, f_source string, f_lang string"
+    )
+    # tag each distinct term with whether it is the LAST token of its
+    # query ("sort sort" keeps is_last=true via max)
+    toks = queries.select(
+        "q_id",
+        "f_source",
+        "f_lang",
+        F.size(_tokens(F.col("q_text"))).alias("n"),
+        F.posexplode(_tokens(F.col("q_text"))).alias("j", "term"),
+    )
+    terms = toks.groupBy("q_id", "f_source", "f_lang", "term").agg(
+        F.max((F.col("j") == F.col("n") - 1).cast("int")).alias("is_last")
+    )
+    exact = terms.join(F.broadcast(df_t), terms.term == df_t.tok).select(
+        "q_id", "f_source", "f_lang", "tok", F.lit(0).alias("dist"), "df"
+    )
+    vocab_prefix = df_t.select(
+        "tok", "df", F.explode(F.expr(_PREFIXES_EXPR.format(w="tok"))).alias("key")
+    )
+    pref = (
+        vocab_prefix.join(
+            F.broadcast(terms.filter(F.col("is_last") == 1)),
+            F.col("key") == F.col("term"),
+        )
+        .filter(F.col("tok") != F.col("term"))  # proper prefix; exact covered
+        .select("q_id", "f_source", "f_lang", "tok", F.lit(1).alias("dist"), "df")
+    )
+    expanded = (
+        exact.unionByName(pref)
+        .groupBy("q_id", "f_source", "f_lang", "tok")
+        .agg(F.min("dist").alias("dist"), F.first("df").alias("df"))
+    )
+    term_idf = expanded.crossJoin(F.broadcast(stats)).select(
+        "q_id",
+        "f_source",
+        "f_lang",
+        "tok",
+        (
+            F.pow(F.lit(_PREFIX_DAMP), F.col("dist"))
+            * F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            )
+        ).alias("idf"),
+        "avgdl",
+    )
+    return _bm25_topk(tf, dl, term_idf)
+
+
+def _prefix_queries_values_sql() -> str:
+    rows = ", ".join(
+        f"({q}, '{text}', '{src}', '{lang}')"
+        for q, text, src, lang in _PREFIX_QUERIES
+    )
+    return f"queries(q_id, q_text, f_source, f_lang) AS (VALUES {rows})"
+
+
+ORACLE_PREFIX_SEARCH = f"""
+WITH {_prefix_queries_values_sql()},
+toks AS (
+  SELECT doc_id, source, lang,
+         unnest({_DUCK_TOKENS.format(col='text')}) AS tok
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, source, lang, tok, count(*) AS tf FROM toks GROUP BY ALL
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT avg(dl) FROM dl) AS avgdl
+),
+dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+qtoks AS (
+  SELECT q_id, f_source, f_lang,
+         unnest({_DUCK_TOKENS.format(col='q_text')}) AS term,
+         unnest(generate_series(1, len({_DUCK_TOKENS.format(col='q_text')})))
+           AS pos,
+         len({_DUCK_TOKENS.format(col='q_text')}) AS n
+  FROM queries
+),
+terms AS (
+  SELECT q_id, f_source, f_lang, term,
+         max(CASE WHEN pos = n THEN 1 ELSE 0 END) AS is_last
+  FROM qtoks GROUP BY 1, 2, 3, 4
+),
+expanded AS (
+  SELECT q_id, f_source, f_lang, tok, min(dist) AS dist, first(df) AS df
+  FROM (
+    SELECT t.q_id, t.f_source, t.f_lang, v.tok, 0 AS dist, v.df
+    FROM terms t JOIN dft v ON v.tok = t.term
+    UNION ALL
+    SELECT t.q_id, t.f_source, t.f_lang, v.tok, 1 AS dist, v.df
+    FROM terms t JOIN dft v
+      ON t.is_last = 1 AND v.tok LIKE t.term || '%' AND v.tok != t.term
+  ) GROUP BY 1, 2, 3, 4
+),
+term_idf AS (
+  SELECT e.q_id, e.f_source, e.f_lang, e.tok,
+         pow({_PREFIX_DAMP}, e.dist)
+           * ln(1 + (s.n_docs - e.df + 0.5) / (e.df + 0.5)) AS idf,
+         s.avgdl
+  FROM expanded e CROSS JOIN stats s
+),
+contrib AS (
+  SELECT ti.q_id, f.doc_id,
+         ti.idf * f.tf * ({_BM25_K1} + 1)
+           / (f.tf + {_BM25_K1} * ((1 - {_BM25_B}) + {_BM25_B} * l.dl / ti.avgdl))
+           AS c
+  FROM term_idf ti
+  JOIN tf f ON f.tok = ti.tok AND f.source = ti.f_source AND f.lang = ti.f_lang
+  JOIN dl l ON l.doc_id = f.doc_id
+),
+scored AS (
+  SELECT q_id, doc_id, round(sum(c), 4) AS score FROM contrib GROUP BY 1, 2
+)
+SELECT q_id, cast(row_number() OVER w AS int) AS rank, doc_id, score
+FROM scored
+WINDOW w AS (PARTITION BY q_id ORDER BY score DESC, doc_id ASC)
+QUALIFY row_number() OVER w <= {_TOP_K}
+ORDER BY q_id, rank
+"""
+
+
 SEARCH_QUERIES = {
     "ranked_search": (q_ranked_search, ORACLE_RANKED_SEARCH),
+    "prefix_search": (q_prefix_search, ORACLE_PREFIX_SEARCH),
     "phrase_search": (q_phrase_search, ORACLE_PHRASE_SEARCH),
     "fuzzy_search": (q_fuzzy_search, ORACLE_FUZZY_SEARCH),
     "typo_ranked_search": (q_typo_ranked_search, ORACLE_TYPO_RANKED_SEARCH),

@@ -72,6 +72,30 @@ def test_ranked_search_broadcast_scoring_topk(spark):
     assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan, plan
 
 
+def test_prefix_search_equi_join_no_like_scan(spark):
+    """Search-as-you-type plan shape: the last-term prefix expansion must
+    be an EQUI-join of broadcast query terms against the prefix-key
+    explode of the vocabulary — a LIKE/startswith predicate would plan a
+    nested-loop join — and the scoring tail keeps ranked_search's
+    properties (broadcast term match, WindowGroupLimit top-k, no Python
+    stage)."""
+    from janet_spark.search import SEARCH_QUERIES
+
+    fn, _ = SEARCH_QUERIES["prefix_search"]
+    plan = _plan(fn(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    # the expansion joins vocabulary prefix keys to query terms by HASH:
+    # key == term appears as a BroadcastHashJoin equi-condition
+    assert re.search(r"BroadcastHashJoin \[key#\d+\], \[term#\d+\]", plan), plan
+    # the only nested-loop joins are the one-row stats cross joins
+    # (same shape PLANS.md documents for ranked_search) — never against
+    # the vocabulary or postings
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan, plan
+
+
 def test_fuzzy_search_no_cartesian_against_vocab(spark):
     """SymSpell candidate generation must stay an equi-join on deletion
     keys: a literal distance join would plan a nested-loop/cartesian

@@ -1,0 +1,112 @@
+"""Round-4 operator tests: search-as-you-type prefix semantics,
+maintained-generation report constructors, and generation compaction."""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_prefix_search_semantics(spark):
+    """The Meili prefix rule, pinned case by case: the last term expands
+    to every vocabulary word it prefixes (damped 0.5), non-last terms are
+    whole-word only, a last term matching nothing contributes nothing,
+    and a COMPLETE last word scores exact-only — never additionally as
+    its own prefix."""
+    from pyspark.sql import functions as F
+
+    from janet_spark.queries_relational import t
+    from janet_spark.search import (
+        _PREFIX_QUERIES,
+        _index_relations,
+        _tokens,
+        q_prefix_search,
+    )
+
+    rows = q_prefix_search(spark, SF).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["q_id"], []).append(r)
+    assert set(by_q) == {1, 2, 3, 4}
+
+    docs = t(spark, SF, "documents")
+    vocab = {
+        r["tok"]
+        for r in docs.select(F.explode(_tokens(F.col("text"))).alias("tok"))
+        .distinct()
+        .collect()
+    }
+    s_words = {w for w in vocab if w.startswith("s")}
+    assert len(s_words) >= 5  # "merge s" genuinely multi-expands
+
+    # q1 "merge s": every returned doc matches 'merge' or an s-word
+    # (src7/en tenant); brute-force the expected doc set
+    tenant = docs.filter((F.col("source") == "src7") & (F.col("lang") == "en"))
+    expected_docs = {
+        r["doc_id"]
+        for r in tenant.select(
+            "doc_id", F.explode(_tokens(F.col("text"))).alias("tok")
+        )
+        .filter(F.col("tok").isin(list(s_words | {"merge"})))
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    got_docs = {r["doc_id"] for r in by_q[1]}
+    assert got_docs <= expected_docs and got_docs
+
+    # q4 "window" (complete word): identical to plain BM25 ranked search
+    # for the single exact term — the word must NOT double-score as its
+    # own prefix. Reuse the ranked_search machinery on the same queries.
+    from janet_spark.search import _BM25_K1, _BM25_B, _TOP_K  # noqa: F401
+
+    tf, dl, stats, df_t = _index_relations(docs)
+    n_docs, avgdl = stats.collect()[0]
+    df_window = {r["tok"]: r["df"] for r in df_t.collect()}["window"]
+    import math
+
+    idf = math.log(1.0 + (n_docs - df_window + 0.5) / (df_window + 0.5))
+    w_docs = (
+        tf.filter(
+            (F.col("tok") == "window")
+            & (F.col("source") == "src12")
+            & (F.col("lang") == "en")
+        )
+        .join(dl, "doc_id")
+        .collect()
+    )
+    expected_scores = {
+        r["doc_id"]: round(
+            idf
+            * r["tf"]
+            * (_BM25_K1 + 1)
+            / (
+                r["tf"]
+                + _BM25_K1 * ((1 - _BM25_B) + _BM25_B * r["dl"] / avgdl)
+            ),
+            4,
+        )
+        for r in w_docs
+    }
+    got_scores = {r["doc_id"]: r["score"] for r in by_q[4]}
+    for doc_id, score in got_scores.items():
+        assert score == pytest.approx(expected_scores[doc_id], abs=1e-4)
+
+    # q2 "spark data pipe": 'pipe' prefixes nothing in this vocabulary,
+    # so results equal the two-term query — every hit contains spark/data
+    hit2 = {r["doc_id"] for r in by_q[2]}
+    tenant2 = docs.filter((F.col("source") == "src18") & (F.col("lang") == "en"))
+    sd_docs = {
+        r["doc_id"]
+        for r in tenant2.select(
+            "doc_id", F.explode(_tokens(F.col("text"))).alias("tok")
+        )
+        .filter(F.col("tok").isin(["spark", "data"]))
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert hit2 <= sd_docs and hit2
+
+    assert all(len(v) <= 10 for v in by_q.values())
