@@ -226,6 +226,8 @@ def main() -> None:
         "contrastive_pairs",
         "incremental_conv_neardup",
         "dedup_report",
+        "dedup_report_incremental",
+        "contrastive_pairs_incremental",
     ]
     for name in extended:
         fn, _ = registry[name]

@@ -67,6 +67,30 @@ def read_signature_table(spark: SparkSession, sig_path: str) -> DataFrame | None
     return spark.read.schema(SIG_SCHEMA).parquet(*gens)
 
 
+PAIRS_SCHEMA = "d1 long, d2 long, jaccard double"
+
+
+def read_pairs_table(spark: SparkSession, pairs_path: str) -> DataFrame | None:
+    """Union of all committed pair generations — the standing verified
+    near-dup pair table the health reports read instead of re-mining
+    (round-3 verdict #3). `.distinct()` because a run that crashed between
+    its pair commit and its signature commit re-mines the same delta on
+    retry and re-commits the same pairs under a new generation id; pairs
+    are canonical (d1 < d2, deterministic jaccard), so the dedupe is
+    exact. The pair table scales with the duplicate population, orders of
+    magnitude below the corpus, so the distinct is cheap at any scale."""
+    gens = _generation_dirs(pairs_path)
+    if not gens:
+        return None
+    return spark.read.schema(PAIRS_SCHEMA).parquet(*gens).distinct()
+
+
+def write_pairs_generation(pairs: DataFrame, pairs_path: str, gen_id: str) -> str:
+    """Commit one run's verified pairs as an immutable generation (same
+    staging + rename contract as the signatures)."""
+    return _write_generation(pairs, pairs_path, gen_id)
+
+
 CENSUS_SCHEMA = "band_key long, bkt_n long, rep_doc long"
 
 
@@ -108,6 +132,7 @@ def incremental_dedup_run(
     delta_docs: DataFrame,
     corpus_docs: DataFrame,
     hot_bucket_cap: int = _LSH_HOT_BUCKET_CAP,
+    pairs_path: str | None = None,
 ) -> tuple[DataFrame, str]:
     """One daily dedup run. Returns (verified delta-touching pairs, run_id).
 
@@ -206,8 +231,15 @@ def incremental_dedup_run(
     all_docs = corpus_docs.unionByName(delta_docs)
     pairs = _verify_candidates(all_docs, candidates).persist()
     # materialize pairs BEFORE committing the generation (see module doc);
-    # census commits LAST (see docstring for the crash-window bias)
-    pairs.count()
+    # census commits LAST (see docstring for the crash-window bias). With
+    # `pairs_path` the materialization IS the pair-generation commit, so
+    # the maintained pair table the reports read stays in lockstep; a
+    # crash after this commit but before the signature commit re-mines
+    # the same pairs on retry, which read_pairs_table dedupes.
+    if pairs_path is not None:
+        write_pairs_generation(pairs, pairs_path, run_id)
+    else:
+        pairs.count()
     _write_generation(delta_bands, sig_path, run_id)
     _write_generation(
         merged_census.select("band_key", "bkt_n", "rep_doc"), census_path, run_id

@@ -2322,16 +2322,11 @@ SELECT q_id, vec_id, sim, rank FROM ranked WHERE rank <= 5 ORDER BY q_id, rank
 """
 
 
-def q_dedup_report(spark, sf_dir):
-    """The duplication census a data team reads next to `corpus_report`:
-    per source, how many documents sit in an exact-duplicate group
-    (corpus-wide md5-prefix key) and how many appear in at least one
-    verified near-dup pair, with rates. Composes the audited pieces —
-    the exact-dup key of `exact_dedup` and the LSH pair miner (equal to
-    the exact-Jaccard pair set below the hot-bucket cap, so the oracle
-    recomputes with the exact SQL). Everything aggregates to one row per
-    source; the widest intermediates are the miners' own."""
-    docs = t(spark, sf_dir, "documents")
+def dedup_report_frame(docs, pairs):
+    """Shared report body: per source, documents in an exact-duplicate
+    group (corpus-wide md5-prefix key) and documents appearing in ≥1 of
+    the given verified near-dup `pairs`, with rates. Everything
+    aggregates to one row per source."""
     k = docs.select("doc_id", "source", F.md5(F.substring("text", 1, 24)).alias("kk"))
     dup_keys = k.groupBy("kk").agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") > 1)
     exact = (
@@ -2339,7 +2334,6 @@ def q_dedup_report(spark, sf_dir):
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("exact_dup_docs"))
     )
-    pairs = q_minhash_lsh_pairs(spark, sf_dir)
     nd_docs = (
         pairs.select(F.col("d1").alias("doc_id"))
         .unionByName(pairs.select(F.col("d2").alias("doc_id")))
@@ -2368,6 +2362,72 @@ def q_dedup_report(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+def q_dedup_report(spark, sf_dir):
+    """The duplication census a data team reads next to `corpus_report` —
+    standalone form: RE-MINES the near-dup pairs per invocation (the LSH
+    scale path, equal to the exact-Jaccard pair set below the hot-bucket
+    cap, so the oracle recomputes with the exact SQL). This is the oracle
+    harness / cold-start shape; the production daily report is
+    `q_dedup_report_incremental`, which reads the maintained pair
+    generations instead (round-3 verdict #3)."""
+    docs = t(spark, sf_dir, "documents")
+    return dedup_report_frame(docs, q_minhash_lsh_pairs(spark, sf_dir))
+
+
+def _maintained_pairs(spark, sf_dir):
+    """The standing verified-pair table for `sf_dir`'s documents,
+    bootstrapping it on first touch. Production maintains this table via
+    `incremental_dedup_run(..., pairs_path=...)` — one pair generation
+    per daily delta; a registered (spark, sf_dir) query has no state
+    argument, so the state dir is keyed by a fingerprint of the parquet
+    input (path + mtime + size): a regenerated input gets a fresh state
+    dir rather than stale pairs. The first call mines once with the
+    registered LSH miner and commits gen=bootstrap; every later call —
+    the steady state a daily report actually runs in — only READS the
+    pair table, whose size scales with the duplicate population, not the
+    corpus."""
+    import hashlib
+    import os
+    import tempfile
+
+    from janet_spark.dedup_incremental import (
+        read_pairs_table,
+        write_pairs_generation,
+    )
+
+    p = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(p)
+    parts = [os.path.realpath(p), str(st.st_size), str(st.st_mtime_ns)]
+    if os.path.isdir(p):
+        for name in sorted(os.listdir(p)):
+            s = os.stat(os.path.join(p, name))
+            parts += [name, str(s.st_size), str(s.st_mtime_ns)]
+    fp = hashlib.md5(":".join(parts).encode()).hexdigest()[:16]
+    pairs_path = os.path.join(
+        tempfile.gettempdir(), "janet_spark_state", f"pairs_{fp}"
+    )
+    pairs = read_pairs_table(spark, pairs_path)
+    if pairs is None:
+        write_pairs_generation(
+            q_minhash_lsh_pairs(spark, sf_dir), pairs_path, "bootstrap"
+        )
+        pairs = read_pairs_table(spark, pairs_path)
+    return pairs
+
+
+def q_dedup_report_incremental(spark, sf_dir):
+    """The production daily duplication census: consumes the MAINTAINED
+    pair generations (dedup_incremental.read_pairs_table) instead of
+    re-mining LSH pairs per invocation — the report becomes a join of
+    corpus-census aggregates against a pair table that is orders of
+    magnitude smaller than the corpus. Output is identical to
+    `dedup_report` (same oracle) because the maintained table holds
+    exactly the verified pairs the standalone miner produces — pinned by
+    tests/test_round4_ops.py on a two-generation corpus."""
+    docs = t(spark, sf_dir, "documents")
+    return dedup_report_frame(docs, _maintained_pairs(spark, sf_dir))
 
 
 def _dedup_report_oracle() -> str:
@@ -2407,11 +2467,9 @@ ORDER BY b.source
 _NEG_SEED = "neg0"
 
 
-def q_contrastive_pairs(spark, sf_dir):
-    """Training triplets for an embedding model (SimCSE/E5 shape):
-    (anchor, positive, negative) where positives are the mined near-dup
-    pairs (the LSH scale path — exact-verified, so below the hot-bucket
-    cap identical to the exact-Jaccard oracle) and negatives are
+def contrastive_pairs_frame(docs, pairs):
+    """Shared triplet body: (anchor, positive, negative) where positives
+    are the given verified near-dup `pairs` and negatives are
     SHUFFLE-ADJACENT: the document at seeded-md5 rank r+1 relative to
     the anchor's rank r (wrapping to rank 0). Deterministic in any
     engine, and crucially LAZY — no count() to learn the corpus size:
@@ -2422,8 +2480,7 @@ def q_contrastive_pairs(spark, sf_dir):
     are dropped on both engines."""
     from janet_spark.shard_writer import shuffle_ranked
 
-    pairs = q_minhash_lsh_pairs(spark, sf_dir)
-    docs = t(spark, sf_dir, "documents").select("doc_id")
+    docs = docs.select("doc_id")
     ranked = shuffle_ranked(
         docs, seed=_NEG_SEED, shard_size=1 << 40, key_col="doc_id"
     ).select("doc_id", "shuffle_rank")
@@ -2456,6 +2513,24 @@ def q_contrastive_pairs(spark, sf_dir):
         .select("anchor_id", "positive_id", "negative_id", "jaccard")
         .orderBy("anchor_id", "positive_id")
     )
+
+
+def q_contrastive_pairs(spark, sf_dir):
+    """Standalone triplet miner (SimCSE/E5 shape): re-mines the near-dup
+    positives per invocation. Oracle harness / cold-start; the production
+    form is `q_contrastive_pairs_incremental` over the maintained pair
+    table."""
+    docs = t(spark, sf_dir, "documents")
+    return contrastive_pairs_frame(docs, q_minhash_lsh_pairs(spark, sf_dir))
+
+
+def q_contrastive_pairs_incremental(spark, sf_dir):
+    """Production triplet construction: positives come from the
+    MAINTAINED pair generations (no per-run LSH mining); only the cheap
+    distributed negative-ranking runs per invocation. Same output and
+    oracle as `contrastive_pairs`."""
+    docs = t(spark, sf_dir, "documents")
+    return contrastive_pairs_frame(docs, _maintained_pairs(spark, sf_dir))
 
 
 def _contrastive_pairs_oracle() -> str:
@@ -3074,6 +3149,11 @@ TEXT_QUERIES = {
     "decontaminate_semantic": (q_decontaminate_semantic, ORACLE_DECONTAMINATE_SEMANTIC),
     "contrastive_pairs": (q_contrastive_pairs, _contrastive_pairs_oracle()),
     "dedup_report": (q_dedup_report, _dedup_report_oracle()),
+    "contrastive_pairs_incremental": (
+        q_contrastive_pairs_incremental,
+        _contrastive_pairs_oracle(),
+    ),
+    "dedup_report_incremental": (q_dedup_report_incremental, _dedup_report_oracle()),
     "corpus_shuffle": (q_corpus_shuffle, ORACLE_CORPUS_SHUFFLE),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, ORACLE_NGRAM_JACCARD_PAIRS),
     "dedup_clusters": (q_dedup_clusters, _dedup_clusters_oracle()),

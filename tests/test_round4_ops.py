@@ -110,3 +110,49 @@ def test_prefix_search_semantics(spark):
     assert hit2 <= sd_docs and hit2
 
     assert all(len(v) <= 10 for v in by_q.values())
+
+
+def test_maintained_pairs_report_equals_remined_two_generations(spark, tmp_path):
+    """Round-3 verdict #3: the production report constructors consume the
+    maintained pair generations. Build the pair table the production way —
+    two daily incremental runs (day 1: first half as the delta against an
+    empty corpus; day 2: second half against the day-1 corpus), each
+    committing its pairs as a generation — and pin that the report over
+    the maintained table equals the report that re-mines from scratch."""
+    from pyspark.sql import functions as F
+
+    from janet_spark.dedup_incremental import (
+        incremental_dedup_run,
+        read_pairs_table,
+    )
+    from janet_spark.queries_relational import t
+    from janet_spark.queries_text import (
+        dedup_report_frame,
+        q_dedup_report,
+        q_minhash_lsh_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = t(spark, sf, "documents").select("doc_id", "text")
+    day1 = docs.filter(F.col("doc_id") % 2 == 0)
+    day2 = docs.filter(F.col("doc_id") % 2 == 1)
+    sig = str(tmp_path / "sigs")
+    pairs_path = str(tmp_path / "pairs")
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    incremental_dedup_run(spark, sig, day1, empty, pairs_path=pairs_path)
+    incremental_dedup_run(spark, sig, day2, day1, pairs_path=pairs_path)
+
+    maintained = read_pairs_table(spark, pairs_path)
+    mined = q_minhash_lsh_pairs(spark, sf)
+    m = {(r.d1, r.d2, r.jaccard) for r in maintained.collect()}
+    b = {(r.d1, r.d2, r.jaccard) for r in mined.collect()}
+    assert m == b and m  # the union of daily generations IS the batch set
+
+    full_docs = t(spark, sf, "documents")
+    got = [
+        tuple(r)
+        for r in dedup_report_frame(full_docs, maintained).collect()
+    ]
+    want = [tuple(r) for r in q_dedup_report(spark, sf).collect()]
+    assert got == want
