@@ -738,22 +738,18 @@ def _conv_shingle_df(tr: DataFrame) -> DataFrame:
     )
 
 
-def conv_band_df(tr: DataFrame) -> DataFrame:
-    """(conv_id, band_key): conversation-grain MinHash banding. Stage 1
-    computes per-turn signatures and folds them WITHIN each Arrow batch
-    (partial elementwise min per conversation seen in the batch); stage 2
-    is a conv_id groupBy of 64 MIN aggregates — map-side combinable, so a
-    10^6-turn conversation reduces to one 64-long row without shuffling
-    its text; stage 3 mixes each band's 4 values down to one int64 key
-    (same multiply-xor scheme and rationale as queries_text._band_df:
-    collisions only ADD candidates, and every candidate is exact-verified)."""
+def conv_sig_df(tr: DataFrame) -> DataFrame:
+    """(conv_id, sig): conversation-grain 64-permutation MinHash
+    signatures. Stage 1 computes per-turn signatures and folds them
+    WITHIN each Arrow batch (partial elementwise min per conversation
+    seen in the batch); stage 2 is a conv_id groupBy of 64 MIN
+    aggregates — map-side combinable, so a 10^6-turn conversation
+    reduces to one 64-long row without shuffling its text."""
     import numpy as np
     import pandas as pd
 
     from janet_spark.queries_text import (
-        _MH_BANDS,
         _MH_PERMS,
-        _MH_ROWS,
         _doc_shingles,
         _minhash_signature,
     )
@@ -772,11 +768,26 @@ def conv_band_df(tr: DataFrame) -> DataFrame:
     partial = tr.select("conv_id", "text").mapInPandas(
         partial_sigs, schema="conv_id string, sig array<long>"
     )
-    combined = partial.groupBy("conv_id").agg(
+    return partial.groupBy("conv_id").agg(
         F.array(
             *[F.min(F.col("sig")[i]) for i in range(_MH_PERMS)]
         ).alias("sig")
     )
+
+
+def conv_band_df(tr: DataFrame, sigs: DataFrame | None = None) -> DataFrame:
+    """(conv_id, band_key): conversation-grain MinHash banding over
+    `conv_sig_df` signatures (pass `sigs` to reuse an already-persisted
+    signature frame). Each band's 4 values mix down to one int64 key
+    (same multiply-xor scheme and rationale as queries_text._band_df:
+    collisions only ADD candidates, and every candidate is
+    exact-verified)."""
+    import numpy as np
+    import pandas as pd
+
+    from janet_spark.queries_text import _MH_BANDS, _MH_ROWS
+
+    combined = conv_sig_df(tr) if sigs is None else sigs
 
     _mix = np.array(
         [0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9, 0x27D4EB2F165667C5],
@@ -816,8 +827,10 @@ def conv_neardup_frame(
     candidate-restricted shingle table per side, so intersection counting
     is a per-pair-bounded equi-join, and set sizes are one count per
     conversation. Hot buckets fall back to the same star expansion as the
-    doc-grain miner."""
-    bands = conv_band_df(tr).persist()
+    doc-grain miner. The signatures persist once and serve both the band
+    keys and the verify tail's estimated-Jaccard prefilter."""
+    sigs = conv_sig_df(tr).persist()
+    bands = conv_band_df(tr, sigs=sigs).persist()
     bucket_sizes = bands.groupBy("band_key").agg(
         F.count(F.lit(1)).alias("bkt_n"), F.min("conv_id").alias("bkt_rep")
     )
@@ -836,22 +849,65 @@ def conv_neardup_frame(
         )
         .select(F.col("bkt_rep").alias("c1"), F.col("conv_id").alias("c2"))
     )
-    return _conv_verify_candidates(tr, cold_pairs.unionByName(star_pairs))
+    return _conv_verify_candidates(
+        tr, cold_pairs.unionByName(star_pairs), sigs=sigs
+    )
 
 
-def _conv_verify_candidates(tr: DataFrame, candidates: DataFrame) -> DataFrame:
+# Estimated-Jaccard prefilter margin (round-3 verdict #4): a candidate is
+# killed before the exact intersection join when its SIGNATURE-estimated
+# Jaccard (fraction of agreeing MinHash components) falls more than this
+# margin below the verify threshold. At 64 permutations the estimator's
+# std at J=0.8 is sqrt(.8*.2/64) = 0.05, so 0.25 is a 5-sigma guard: a
+# TRUE >=0.8 pair estimates below 0.55 with probability ~1e-6 — the
+# filter is conservative, the exact join still decides every survivor,
+# and the pair output is unchanged (pinned by the oracle gate and the
+# planted-hot-bucket stress). What it buys: per-pair verify cost is
+# O(|shingles(conv)|), so a hot bucket whose REPRESENTATIVE is a
+# mega-conversation would fan every star candidate out against ~10^7
+# shingle rows; the estimator kills those candidates with 64-element
+# array arithmetic instead.
+_CONV_EST_MARGIN = 0.25
+
+
+def _sig_prefilter(candidates: DataFrame, sigs: DataFrame) -> DataFrame:
+    from janet_spark.queries_text import _JACCARD_THRESHOLD, _MH_PERMS
+
+    g1 = sigs.select(F.col("conv_id").alias("c1"), F.col("sig").alias("__s1"))
+    g2 = sigs.select(F.col("conv_id").alias("c2"), F.col("sig").alias("__s2"))
+    est = (
+        F.expr("size(filter(zip_with(__s1, __s2, (a, b) -> a = b), x -> x))")
+        / F.lit(_MH_PERMS)
+    )
+    return (
+        candidates.join(g1, "c1")
+        .join(g2, "c2")
+        .filter(est >= F.lit(_JACCARD_THRESHOLD - _CONV_EST_MARGIN))
+        .select("c1", "c2")
+    )
+
+
+def _conv_verify_candidates(
+    tr: DataFrame, candidates: DataFrame, sigs: DataFrame | None = None
+) -> DataFrame:
     """Shared distributed exact-Jaccard verify tail for the full and
     incremental conversation miners (one implementation, same reasons as
     queries_text._verify_candidates): candidate pairs dedup + persist,
     shingle explode restricted to candidate conversations via semi-join
     with an explicit conv_id repartition (the Spark 4.1.2 union
     co-partitioning pin), intersection counted by joining candidates to
-    each side — per-pair bounded, never a shingle-keyed self-join."""
+    each side — per-pair bounded, never a shingle-keyed self-join.
+    With `sigs` (conv_id, sig), candidates first pass the conservative
+    estimated-Jaccard prefilter (see _CONV_EST_MARGIN), bounding the
+    fan-out on mega-conversation representatives."""
     from janet_spark.queries_text import _JACCARD_THRESHOLD
 
     spark = candidates.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    candidates = candidates.distinct().persist()
+    candidates = candidates.distinct()
+    if sigs is not None:
+        candidates = _sig_prefilter(candidates, sigs)
+    candidates = candidates.persist()
 
     cand_convs = (
         candidates.select(F.col("c1").alias("conv_id"))
@@ -1010,7 +1066,8 @@ def incremental_conv_neardup_frame(
     queries_text.q_incremental_neardup). Verify tail shared with the
     full miner (_conv_verify_candidates) so the two can never drift."""
     is_new = _conv_is_new()
-    bands = conv_band_df(tr).persist()
+    sigs = conv_sig_df(tr).persist()
+    bands = conv_band_df(tr, sigs=sigs).persist()
     delta_bands = bands.filter(is_new)
     bucket_sizes = bands.groupBy("band_key").agg(
         F.count(F.lit(1)).alias("bkt_n"), F.min("conv_id").alias("bkt_rep")
@@ -1043,7 +1100,7 @@ def incremental_conv_neardup_frame(
         .select(F.col("bkt_rep").alias("c1"), F.col("conv_id").alias("c2"))
     )
     candidates = cold_pairs.unionByName(hot_delta).unionByName(hot_rep_new)
-    return _conv_verify_candidates(tr, candidates)
+    return _conv_verify_candidates(tr, candidates, sigs=sigs)
 
 
 def q_incremental_conv_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:

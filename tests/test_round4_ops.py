@@ -112,6 +112,67 @@ def test_prefix_search_semantics(spark):
     assert all(len(v) <= 10 for v in by_q.values())
 
 
+def test_conv_verify_prefilter_conservative_and_bounding(spark):
+    """Round-3 verdict #4: the estimated-Jaccard prefilter must (a) never
+    change the verify tail's output, and (b) kill a hot-bucket star
+    candidate against a huge representative BEFORE its shingles reach the
+    intersection join."""
+    from pyspark.sql import functions as F
+
+    from janet_spark.conversations import (
+        _conv_verify_candidates,
+        _sig_prefilter,
+        conv_sig_df,
+    )
+    from janet_spark.derive import derived_transcripts
+
+    tr = derived_transcripts(spark, "/root/testdata/sf0.001")
+    # a "mega" representative: 2000 unique turns under one conv_id
+    mega = spark.range(2000).select(
+        F.lit("aaa-mega").alias("conv_id"),
+        F.col("id").cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.concat(F.lit("mega content "), F.col("id").cast("string")).alias("text"),
+        F.lit("").alias("tool"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("id")).alias("ts"),
+    )
+    corpus = tr.unionByName(mega)
+    sigs = conv_sig_df(corpus).persist()
+
+    # candidates: every sf0.001 conversation starred against the mega rep
+    # (what a degenerate bucket with rep=aaa-mega would emit), plus real
+    # same-corpus candidate pairs that carry the genuine near-dup signal
+    convs = tr.select("conv_id").distinct()
+    star = convs.select(
+        F.lit("aaa-mega").alias("c1"), F.col("conv_id").alias("c2")
+    )
+    from janet_spark.conversations import conv_band_df
+
+    bands = conv_band_df(corpus, sigs=sigs)
+    a, b = bands.alias("a"), bands.alias("b")
+    genuine = a.join(
+        b,
+        (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("a.conv_id") < F.col("b.conv_id")),
+    ).select(F.col("a.conv_id").alias("c1"), F.col("b.conv_id").alias("c2"))
+    candidates = star.unionByName(genuine)
+
+    base = {tuple(r) for r in _conv_verify_candidates(corpus, candidates).collect()}
+    pref = {
+        tuple(r)
+        for r in _conv_verify_candidates(corpus, candidates, sigs=sigs).collect()
+    }
+    assert pref == base and base  # conservative: no behavior change
+
+    surviving = _sig_prefilter(candidates.distinct(), sigs)
+    assert (
+        surviving.filter(
+            (F.col("c1") == "aaa-mega") | (F.col("c2") == "aaa-mega")
+        ).count()
+        == 0
+    )  # the mega rep's shingles never reach the intersection join
+
+
 def test_maintained_pairs_report_equals_remined_two_generations(spark, tmp_path):
     """Round-3 verdict #3: the production report constructors consume the
     maintained pair generations. Build the pair table the production way —
