@@ -159,6 +159,7 @@ def main() -> None:
         "index_incremental_merge",
         "token_counts_bpe",
         "token_counts_bpe_jvm",
+        "token_counts_bpe_1k",
         "dedup_clusters_lsh",
         "quality_repetition",
         "chunk_dedup",

@@ -30,6 +30,7 @@ Scale shape (the 100 TB story):
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
@@ -58,10 +59,34 @@ def _generation_dirs(sig_path: str) -> list[str]:
     )
 
 
+def _covered_gens(table_path: str) -> set[str]:
+    """Generation names absorbed into a compacted generation (recorded in
+    the compacted dir's _covered.json). A covered dir still on disk is a
+    crash leftover — readers must skip it or its rows double."""
+    covered: set[str] = set()
+    for g in _generation_dirs(table_path):
+        cj = os.path.join(g, "_covered.json")
+        if os.path.exists(cj):
+            with open(cj) as f:
+                covered.update(json.load(f))
+    return covered
+
+
+def _live_generation_dirs(table_path: str) -> list[str]:
+    covered = _covered_gens(table_path)
+    return [
+        g
+        for g in _generation_dirs(table_path)
+        if os.path.basename(g) not in covered
+    ]
+
+
 def read_signature_table(spark: SparkSession, sig_path: str) -> DataFrame | None:
-    """Union of all committed generations; None if the table doesn't exist
-    yet. `_staging_*` dirs from crashed runs are never listed."""
-    gens = _generation_dirs(sig_path)
+    """Union of all committed LIVE generations; None if the table doesn't
+    exist yet. `_staging_*` dirs from crashed runs are never listed, and
+    generations absorbed by a committed compaction are skipped even if
+    their dirs still linger (crash mid-cleanup)."""
+    gens = _live_generation_dirs(sig_path)
     if not gens:
         return None
     return spark.read.schema(SIG_SCHEMA).parquet(*gens)
@@ -79,7 +104,7 @@ def read_pairs_table(spark: SparkSession, pairs_path: str) -> DataFrame | None:
     are canonical (d1 < d2, deterministic jaccard), so the dedupe is
     exact. The pair table scales with the duplicate population, orders of
     magnitude below the corpus, so the distinct is cheap at any scale."""
-    gens = _generation_dirs(pairs_path)
+    gens = _live_generation_dirs(pairs_path)
     if not gens:
         return None
     return spark.read.schema(PAIRS_SCHEMA).parquet(*gens).distinct()
@@ -246,6 +271,91 @@ def incremental_dedup_run(
     )
     delta_bands.unpersist()
     return pairs, run_id
+
+
+def compact_generations(
+    spark: SparkSession,
+    table_path: str,
+    schema: str,
+    keep_latest: int = 3,
+) -> dict:
+    """Compact an ADDITIVE generation table (signatures, pairs): merge
+    every live generation older than the newest `keep_latest` into ONE
+    compacted generation — the daily-delta answer to the small-files
+    problem (one dir per day decays scan throughput the same way
+    per-micro-batch sinks do; compaction.py handles flat dirs, this
+    handles the gen= layout). Snapshot tables (census, clusters) never
+    need this: only their latest generation is live, so pruning old dirs
+    suffices.
+
+    Verify-then-swap, tolerant of every crash window:
+    1. the union of the old generations writes to a `_staging_*` dir
+       (invisible to readers), with `_covered.json` naming the absorbed
+       generations;
+    2. row-count verify: staged == union of inputs (additive tables have
+       disjoint rows per generation, so plain row parity is exact);
+    3. ONE rename commits the compacted generation — from that instant
+       readers SKIP the covered dirs (they'd double rows otherwise), so
+       the delete phase needs no atomicity;
+    4. covered dirs are deleted; a crash mid-delete leaves leftovers the
+       next read ignores and the next compaction sweeps.
+
+    Returns a summary dict. `keep_latest` newest generations stay
+    untouched so a same-day reader never races the compactor on the
+    generation a run is about to commit."""
+    from janet_spark.checkpoint import new_run_id
+
+    # sweep leftovers from a previous crash-mid-delete
+    covered = _covered_gens(table_path)
+    for g in _generation_dirs(table_path):
+        if os.path.basename(g) in covered:
+            shutil.rmtree(g, ignore_errors=True)
+    for name in os.listdir(table_path) if os.path.isdir(table_path) else []:
+        if name.startswith("_staging_compact_"):
+            shutil.rmtree(os.path.join(table_path, name), ignore_errors=True)
+
+    live = _live_generation_dirs(table_path)
+    old = live[: -keep_latest] if keep_latest > 0 else live
+    if len(old) < 2:
+        return {"path": table_path, "compacted": False, "n_live": len(live)}
+
+    union = spark.read.schema(schema).parquet(*old)
+    n_rows = union.count()
+    gen_id = f"compacted-{new_run_id()}"
+    staging = os.path.join(table_path, f"_staging_compact_{gen_id}")
+    union.coalesce(max(1, min(8, len(old)))).write.mode("overwrite").parquet(
+        staging
+    )
+    staged_rows = spark.read.schema(schema).parquet(staging).count()
+    if staged_rows != n_rows:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise RuntimeError(
+            f"compaction verify failed: {staged_rows} staged != {n_rows}"
+        )
+    with open(os.path.join(staging, "_covered.json"), "w") as f:
+        json.dump(sorted(os.path.basename(g) for g in old), f)
+    os.rename(staging, os.path.join(table_path, f"gen={gen_id}"))
+    for g in old:
+        shutil.rmtree(g, ignore_errors=True)
+    return {
+        "path": table_path,
+        "compacted": True,
+        "n_absorbed": len(old),
+        "rows": n_rows,
+        "gen": gen_id,
+    }
+
+
+def prune_snapshots(table_path: str, keep_latest: int = 3) -> int:
+    """Delete all but the newest `keep_latest` generations of a SNAPSHOT
+    table (census, cluster assignments — readers only ever load the
+    latest, so old snapshots are retention, not data). Returns the number
+    of pruned generations."""
+    gens = _generation_dirs(table_path)
+    to_drop = gens[:-keep_latest] if keep_latest > 0 else gens
+    for g in to_drop:
+        shutil.rmtree(g, ignore_errors=True)
+    return len(to_drop)
 
 
 def update_cluster_assignments(

@@ -261,6 +261,65 @@ FROM documents d LEFT JOIN tc USING (doc_id) ORDER BY doc_id
 ORACLE_TOKEN_COUNTS_BPE = _token_counts_bpe_oracle()
 
 
+def q_token_counts_bpe_1k(spark, sf_dir):
+    """Subword token counting under the PRODUCTION-SIZE tokenizer: the
+    frozen 1,000-merge table (extract/bpe_merges_1k.py — trained
+    distributed over the sf0.1 union corpus, bit-for-bit verified against
+    an independent driver trainer; round-3 verdict #5) applied to the
+    customer entity names, whose digit-heavy vocabulary is what the deep
+    merge table actually compresses (the 31-word document prose saturates
+    at ~107 merges). Same Arrow + per-word lru_cache mechanism as
+    token_counts_bpe; the DuckDB oracle recomputes every count through
+    the 1,000-replace chain rendered as STAGED CTEs (a single nested
+    expression at that depth exceeds DuckDB's max_expression_depth —
+    extract/bpe.duckdb_staged_token_count_ctes)."""
+    from janet_spark.extract.bpe import bpe_tokens_1k, count_text
+
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            counts = [
+                count_text(x or "", tokens=bpe_tokens_1k) for x in pdf["c_name"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "c_custkey": pdf["c_custkey"],
+                    "bpe_tokens": [c[0] for c in counts],
+                    "n_words": [c[1] for c in counts],
+                }
+            )
+
+    return cust.mapInPandas(
+        run, schema="c_custkey long, bpe_tokens long, n_words long"
+    ).orderBy("c_custkey")
+
+
+def _token_counts_bpe_1k_oracle() -> str:
+    from janet_spark.extract.bpe import TOKEN_SPLIT, duckdb_staged_token_count_ctes
+    from janet_spark.extract.bpe_merges_1k import MERGES_1K
+
+    ctes, final = duckdb_staged_token_count_ctes("w", "word", MERGES_1K)
+    return f"""
+WITH w AS (
+  SELECT c_custkey,
+         unnest(list_filter(regexp_split_to_array(lower(coalesce(c_name, '')),
+                '{TOKEN_SPLIT}'), x -> x != '')) AS word
+  FROM customer
+),
+{ctes},
+tc AS (
+  SELECT c_custkey,
+         cast(sum(bpe_n) AS bigint) AS bpe_tokens,
+         cast(count(*) AS bigint) AS n_words
+  FROM {final} GROUP BY c_custkey
+)
+SELECT c.c_custkey, coalesce(tc.bpe_tokens, 0) AS bpe_tokens,
+       coalesce(tc.n_words, 0) AS n_words
+FROM customer c LEFT JOIN tc USING (c_custkey) ORDER BY c_custkey
+"""
+
+
 def q_quality_scores(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     words = F.split(F.col("text"), " ")
@@ -3128,6 +3187,7 @@ TEXT_QUERIES = {
     "token_counts": (q_token_counts, ORACLE_TOKEN_COUNTS),
     "token_counts_bpe": (q_token_counts_bpe, ORACLE_TOKEN_COUNTS_BPE),
     "token_counts_bpe_jvm": (q_token_counts_bpe_jvm, ORACLE_TOKEN_COUNTS_BPE),
+    "token_counts_bpe_1k": (q_token_counts_bpe_1k, _token_counts_bpe_1k_oracle()),
     "quality_scores": (q_quality_scores, ORACLE_QUALITY_SCORES),
     "quality_repetition": (q_quality_repetition, ORACLE_QUALITY_REPETITION),
     "exact_dedup": (q_exact_dedup, ORACLE_EXACT_DEDUP),

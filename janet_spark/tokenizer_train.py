@@ -38,20 +38,12 @@ from pyspark.sql import functions as F
 _CHECKPOINT_EVERY = 8  # lineage cut cadence for the chained replaces
 
 
-def corpus_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(word, freq, seg): the weighted vocabulary with each word's
-    initial character segmentation. The one corpus-sized stage."""
-    from janet_spark.extract.bpe import TOKEN_SPLIT
-    from janet_spark.queries_relational import t
-
-    docs = t(spark, sf_dir, "documents")
+def _vocab_of_words(words: DataFrame) -> DataFrame:
+    """(word, freq, seg) from a one-column (word) frame of corpus word
+    OCCURRENCES: the weighted vocabulary with each word's initial
+    character segmentation. The one corpus-sized stage."""
     vocab = (
-        docs.select(
-            F.explode(
-                F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), TOKEN_SPLIT)
-            ).alias("word")
-        )
-        .filter(F.col("word") != "")
+        words.filter(F.col("word") != "")
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
@@ -62,13 +54,58 @@ def corpus_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab.select("word", "freq", seg.alias("seg"))
 
 
+def corpus_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted vocabulary of the documents table (the original 48-merge
+    training corpus)."""
+    from janet_spark.extract.bpe import TOKEN_SPLIT
+    from janet_spark.queries_relational import t
+
+    docs = t(spark, sf_dir, "documents")
+    return _vocab_of_words(
+        docs.select(
+            F.explode(
+                F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), TOKEN_SPLIT)
+            ).alias("word")
+        )
+    )
+
+
+def union_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted vocabulary of the FULL engine corpus: document text plus
+    customer entity names — the production-size training input (the
+    synthetic document prose tops out at a 31-word vocabulary, ~107
+    possible merges; entity names contribute ~15k distinct digit-heavy
+    tokens, exactly the numeric-identifier mass a real tokenizer must
+    compress, lifting merge capacity past 100k)."""
+    from janet_spark.extract.bpe import TOKEN_SPLIT
+    from janet_spark.queries_relational import t
+
+    docs = t(spark, sf_dir, "documents").select(
+        F.explode(
+            F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), TOKEN_SPLIT)
+        ).alias("word")
+    )
+    names = t(spark, sf_dir, "customer").select(
+        F.explode(
+            F.split(F.lower(F.coalesce(F.col("c_name"), F.lit(""))), TOKEN_SPLIT)
+        ).alias("word")
+    )
+    return _vocab_of_words(docs.unionByName(names))
+
+
 def train_bpe_distributed(
-    spark: SparkSession, sf_dir: str, n_merges: int = 48
+    spark: SparkSession,
+    sf_dir: str,
+    n_merges: int = 48,
+    vocab: DataFrame | None = None,
 ) -> list[tuple[str, str]]:
     """Greedy BPE merges over the corpus vocabulary, Spark-side. Returns
     the ordered merges list (the tokenizer artifact). Driver state per
-    round = one (pair, count) row."""
-    vocab = corpus_vocab(spark, sf_dir).localCheckpoint(eager=True)
+    round = one (pair, count) row. Pass `vocab` (word, freq, seg) to
+    train over a different corpus than the documents table."""
+    if vocab is None:
+        vocab = corpus_vocab(spark, sf_dir)
+    vocab = vocab.localCheckpoint(eager=True)
 
     merges: list[tuple[str, str]] = []
     for i in range(n_merges):

@@ -173,6 +173,173 @@ def test_conv_verify_prefilter_conservative_and_bounding(spark):
     )  # the mega rep's shingles never reach the intersection join
 
 
+def test_bpe_1k_table_and_trainers(spark):
+    """Round-3 verdict #5: the production-size tokenizer. (a) The frozen
+    1,000-merge table is well-formed and genuinely deep (digit merges the
+    48-table never reaches); (b) applying it compresses a digit-heavy
+    entity name far below character count; (c) the distributed trainer
+    reproduces the independent incremental reference trainer bit-for-bit
+    on the sf0.001 union corpus (the sf0.1 full-table equality is
+    recorded by scripts/train_bpe_1k.py in BENCH/bpe_1k_train.json)."""
+    import os
+    import sys
+
+    from janet_spark.extract.bpe import bpe_tokens, bpe_tokens_1k
+    from janet_spark.extract.bpe_merges_1k import MERGES_1K
+    from janet_spark.tokenizer_train import train_bpe_distributed, union_vocab
+
+    assert len(MERGES_1K) == 1000
+    # repeated ranks ARE legal under single-pass-per-rank semantics: one
+    # non-overlapping replace over ' 0 0 0 0 ' merges alternate pairs
+    # only, so the greedy loop re-picks the same pair when the leftovers
+    # still dominate — but they must stay rare (each repeat must have
+    # been re-fed by intermediate merges, not loop forever)
+    assert len(set(MERGES_1K)) >= 990
+    assert any(a.isdigit() or b.isdigit() for a, b in MERGES_1K)
+
+    # digit-heavy entity token: the 1k table must compress it hard while
+    # the 48-merge table (trained on prose only) barely merges digits
+    name_tok = "000001234"
+    assert len(bpe_tokens_1k(name_tok)) < len(name_tok) / 2
+    assert len(bpe_tokens_1k(name_tok)) < len(bpe_tokens(name_tok))
+    # concatenation invariant: merges never alter characters
+    assert "".join(bpe_tokens_1k(name_tok)) == name_tok
+    assert bpe_tokens_1k("customer") == ("customer",)
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from train_bpe_1k import load_vocab, reference_train
+
+    got = train_bpe_distributed(
+        spark,
+        "/root/testdata/sf0.001",
+        n_merges=100,
+        vocab=union_vocab(spark, "/root/testdata/sf0.001"),
+    )
+    want = reference_train(load_vocab("/root/testdata/sf0.001"), 100)
+    assert got == want
+
+
+def test_compact_generations_preserves_reads_and_resume(spark, tmp_path):
+    """Round-3 verdict #8: compacting 10 daily generations of an additive
+    table into one must leave reads IDENTICAL (row multiset), survive a
+    crash between the compacted-gen commit and the old-dir deletes
+    without double-counting, and leave the incremental-run resume path
+    unaffected."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from janet_spark.dedup_incremental import (
+        SIG_SCHEMA,
+        _write_generation,
+        compact_generations,
+        prune_snapshots,
+        read_signature_table,
+    )
+
+    sig = str(tmp_path / "sigs")
+    # 10 daily generations, disjoint doc_id ranges (the additive shape)
+    for day in range(10):
+        rows = [(day * 100 + i, (day * 100 + i) * 7 % 997) for i in range(100)]
+        df = spark.createDataFrame(rows, SIG_SCHEMA)
+        _write_generation(df, sig, f"run-{1000 + day}-day")
+
+    def snapshot():
+        return sorted(
+            (r.doc_id, r.band_key)
+            for r in read_signature_table(spark, sig).collect()
+        )
+
+    before = snapshot()
+    summary = compact_generations(spark, sig, SIG_SCHEMA, keep_latest=3)
+    assert summary["compacted"] and summary["n_absorbed"] == 7
+    assert snapshot() == before  # reads identical
+    gens = [d for d in os.listdir(sig) if d.startswith("gen=")]
+    assert len(gens) == 4  # 1 compacted + 3 kept
+
+    # crash window: compacted gen committed but covered dirs NOT deleted
+    # -> resurrect one covered dir; reads must still not double-count
+    compacted = next(d for d in gens if "compacted-" in d)
+    covered = json.load(open(os.path.join(sig, compacted, "_covered.json")))
+    zombie = covered[0]
+    df = spark.createDataFrame(
+        [(i, i * 7 % 997) for i in range(100)], SIG_SCHEMA
+    )
+    _write_generation(df, sig, zombie.removeprefix("gen="))
+    assert snapshot() == before  # zombie skipped, not double-counted
+    # the next compaction sweeps the zombie
+    compact_generations(spark, sig, SIG_SCHEMA, keep_latest=3)
+    assert not os.path.isdir(os.path.join(sig, zombie))
+    assert snapshot() == before
+
+    # a fresh daily generation after compaction reads correctly (resume)
+    df = spark.createDataFrame(
+        [(2000 + i, i) for i in range(50)], SIG_SCHEMA
+    )
+    _write_generation(df, sig, "run-9999-new")
+    assert len(snapshot()) == len(before) + 50
+
+    # snapshot pruning keeps the newest
+    clu = str(tmp_path / "census")
+    for day in range(5):
+        _write_generation(
+            spark.createDataFrame([(day, day, day)], "band_key long, bkt_n long, rep_doc long"),
+            clu,
+            f"run-{1000 + day}-day",
+        )
+    assert prune_snapshots(clu, keep_latest=2) == 3
+    left = sorted(os.listdir(clu))
+    assert [d for d in left if d.startswith("gen=")] == [
+        "gen=run-1003-day",
+        "gen=run-1004-day",
+    ]
+
+
+def test_incremental_dedup_after_compaction_matches_uncompacted(spark, tmp_path):
+    """End-to-end resume check: three daily incremental runs, compact the
+    signature + pair generations, then run day 4 — the mined pairs and
+    the standing pair table must equal the uncompacted timeline's."""
+    from pyspark.sql import functions as F
+
+    from janet_spark.dedup_incremental import (
+        PAIRS_SCHEMA,
+        SIG_SCHEMA,
+        compact_generations,
+        incremental_dedup_run,
+        read_pairs_table,
+    )
+    from janet_spark.queries_relational import t
+
+    sf = "/root/testdata/sf0.001"
+    docs = t(spark, sf, "documents").select("doc_id", "text")
+    days = [docs.filter(F.col("doc_id") % 4 == k) for k in range(4)]
+    empty = spark.createDataFrame([], "doc_id long, text string")
+
+    def timeline(base, compact_after_day3):
+        sig, pairs = str(base / "sigs"), str(base / "pairs")
+        corpus = empty
+        for k in range(3):
+            incremental_dedup_run(spark, sig, days[k], corpus, pairs_path=pairs)
+            corpus = corpus.unionByName(days[k])
+        if compact_after_day3:
+            compact_generations(spark, sig, SIG_SCHEMA, keep_latest=1)
+            compact_generations(spark, pairs, PAIRS_SCHEMA, keep_latest=1)
+        day4, _ = incremental_dedup_run(
+            spark, sig, days[3], corpus, pairs_path=pairs
+        )
+        table = {
+            (r.d1, r.d2, r.jaccard)
+            for r in read_pairs_table(spark, pairs).collect()
+        }
+        return {(r.d1, r.d2, r.jaccard) for r in day4.collect()}, table
+
+    d4_plain, tbl_plain = timeline(tmp_path / "plain", False)
+    d4_comp, tbl_comp = timeline(tmp_path / "comp", True)
+    assert d4_comp == d4_plain
+    assert tbl_comp == tbl_plain and tbl_plain
+
+
 def test_maintained_pairs_report_equals_remined_two_generations(spark, tmp_path):
     """Round-3 verdict #3: the production report constructors consume the
     maintained pair generations. Build the pair table the production way —
