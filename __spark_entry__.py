@@ -18,64 +18,20 @@ SF0001 = "/root/testdata/sf0.001"
 
 # The driver records the FIRST 50 registry entries in CORRECTNESS_r{N}.json;
 # queries past the cap are verified out-of-band via
-# `scripts/check_oracles.py <sf_dir> <names...>`. Exposure therefore
-# ROTATES per round: this list front-loads (a) the queries new this round
-# and (b) the 18 the round-2 driver run left unrecorded (judge-verified
-# that round), pushing the longest-green queries past the cap where the
-# script evidence stands in.
+# `scripts/check_oracles.py <sf_dir> <names...>` (full-registry run
+# committed as ORACLE_CHECK_r{N}.json). Exposure therefore ROTATES per
+# round. Round-4 rotation: (a) the 4 queries new this round, then (b)
+# every query NEVER recorded by any driver run (r1∪r2∪r3 covered 102 of
+# the registry; the 25 below close the gap), then (c) the queries whose
+# only driver record is oldest (r1-only, then r2). After this round's
+# gate, every registered query has at least one driver-recorded green row.
 _PRIORITY = [
-    # newest (late round 3) — recorded by this round's driver run
-    "apply_mixture",
-    "chat_render",
-    "conv_neardup",
-    "conv_dedup_fuzzy",
-    "doc_chunk",
-    "bpe_pair_census",
-    "bigram_lm",
-    "corpus_report",
-    "quality_features",
-    "decontaminate_semantic",
-    "contrastive_pairs",
-    "incremental_conv_neardup",
-    "dedup_report",
-    # new in round 3
-    "conv_prefix_stats",
-    "conv_branch_dedup",
-    "conv_merge_roles",
-    "conv_tail_truncate",
-    "turn_boilerplate",
-    "best_of_n",
-    "preference_pairs",
-    "sft_examples",
-    "conv_lang_consistency",
-    "pii_pseudonymize",
-    "conv_decontaminate",
-    "prompt_safe_split",
-    "conv_dedup",
-    "conv_stats",
-    "conv_budget_truncate",
-    "tool_call_validate",
-    "conv_quality_gate",
-    "conv_pack",
-    "conv_training_pipeline",
-    "conv_loss_mask",
-    "incremental_neardup",
-    "corpus_shuffle",
-    "substring_dedup",
-    "unicode_clean",
-    "cluster_safe_split",
-    "kmeans_assign",
-    "semdedup",
-    "pack_examples",
-    "ranked_search",
-    "fuzzy_search",
-    "typo_ranked_search",
-    "phrase_search",
-    "top_terms_per_doc",
-    "search_with_snippets",
-    "index_incremental_merge",
-    "token_counts_bpe",
-    "token_counts_bpe_jvm",
+    # (a) new in round 4
+    "prefix_search",
+    "dedup_report_incremental",
+    "contrastive_pairs_incremental",
+    "token_counts_bpe_1k",
+    # (b) never driver-recorded before this round
     "dedup_clusters_lsh",
     "doc_fingerprint_jvm",
     "quality_repetition",
@@ -85,10 +41,7 @@ _PRIORITY = [
     "sequence_pack",
     "curation_pipeline_v2",
     "mixture_weights",
-    # unrecorded by the round-2 driver run (all 18 judge-verified in r2)
-    "match_navigation",
     "disjunctive_upsert",
-    "rollup_revenue",
     "label_array_filter",
     "flaky_enrichment",
     "asof_join",
@@ -104,6 +57,29 @@ _PRIORITY = [
     "stratified_sample",
     "unpivot_doc_stats",
     "rank_functions",
+    # (c) oldest driver record: r1-only...
+    "match_navigation",
+    "rollup_revenue",
+    # ...then r2 (not recorded in r3)
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "broadcast_brand_revenue",
+    "canonical_rename_sql",
+    "clean_canonicalize",
+    "clean_canonicalize_jvm",
+    "customer_order_fulljoin",
+    "dedup_clusters",
+    "distinct_users",
+    "doc_fingerprint",
+    "embed_neardup_blocked",
+    "exact_dedup",
+    "extract_turns",
+    "frame_sample",
+    "fs_safe_timestamp",
+    "html_strip",
+    "json_props_histogram",
+    "keyword_match_count",
+    "keyword_spans",
 ]
 
 
