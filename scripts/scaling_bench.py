@@ -208,6 +208,17 @@ def main() -> int:
         for c in LEVELS
     )
     os.makedirs(os.path.dirname(RESULT_MD), exist_ok=True)
+    # this script owns ONLY the head of BENCH/BASELINE.md: everything
+    # below the marker (paired-protocol runs, incremental-dedup tables,
+    # dated history other documents cite) is preserved across reruns —
+    # a full-file rewrite here once deleted the round-3 evidence
+    # sections (round-3 verdict #6's overwriting anti-pattern)
+    marker = "<!-- PRESERVED BELOW: appended sections survive scaling_bench reruns -->"
+    tail = ""
+    if os.path.exists(RESULT_MD):
+        old = open(RESULT_MD).read()
+        if marker in old:
+            tail = old.split(marker, 1)[1]
     with open(RESULT_MD, "w") as f:
         f.write(
             "# BENCH baseline — extraction throughput + scaling efficiency\n\n"
@@ -241,7 +252,9 @@ def main() -> int:
             "shuffle/skew behavior. Both numbers are published above so the\n"
             "protocol choice is auditable. Best-of-3 vs first-run differ by\n"
             "shared-host noise (~30% run-to-run); both shown.\n\n"
-            f"sf_dir: `{sf_dir}`\n"
+            f"sf_dir: `{sf_dir}`\n\n"
+            f"{marker}\n"
+            f"{tail}"
         )
     return 0
 

@@ -75,6 +75,25 @@ def main() -> int:
     }
     with open(os.path.join(ROOT, "BENCH", "scaling_pairs.json"), "w") as f:
         json.dump(summary, f, indent=2)
+    # append a dated section to BENCH/BASELINE.md (below scaling_bench's
+    # preservation marker) instead of overwriting anything
+    import datetime
+
+    stamp = datetime.date.today().isoformat()
+    rows = "\n".join(
+        f"| {p['pair']} | {p['lo']['sec']} s | {p['hi']['sec']} s | {p['eff']} |"
+        for p in pairs
+    )
+    with open(os.path.join(ROOT, "BENCH", "BASELINE.md"), "a") as f:
+        f.write(
+            f"\n## Paired-protocol run {stamp}\n\n"
+            f"Interleaved pairs {LO}c/{HI}c (each pair shares one contention\n"
+            "window; detail + all raw runs in BENCH/scaling_pairs.json):\n\n"
+            f"| pair | {LO}c best | {HI}c best | efficiency |\n|---|---|---|---|\n"
+            f"{rows}\n\n"
+            f"**Median paired efficiency {LO}->{HI} = {med} (target >= 0.8: "
+            f"{'PASS' if med >= 0.8 else 'FAIL'})**\n"
+        )
     print(json.dumps({k: v for k, v in summary.items() if k != "pairs"}))
     return 0
 
