@@ -28,6 +28,7 @@ SF0001 = "/root/testdata/sf0.001"
 _PRIORITY = [
     # (a) new in round 4
     "prefix_search",
+    "suggest_search",
     "dedup_report_incremental",
     "contrastive_pairs_incremental",
     "token_counts_bpe_1k",
@@ -79,7 +80,6 @@ _PRIORITY = [
     "html_strip",
     "json_props_histogram",
     "keyword_match_count",
-    "keyword_spans",
 ]
 
 

@@ -151,6 +151,7 @@ def main() -> None:
     extended = [
         "ranked_search",
         "prefix_search",
+        "suggest_search",
         "fuzzy_search",
         "typo_ranked_search",
         "phrase_search",

@@ -358,6 +358,126 @@ def prune_snapshots(table_path: str, keep_latest: int = 3) -> int:
     return len(to_drop)
 
 
+CONV_SIG_SCHEMA = "conv_id string, sig array<long>"
+CONV_PAIRS_SCHEMA = "c1 string, c2 string, jaccard double"
+
+
+def read_conv_pairs_table(spark: SparkSession, pairs_path: str) -> DataFrame | None:
+    """Conversation-grain analogue of read_pairs_table (string ids)."""
+    gens = _live_generation_dirs(pairs_path)
+    if not gens:
+        return None
+    return spark.read.schema(CONV_PAIRS_SCHEMA).parquet(*gens).distinct()
+
+
+def read_conv_signature_table(
+    spark: SparkSession, sig_path: str
+) -> DataFrame | None:
+    """Union of all live conversation-signature generations (conv_id,
+    sig: 64 minhash components). The conversation table stores FULL
+    signatures, not band keys: ~512 B/conversation buys both the band
+    derivation (a cheap vectorized mix per run) and the verify tail's
+    estimated-Jaccard prefilter — the corpus text is never re-signed."""
+    gens = _live_generation_dirs(sig_path)
+    if not gens:
+        return None
+    return spark.read.schema(CONV_SIG_SCHEMA).parquet(*gens)
+
+
+def incremental_conv_dedup_run(
+    spark: SparkSession,
+    sig_path: str,
+    delta_tr: DataFrame,
+    corpus_tr: DataFrame,
+    hot_bucket_cap: int | None = None,
+    pairs_path: str | None = None,
+) -> tuple[DataFrame, str]:
+    """One daily near-dup run at CONVERSATION grain against a maintained
+    signature table — the production shape the registered
+    `incremental_conv_neardup` query models statelessly (its docstring's
+    "in production: the maintained signature table" is THIS function).
+
+    `delta_tr` / `corpus_tr`: transcript frames (conv_id, turn_idx, role,
+    text, tool, ts) for today's conversations and the standing corpus.
+    Signing touches ONLY the delta's turns (per-turn signatures fold by
+    elementwise min, so a delta conversation of any size reduces
+    map-side); corpus signatures come from the table, and corpus TEXT is
+    read only by the verify tail's candidate semi-join. Candidates follow
+    the same three-branch hot-bucket logic as the doc grain (delta
+    members star to the bucket rep; a rep that is itself new stars to
+    every member), the bucket census is a signature-table-sized
+    aggregation recomputed per run (at ~512 B/conversation the whole
+    table is four-plus orders of magnitude below the transcript text, so
+    unlike the doc grain there is nothing corpus-sized to avoid), and
+    every candidate passes the estimated-Jaccard prefilter before the
+    exact intersection join. Commit order matches the doc grain: pairs
+    materialize (or commit, with `pairs_path`) BEFORE the delta's
+    signature generation lands, so a crashed run re-mines the same delta
+    idempotently. Returns (verified delta-touching pairs, run_id)."""
+    from janet_spark.checkpoint import new_run_id
+    from janet_spark.conversations import (
+        _CONV_LSH_HOT_BUCKET_CAP,
+        _conv_verify_candidates,
+        conv_band_df,
+        conv_sig_df,
+    )
+
+    if hot_bucket_cap is None:
+        hot_bucket_cap = _CONV_LSH_HOT_BUCKET_CAP
+    run_id = new_run_id()
+    corpus_sigs = read_conv_signature_table(spark, sig_path)
+    if corpus_sigs is None:
+        _write_generation(conv_sig_df(corpus_tr), sig_path, "bootstrap")
+        corpus_sigs = read_conv_signature_table(spark, sig_path)
+    delta_sigs = conv_sig_df(delta_tr).persist()
+    all_sigs = corpus_sigs.unionByName(delta_sigs).persist()
+
+    flagged = conv_band_df(delta_tr, sigs=corpus_sigs).withColumn(
+        "is_new", F.lit(False)
+    ).unionByName(
+        conv_band_df(delta_tr, sigs=delta_sigs).withColumn("is_new", F.lit(True))
+    )
+    census = flagged.groupBy("band_key").agg(
+        F.count(F.lit(1)).alias("bkt_n"),
+        F.min_by(F.struct("conv_id", "is_new"), F.col("conv_id")).alias("rep"),
+    )
+    sized_delta = flagged.filter("is_new").join(census, "band_key")
+    a = sized_delta.filter(F.col("bkt_n") <= hot_bucket_cap).alias("a")
+    b = flagged.alias("b")
+    cold_pairs = a.join(
+        b,
+        (F.col("a.band_key") == F.col("b.band_key"))
+        & (F.col("a.conv_id") != F.col("b.conv_id")),
+    ).select(
+        F.least("a.conv_id", "b.conv_id").alias("c1"),
+        F.greatest("a.conv_id", "b.conv_id").alias("c2"),
+    )
+    hot_delta = sized_delta.filter(
+        (F.col("bkt_n") > hot_bucket_cap)
+        & (F.col("conv_id") != F.col("rep.conv_id"))
+    ).select(F.col("rep.conv_id").alias("c1"), F.col("conv_id").alias("c2"))
+    hot_rep_new = (
+        flagged.join(
+            census.filter((F.col("bkt_n") > hot_bucket_cap) & F.col("rep.is_new")),
+            "band_key",
+        )
+        .filter(F.col("conv_id") != F.col("rep.conv_id"))
+        .select(F.col("rep.conv_id").alias("c1"), F.col("conv_id").alias("c2"))
+    )
+    candidates = cold_pairs.unionByName(hot_delta).unionByName(hot_rep_new)
+
+    all_tr = corpus_tr.unionByName(delta_tr)
+    pairs = _conv_verify_candidates(all_tr, candidates, sigs=all_sigs).persist()
+    if pairs_path is not None:
+        write_pairs_generation(pairs, pairs_path, run_id)
+    else:
+        pairs.count()
+    _write_generation(delta_sigs, sig_path, run_id)
+    delta_sigs.unpersist()
+    all_sigs.unpersist()
+    return pairs, run_id
+
+
 def update_cluster_assignments(
     delta_pairs: DataFrame,
     delta_ids: DataFrame,

@@ -930,9 +930,181 @@ ORDER BY q_id, rank
 """
 
 
+# ---------------------------------------------------------------------------
+# suggest search: the full Meili default in one call — typo tolerance on
+# every term PLUS prefix matching on the last (what route.ts serves for a
+# keystroke like "merje s")
+# ---------------------------------------------------------------------------
+
+_SUGGEST_QUERIES = [
+    (1, "merje s", "src7", "en"),  # typo'd first term + prefix last term
+    (2, "spak data pipe", "src18", "en"),  # typo + dead prefix
+    (3, "the tabble sc", "src6", "en"),  # typo mid-query + prefix last
+    (4, "window", "src12", "en"),  # complete exact word
+]
+
+
+def q_suggest_search(spark, sf_dir):
+    """Search-as-you-type WITH typo tolerance — the union of
+    typo_ranked_search's expansion (symspell deletion-key equi-join +
+    Levenshtein verify, every term) and prefix_search's expansion
+    (prefix-key equi-join, last term only), scored per matched word at
+    0.5^dist with dist = min(edit distance, 1 for a proper-prefix hit)
+    so an exact hit always dominates its own typo/prefix shadows. Both
+    expansions are broadcast equi-joins against vocabulary-derived key
+    tables; the scoring tail is the shared `_bm25_topk`."""
+    docs = t(spark, sf_dir, "documents")
+    tf, dl, stats, df_t = _index_relations(docs)
+
+    queries = spark.createDataFrame(
+        _SUGGEST_QUERIES, "q_id int, q_text string, f_source string, f_lang string"
+    )
+    toks = queries.select(
+        "q_id",
+        "f_source",
+        "f_lang",
+        F.size(_tokens(F.col("q_text"))).alias("n"),
+        F.posexplode(_tokens(F.col("q_text"))).alias("j", "term"),
+    )
+    terms = toks.groupBy("q_id", "f_source", "f_lang", "term").agg(
+        F.max((F.col("j") == F.col("n") - 1).cast("int")).alias("is_last")
+    )
+    # typo branch: deletion-key equi-join, every term
+    term_keys = terms.select(
+        "q_id",
+        "f_source",
+        "f_lang",
+        "term",
+        F.explode(F.expr(_DELETES_EXPR.format(w="term"))).alias("key"),
+    )
+    vocab_del_keys = df_t.select(
+        "tok", "df", F.explode(F.expr(_DELETES_EXPR.format(w="tok"))).alias("key")
+    )
+    typo = (
+        vocab_del_keys.join(F.broadcast(term_keys), "key")
+        .select("q_id", "f_source", "f_lang", "term", "tok", "df")
+        .distinct()
+        .withColumn("dist", F.levenshtein("term", "tok"))
+        .filter(F.col("dist") <= 1)
+        .select("q_id", "f_source", "f_lang", "tok", "dist", "df")
+    )
+    # prefix branch: prefix-key equi-join, last term only
+    vocab_prefix = df_t.select(
+        "tok", "df", F.explode(F.expr(_PREFIXES_EXPR.format(w="tok"))).alias("key")
+    )
+    pref = (
+        vocab_prefix.join(
+            F.broadcast(terms.filter(F.col("is_last") == 1)),
+            F.col("key") == F.col("term"),
+        )
+        .filter(F.col("tok") != F.col("term"))
+        .select(
+            "q_id", "f_source", "f_lang", "tok", F.lit(1).alias("dist"), "df"
+        )
+    )
+    expanded = (
+        typo.unionByName(pref)
+        .groupBy("q_id", "f_source", "f_lang", "tok")
+        .agg(F.min("dist").alias("dist"), F.first("df").alias("df"))
+    )
+    term_idf = expanded.crossJoin(F.broadcast(stats)).select(
+        "q_id",
+        "f_source",
+        "f_lang",
+        "tok",
+        (
+            F.pow(F.lit(_TYPO_DAMP), F.col("dist"))
+            * F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            )
+        ).alias("idf"),
+        "avgdl",
+    )
+    return _bm25_topk(tf, dl, term_idf)
+
+
+def _suggest_queries_values_sql() -> str:
+    rows = ", ".join(
+        f"({q}, '{text}', '{src}', '{lang}')"
+        for q, text, src, lang in _SUGGEST_QUERIES
+    )
+    return f"queries(q_id, q_text, f_source, f_lang) AS (VALUES {rows})"
+
+
+ORACLE_SUGGEST_SEARCH = f"""
+WITH {_suggest_queries_values_sql()},
+toks AS (
+  SELECT doc_id, source, lang,
+         unnest({_DUCK_TOKENS.format(col='text')}) AS tok
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, source, lang, tok, count(*) AS tf FROM toks GROUP BY ALL
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT avg(dl) FROM dl) AS avgdl
+),
+dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+qtoks AS (
+  SELECT q_id, f_source, f_lang,
+         unnest({_DUCK_TOKENS.format(col='q_text')}) AS term,
+         unnest(generate_series(1, len({_DUCK_TOKENS.format(col='q_text')})))
+           AS pos,
+         len({_DUCK_TOKENS.format(col='q_text')}) AS n
+  FROM queries
+),
+terms AS (
+  SELECT q_id, f_source, f_lang, term,
+         max(CASE WHEN pos = n THEN 1 ELSE 0 END) AS is_last
+  FROM qtoks GROUP BY 1, 2, 3, 4
+),
+expanded AS (
+  SELECT q_id, f_source, f_lang, tok, min(dist) AS dist, first(df) AS df
+  FROM (
+    SELECT t.q_id, t.f_source, t.f_lang, v.tok,
+           cast(levenshtein(t.term, v.tok) AS int) AS dist, v.df
+    FROM terms t CROSS JOIN dft v
+    WHERE levenshtein(t.term, v.tok) <= 1
+    UNION ALL
+    SELECT t.q_id, t.f_source, t.f_lang, v.tok, 1 AS dist, v.df
+    FROM terms t JOIN dft v
+      ON t.is_last = 1 AND v.tok LIKE t.term || '%' AND v.tok != t.term
+  ) GROUP BY 1, 2, 3, 4
+),
+term_idf AS (
+  SELECT e.q_id, e.f_source, e.f_lang, e.tok,
+         pow({_TYPO_DAMP}, e.dist)
+           * ln(1 + (s.n_docs - e.df + 0.5) / (e.df + 0.5)) AS idf,
+         s.avgdl
+  FROM expanded e CROSS JOIN stats s
+),
+contrib AS (
+  SELECT ti.q_id, f.doc_id,
+         ti.idf * f.tf * ({_BM25_K1} + 1)
+           / (f.tf + {_BM25_K1} * ((1 - {_BM25_B}) + {_BM25_B} * l.dl / ti.avgdl))
+           AS c
+  FROM term_idf ti
+  JOIN tf f ON f.tok = ti.tok AND f.source = ti.f_source AND f.lang = ti.f_lang
+  JOIN dl l ON l.doc_id = f.doc_id
+),
+scored AS (
+  SELECT q_id, doc_id, round(sum(c), 4) AS score FROM contrib GROUP BY 1, 2
+)
+SELECT q_id, cast(row_number() OVER w AS int) AS rank, doc_id, score
+FROM scored
+WINDOW w AS (PARTITION BY q_id ORDER BY score DESC, doc_id ASC)
+QUALIFY row_number() OVER w <= {_TOP_K}
+ORDER BY q_id, rank
+"""
+
+
 SEARCH_QUERIES = {
     "ranked_search": (q_ranked_search, ORACLE_RANKED_SEARCH),
     "prefix_search": (q_prefix_search, ORACLE_PREFIX_SEARCH),
+    "suggest_search": (q_suggest_search, ORACLE_SUGGEST_SEARCH),
     "phrase_search": (q_phrase_search, ORACLE_PHRASE_SEARCH),
     "fuzzy_search": (q_fuzzy_search, ORACLE_FUZZY_SEARCH),
     "typo_ranked_search": (q_typo_ranked_search, ORACLE_TYPO_RANKED_SEARCH),

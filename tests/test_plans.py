@@ -96,6 +96,23 @@ def test_prefix_search_equi_join_no_like_scan(spark):
     assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan, plan
 
 
+def test_suggest_search_both_expansions_equi_join(spark):
+    """The one-call Meili default (typo on every term + prefix on the
+    last): BOTH expansions must be hash equi-joins against broadcast
+    query keys — deletion keys and prefix keys — with the shared BM25
+    tail's properties intact."""
+    from janet_spark.search import SEARCH_QUERIES
+
+    fn, _ = SEARCH_QUERIES["suggest_search"]
+    plan = _plan(fn(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert re.search(r"BroadcastHashJoin \[key#\d+\], \[key#\d+\]", plan), plan
+    assert re.search(r"BroadcastHashJoin \[key#\d+\], \[term#\d+\]", plan), plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan  # one-row stats only
+    assert "WindowGroupLimit" in plan, plan
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan, plan
+
+
 def test_fuzzy_search_no_cartesian_against_vocab(spark):
     """SymSpell candidate generation must stay an equi-join on deletion
     keys: a literal distance join would plan a nested-loop/cartesian
