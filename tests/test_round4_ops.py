@@ -219,6 +219,82 @@ def test_bpe_1k_table_and_trainers(spark):
     assert got == want
 
 
+def test_staged_cte_render_matches_python_tokenizer_property():
+    """Property: the staged-CTE DuckDB render of the 1,000-merge chain
+    must tokenize ANY word identically to the Python apply chain — the
+    renderer only restructures depth, never semantics. Hypothesis drives
+    random lowercase-alnum words through both engines."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from janet_spark.extract.bpe import (
+        bpe_tokens_1k,
+        duckdb_staged_token_count_ctes,
+    )
+    from janet_spark.extract.bpe_merges_1k import MERGES_1K
+
+    con = duckdb.connect()
+    ctes, final = duckdb_staged_token_count_ctes("w", "word", MERGES_1K)
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        st.lists(
+            st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789", min_size=1, max_size=24),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    def check(words):
+        vals = ", ".join(f"({i}, '{w}')" for i, w in enumerate(words))
+        rows = con.execute(
+            f"WITH w(i, word) AS (VALUES {vals}),\n{ctes}\n"
+            f"SELECT i, bpe_n FROM {final} ORDER BY i"
+        ).fetchall()
+        got = {i: n for i, n in rows}
+        want = {i: len(bpe_tokens_1k(w)) for i, w in enumerate(words)}
+        assert got == want
+
+    check()
+
+
+def test_maintained_pairs_fingerprint_invalidates_on_input_change(spark, tmp_path):
+    """_maintained_pairs keys its state dir by a fingerprint of the input
+    parquet (path + size + mtime): a REGENERATED input must get a fresh
+    state dir, never stale pairs from the old corpus."""
+    import os
+    import shutil
+    import time
+
+    from janet_spark.queries_text import _maintained_pairs
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    shutil.copy("/root/testdata/sf0.001/documents.parquet", sf)
+
+    p1 = _maintained_pairs(spark, sf)
+    n1 = p1.count()
+
+    # regenerate the input: drop half the docs (different size + mtime)
+    docs = spark.read.parquet(os.path.join(sf, "documents.parquet"))
+    half = docs.filter(docs.doc_id % 2 == 0).toPandas()
+    time.sleep(0.01)
+    os.remove(os.path.join(sf, "documents.parquet"))
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.Table.from_pandas(half, preserve_index=False),
+        os.path.join(sf, "documents.parquet"),
+    )
+    p2 = _maintained_pairs(spark, sf)
+    n2 = p2.count()
+    # the halved corpus must re-mine: every remaining pair has both
+    # endpoints even, and the count differs from the stale table's
+    assert n2 < n1
+    assert all(r.d1 % 2 == 0 and r.d2 % 2 == 0 for r in p2.collect())
+
+
 def test_compact_generations_preserves_reads_and_resume(spark, tmp_path):
     """Round-3 verdict #8: compacting 10 daily generations of an additive
     table into one must leave reads IDENTICAL (row multiset), survive a
