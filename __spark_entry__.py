@@ -29,6 +29,7 @@ _PRIORITY = [
     # (a) new in round 4
     "prefix_search",
     "suggest_search",
+    "incremental_embed_neardup",
     "dedup_report_incremental",
     "contrastive_pairs_incremental",
     "token_counts_bpe_1k",

@@ -230,6 +230,7 @@ def main() -> None:
         "dedup_report",
         "dedup_report_incremental",
         "contrastive_pairs_incremental",
+        "incremental_embed_neardup",
     ]
     for name in extended:
         fn, _ = registry[name]

@@ -2800,6 +2800,124 @@ ORDER BY label, v1, v2
 """
 
 
+# deterministic "arrived since the last run" stand-in for the embedding
+# modality, mirroring _DELTA_MOD / _CONV_DELTA_MOD so the oracle is a
+# one-line predicate
+_EMB_DELTA_MOD = 5
+
+
+def q_incremental_embed_neardup(spark, sf_dir, chunk_rows=_NEARDUP_CHUNK):
+    """Daily-delta embedding near-dup: mine only the cosine pairs touching
+    today's new vectors — the embedding-modality counterpart of
+    `incremental_neardup` (n-gram) and `incremental_conv_neardup`
+    (conversation). Within each label block, two bounded GEMM families:
+
+    * new x old — the label's delta vectors replicate to each of the
+      block's k hash chunks (bounded fan-out: |delta_label| x k rows) and
+      each (label, chunk) task GEMMs delta against ONLY that chunk's old
+      rows, so an old vector is paired exactly once and no task exceeds
+      ~|delta_label| + chunk_rows rows;
+    * new x new — one triangle GEMM per label over just the delta rows.
+
+    Old x old pairs are structurally impossible: old vectors never meet
+    outside their own chunk and the kernel only crosses sides. In
+    production the old side reads a maintained (label, vec_id, embedding)
+    table and the census comes from its metadata; here the registered
+    query derives the split from vec_id % {mod} so the DuckDB oracle is
+    the all-pairs SQL with a delta-touch predicate."""
+    emb = t(spark, sf_dir, "embeddings").select("label", "vec_id", "embedding")
+    is_new = F.col("vec_id") % _EMB_DELTA_MOD == 0
+    sizes = emb.groupBy("label").agg(F.count(F.lit(1)).alias("cnt"))
+    with_k = F.ceil(F.col("cnt") / chunk_rows).cast("int").alias("k")
+    old = (
+        emb.filter(~is_new)
+        .join(F.broadcast(sizes), "label")
+        .select(
+            "label",
+            "vec_id",
+            "embedding",
+            F.pmod(F.xxhash64("vec_id"), with_k.cast("long")).cast("int").alias("chunk"),
+            F.lit(False).alias("is_new"),
+        )
+    )
+    delta = emb.filter(is_new)
+    delta_rep = (
+        delta.join(F.broadcast(sizes), "label")
+        .select(
+            "label",
+            "vec_id",
+            "embedding",
+            F.explode(F.sequence(F.lit(0), with_k - 1)).alias("chunk"),
+            F.lit(True).alias("is_new"),
+        )
+    )
+
+    def cross_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        new_mask = pdf["is_new"].to_numpy()
+        empty = pd.DataFrame(
+            {"label": pd.Series(dtype="int64"), "v1": pd.Series(dtype="int64"),
+             "v2": pd.Series(dtype="int64"), "sim": pd.Series(dtype="float64")}
+        )
+        if not new_mask.any() or new_mask.all():
+            return empty
+        m = np.array(list(pdf["embedding"]), dtype=np.float64)
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        ids = pdf["vec_id"].to_numpy()
+        sims = np.round(mn[new_mask] @ mn[~new_mask].T, 4)
+        s = sims.reshape(-1)
+        a_ids = np.repeat(ids[new_mask], (~new_mask).sum())
+        b_ids = np.tile(ids[~new_mask], new_mask.sum())
+        keep = s >= 0.4
+        return pd.DataFrame(
+            {
+                "label": pdf["label"].iloc[0],
+                "v1": np.minimum(a_ids[keep], b_ids[keep]),
+                "v2": np.maximum(a_ids[keep], b_ids[keep]),
+                "sim": s[keep],
+            }
+        )
+
+    cross = (
+        old.unionByName(delta_rep)
+        .groupBy("label", "chunk")
+        .applyInPandas(cross_pairs, schema="label int, v1 long, v2 long, sim double")
+    )
+
+    def tri_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = np.array(list(pdf["embedding"]), dtype=np.float64)
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        ids = pdf["vec_id"].to_numpy()
+        iu = np.triu_indices(len(ids), k=1)
+        s = np.round((mn @ mn.T)[iu], 4)
+        keep = s >= 0.4
+        a_ids, b_ids = ids[iu[0]][keep], ids[iu[1]][keep]
+        return pd.DataFrame(
+            {
+                "label": pdf["label"].iloc[0],
+                "v1": np.minimum(a_ids, b_ids),
+                "v2": np.maximum(a_ids, b_ids),
+                "sim": s[keep],
+            }
+        )
+
+    nn = delta.groupBy("label").applyInPandas(
+        tri_pairs, schema="label int, v1 long, v2 long, sim double"
+    )
+    return cross.unionByName(nn).orderBy("label", "v1", "v2")
+
+
+ORACLE_INCREMENTAL_EMBED_NEARDUP = f"""
+SELECT a.label AS label, least(a.vec_id, b.vec_id) AS v1,
+       greatest(a.vec_id, b.vec_id) AS v2,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.4
+  AND (a.vec_id % {_EMB_DELTA_MOD} = 0 OR b.vec_id % {_EMB_DELTA_MOD} = 0)
+ORDER BY label, v1, v2
+"""
+
+
 # ---------------------------------------------------------------------------
 # fingerprinting / keyword matching
 # ---------------------------------------------------------------------------
@@ -3224,6 +3342,10 @@ TEXT_QUERIES = {
     "simhash": (q_simhash, ORACLE_SIMHASH),
     "ann_cosine_topk": (q_ann_cosine_topk, ORACLE_ANN_COSINE_TOPK),
     "embed_neardup_blocked": (q_embed_neardup_blocked, ORACLE_EMBED_NEARDUP_BLOCKED),
+    "incremental_embed_neardup": (
+        q_incremental_embed_neardup,
+        ORACLE_INCREMENTAL_EMBED_NEARDUP,
+    ),
     "doc_fingerprint": (q_doc_fingerprint, ORACLE_DOC_FINGERPRINT),
     "doc_fingerprint_jvm": (q_doc_fingerprint_jvm, ORACLE_DOC_FINGERPRINT),
     "keyword_match_count": (q_keyword_match_count, ORACLE_KEYWORD_MATCH_COUNT),

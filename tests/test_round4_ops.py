@@ -219,6 +219,35 @@ def test_bpe_1k_table_and_trainers(spark):
     assert got == want
 
 
+def test_incremental_embed_neardup_equals_delta_filtered_full(spark):
+    """The embedding-modality daily-delta invariant (same shape as the
+    n-gram and conversation grains): the incremental miner's output must
+    equal the full miner's pairs restricted to delta-touching ones — a
+    nonempty STRICT subset at this SF, so both the inclusion and the
+    exclusion sides are exercised."""
+    from janet_spark.queries_text import (
+        _EMB_DELTA_MOD,
+        q_embed_neardup_blocked,
+        q_incremental_embed_neardup,
+    )
+
+    full = {
+        (r.label, r.v1, r.v2, r.sim)
+        for r in q_embed_neardup_blocked(spark, SF).collect()
+    }
+    expected = {
+        t
+        for t in full
+        if t[1] % _EMB_DELTA_MOD == 0 or t[2] % _EMB_DELTA_MOD == 0
+    }
+    got = {
+        (r.label, r.v1, r.v2, r.sim)
+        for r in q_incremental_embed_neardup(spark, SF).collect()
+    }
+    assert got == expected
+    assert got and got < full
+
+
 def test_staged_cte_render_matches_python_tokenizer_property():
     """Property: the staged-CTE DuckDB render of the 1,000-merge chain
     must tokenize ANY word identically to the Python apply chain — the
