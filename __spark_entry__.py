@@ -30,6 +30,7 @@ _PRIORITY = [
     "prefix_search",
     "suggest_search",
     "incremental_embed_neardup",
+    "ann_ivf_topk_indexed",
     "dedup_report_incremental",
     "contrastive_pairs_incremental",
     "token_counts_bpe_1k",

@@ -231,6 +231,7 @@ def main() -> None:
         "dedup_report_incremental",
         "contrastive_pairs_incremental",
         "incremental_embed_neardup",
+        "ann_ivf_topk_indexed",
     ]
     for name in extended:
         fn, _ = registry[name]

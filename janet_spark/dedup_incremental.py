@@ -358,6 +358,30 @@ def prune_snapshots(table_path: str, keep_latest: int = 3) -> int:
     return len(to_drop)
 
 
+def state_dir_for_input(sf_dir: str, file_name: str, state_name: str) -> str:
+    """Deterministic state directory for a registered (spark, sf_dir)
+    query that consumes maintained generations: keyed by a fingerprint of
+    the input parquet (realpath + size + mtime, per file for a
+    directory), so a REGENERATED input gets a fresh state dir rather
+    than stale state. Production jobs pass explicit state paths; this
+    exists so stateless query signatures can still exercise the
+    maintained read path."""
+    import hashlib
+    import tempfile
+
+    p = os.path.join(sf_dir, file_name)
+    st = os.stat(p)
+    parts = [os.path.realpath(p), str(st.st_size), str(st.st_mtime_ns)]
+    if os.path.isdir(p):
+        for name in sorted(os.listdir(p)):
+            s = os.stat(os.path.join(p, name))
+            parts += [name, str(s.st_size), str(s.st_mtime_ns)]
+    fp = hashlib.md5(":".join(parts).encode()).hexdigest()[:16]
+    return os.path.join(
+        tempfile.gettempdir(), "janet_spark_state", f"{state_name}_{fp}"
+    )
+
+
 CONV_SIG_SCHEMA = "conv_id string, sig array<long>"
 CONV_PAIRS_SCHEMA = "c1 string, c2 string, jaccard double"
 

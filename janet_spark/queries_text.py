@@ -2447,26 +2447,13 @@ def _maintained_pairs(spark, sf_dir):
     the steady state a daily report actually runs in — only READS the
     pair table, whose size scales with the duplicate population, not the
     corpus."""
-    import hashlib
-    import os
-    import tempfile
-
     from janet_spark.dedup_incremental import (
         read_pairs_table,
+        state_dir_for_input,
         write_pairs_generation,
     )
 
-    p = os.path.join(sf_dir, "documents.parquet")
-    st = os.stat(p)
-    parts = [os.path.realpath(p), str(st.st_size), str(st.st_mtime_ns)]
-    if os.path.isdir(p):
-        for name in sorted(os.listdir(p)):
-            s = os.stat(os.path.join(p, name))
-            parts += [name, str(s.st_size), str(s.st_mtime_ns)]
-    fp = hashlib.md5(":".join(parts).encode()).hexdigest()[:16]
-    pairs_path = os.path.join(
-        tempfile.gettempdir(), "janet_spark_state", f"pairs_{fp}"
-    )
+    pairs_path = state_dir_for_input(sf_dir, "documents.parquet", "pairs")
     pairs = read_pairs_table(spark, pairs_path)
     if pairs is None:
         write_pairs_generation(

@@ -248,6 +248,33 @@ def test_incremental_embed_neardup_equals_delta_filtered_full(spark):
     assert got and got < full
 
 
+def test_ann_ivf_indexed_matches_per_call_form(spark, tmp_path, monkeypatch):
+    """The maintained-index ANN must return exactly the per-call form's
+    results, build its index once (gen=bootstrap), and serve the second
+    call from the stored table."""
+    import os
+
+    import janet_spark.dedup_incremental as dinc
+    from janet_spark.queries_extra import q_ann_ivf_topk, q_ann_ivf_topk_indexed
+
+    state_root = str(tmp_path / "state")
+
+    def patched(sf_dir, file_name, state_name):
+        return os.path.join(state_root, f"{state_name}")
+
+    monkeypatch.setattr(dinc, "state_dir_for_input", patched)
+
+    base = [tuple(r) for r in q_ann_ivf_topk(spark, SF).collect()]
+    got1 = [tuple(r) for r in q_ann_ivf_topk_indexed(spark, SF).collect()]
+    assert got1 == base and base
+    gens = os.listdir(os.path.join(state_root, "ivf_index"))
+    assert gens == ["gen=bootstrap"]
+    # second call: reads the stored index (no new generation)
+    got2 = [tuple(r) for r in q_ann_ivf_topk_indexed(spark, SF).collect()]
+    assert got2 == base
+    assert os.listdir(os.path.join(state_root, "ivf_index")) == ["gen=bootstrap"]
+
+
 def test_staged_cte_render_matches_python_tokenizer_property():
     """Property: the staged-CTE DuckDB render of the 1,000-merge chain
     must tokenize ANY word identically to the Python apply chain — the
