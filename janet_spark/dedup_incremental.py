@@ -140,9 +140,19 @@ def read_census(spark: SparkSession, census_path: str) -> DataFrame | None:
 
 def _write_generation(bands: DataFrame, sig_path: str, gen_id: str) -> str:
     """Atomic commit of one generation: write to staging, rename into
-    place. Idempotent — a re-commit of the same gen_id replaces it."""
+    place. Idempotent — a re-commit of the same gen_id replaces it.
+
+    The staging dir is suffixed with pid + a random token so two
+    concurrent sessions committing the SAME gen_id (e.g. both racing the
+    'bootstrap' generation over a shared state dir) never interleave
+    writes into one staging dir — each stages privately and the last
+    rename wins whole, never a partial mix."""
+    import uuid
+
     os.makedirs(sig_path, exist_ok=True)
-    staging = os.path.join(sig_path, f"_staging_{gen_id}")
+    staging = os.path.join(
+        sig_path, f"_staging_{gen_id}_{os.getpid()}_{uuid.uuid4().hex[:8]}"
+    )
     final = os.path.join(sig_path, f"gen={gen_id}")
     bands.write.mode("overwrite").parquet(staging)
     if os.path.exists(final):
@@ -278,6 +288,7 @@ def compact_generations(
     table_path: str,
     schema: str,
     keep_latest: int = 3,
+    distinct: bool = False,
 ) -> dict:
     """Compact an ADDITIVE generation table (signatures, pairs): merge
     every live generation older than the newest `keep_latest` into ONE
@@ -288,12 +299,23 @@ def compact_generations(
     need this: only their latest generation is live, so pruning old dirs
     suffices.
 
+    Generations are disjoint for SIGNATURE tables (each run signs a
+    distinct delta), but NOT for pair tables: read_pairs_table documents
+    that a retry after a crash between the pair commit and the signature
+    commit re-commits identical pairs under a new generation, and reads
+    stay exact only through its `.distinct()`. Pass `distinct=True` when
+    compacting a pair table so the duplicates are squeezed out at
+    compaction instead of baked into the compacted generation (the verify
+    then compares DISTINCT counts, which is the exactness that actually
+    matters for those readers).
+
     Verify-then-swap, tolerant of every crash window:
     1. the union of the old generations writes to a `_staging_*` dir
        (invisible to readers), with `_covered.json` naming the absorbed
        generations;
-    2. row-count verify: staged == union of inputs (additive tables have
-       disjoint rows per generation, so plain row parity is exact);
+    2. row-count verify: staged == union of inputs (disjoint generations
+       make plain row parity exact; with `distinct=True` both sides are
+       distinct-counted, exact for the dedup-on-read contract);
     3. ONE rename commits the compacted generation — from that instant
        readers SKIP the covered dirs (they'd double rows otherwise), so
        the delete phase needs no atomicity;
@@ -320,6 +342,8 @@ def compact_generations(
         return {"path": table_path, "compacted": False, "n_live": len(live)}
 
     union = spark.read.schema(schema).parquet(*old)
+    if distinct:
+        union = union.distinct()
     n_rows = union.count()
     gen_id = f"compacted-{new_run_id()}"
     staging = os.path.join(table_path, f"_staging_compact_{gen_id}")
@@ -365,7 +389,15 @@ def state_dir_for_input(sf_dir: str, file_name: str, state_name: str) -> str:
     directory), so a REGENERATED input gets a fresh state dir rather
     than stale state. Production jobs pass explicit state paths; this
     exists so stateless query signatures can still exercise the
-    maintained read path."""
+    maintained read path.
+
+    Root is `$JANET_SPARK_STATE_DIR` when set (production: a durable
+    path — the world-shared OS temp dir is subject to periodic cleanup
+    that would silently discard the maintained table between runs and is
+    writable by every local user); the tempdir default stays for tests
+    and sandboxes. Concurrent-session commit races on a shared state dir
+    are handled at the commit layer (_write_generation stages under a
+    per-process unique name)."""
     import hashlib
     import tempfile
 
@@ -377,9 +409,10 @@ def state_dir_for_input(sf_dir: str, file_name: str, state_name: str) -> str:
             s = os.stat(os.path.join(p, name))
             parts += [name, str(s.st_size), str(s.st_mtime_ns)]
     fp = hashlib.md5(":".join(parts).encode()).hexdigest()[:16]
-    return os.path.join(
-        tempfile.gettempdir(), "janet_spark_state", f"{state_name}_{fp}"
+    root = os.environ.get("JANET_SPARK_STATE_DIR") or os.path.join(
+        tempfile.gettempdir(), "janet_spark_state"
     )
+    return os.path.join(root, f"{state_name}_{fp}")
 
 
 CONV_SIG_SCHEMA = "conv_id string, sig array<long>"
@@ -401,11 +434,23 @@ def read_conv_signature_table(
     sig: 64 minhash components). The conversation table stores FULL
     signatures, not band keys: ~512 B/conversation buys both the band
     derivation (a cheap vectorized mix per run) and the verify tail's
-    estimated-Jaccard prefilter — the corpus text is never re-signed."""
+    estimated-Jaccard prefilter — the corpus text is never re-signed.
+
+    Deduped by conv_id on read: an orchestrator that replays a run whose
+    signature generation already committed (crash after _write_generation,
+    before the run was recorded as done) lands the same conv_ids in two
+    generations; signatures are deterministic functions of the transcript,
+    so keeping either row is exact, and without the dedup banding/census/
+    prefilter would see doubled signature rows and double-count candidates.
+    The table is ~512 B/conversation, so the shuffle is negligible."""
     gens = _live_generation_dirs(sig_path)
     if not gens:
         return None
-    return spark.read.schema(CONV_SIG_SCHEMA).parquet(*gens)
+    return (
+        spark.read.schema(CONV_SIG_SCHEMA)
+        .parquet(*gens)
+        .dropDuplicates(["conv_id"])
+    )
 
 
 def incremental_conv_dedup_run(

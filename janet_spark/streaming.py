@@ -293,6 +293,12 @@ def update_index_stream(
         old = f"{index_dir}__old"
         if not os.path.isdir(index_dir) and os.path.isdir(old):
             os.rename(old, index_dir)
+        elif os.path.isdir(old):
+            # stale __old from a crash AFTER rename(staging, index_dir) but
+            # before the rmtree below: index_dir is already current, so the
+            # leftover is garbage — without this, rename(index_dir, old)
+            # below fails with ENOTEMPTY and wedges the stream
+            shutil.rmtree(old, ignore_errors=True)
         delta = (
             batch_df.select(
                 "doc_id",

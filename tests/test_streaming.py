@@ -388,6 +388,48 @@ def test_update_index_stream_recovers_stranded_swap(spark, tmp_path):
     assert not os.path.isdir(f"{index}__old")
 
 
+def test_update_index_stream_sweeps_stale_old_dir(spark, tmp_path):
+    """Round-4 advice (medium): the OTHER swap crash window — after
+    rename(staging, index) but before rmtree(__old) — leaves a non-empty
+    __old ALONGSIDE a current index. On the replayed batch the stranded-
+    swap recovery doesn't apply (index exists), and without sweeping the
+    stale __old, rename(index, __old) fails ENOTEMPTY and wedges the
+    stream permanently."""
+    import os
+    import shutil
+
+    from janet_spark.streaming import update_index_stream
+
+    landing = str(tmp_path / "docs")
+    index = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_docs(rows):
+        pdf = pd.DataFrame(
+            rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+        )
+        spark.createDataFrame(
+            pdf,
+            schema="doc_id long, text string, lang string, source string, n_chars long",
+        ).coalesce(1).write.mode("append").parquet(landing)
+
+    write_docs([(0, "spark merge sort", "en", "s1", 16)])
+    q = update_index_stream(spark, landing, index, ckpt)
+    q.awaitTermination(120)
+
+    # simulate the crash AFTER the swap completed but BEFORE cleanup:
+    # index is current, a non-empty __old lingers
+    shutil.copytree(index, f"{index}__old")
+
+    write_docs([(1, "merge table", "en", "s1", 11)])
+    q = update_index_stream(spark, landing, index, ckpt)
+    q.awaitTermination(120)
+
+    got = {r["tok"]: r["df"] for r in spark.read.parquet(index).collect()}
+    assert got == {"spark": 1, "merge": 2, "sort": 1, "table": 1}
+    assert not os.path.isdir(f"{index}__old")
+
+
 def test_curate_turns_stream_gate_and_decontamination(spark, tmp_path):
     """The streaming curation gate: (a) a too-short turn and a
     high-repetition turn are dropped by the stateless quality filter;
