@@ -2,11 +2,15 @@
 
 Images/audio/video are carried as `binary` columns plus a metadata struct;
 decode / feature-extract / resize / frame-sample run as Arrow-batched
-mapInPandas stages. The actual codec step is STUBBED (no image/audio libs in
-this container): `decode_payload` raises NotImplementedError unless
-`fake=True`, in which case a deterministic fake decode (seeded by payload
-bytes) exercises the full Spark-side plumbing — schema, partitioning, UDF
-signature, and batch shape are real and tested.
+mapInPandas stages. IMAGE decode is REAL (round-5): PNG payloads decode
+through the pure-stdlib codec in png_codec.py (zlib inflate + scanline
+unfiltering — verified against externally-encoded system PNGs and an
+arithmetic DuckDB oracle). Audio/video codecs are the remaining stub (no
+libsndfile/ffmpeg in this container): for those kinds `decode_payload`
+raises NotImplementedError unless `fake=True`, in which case a
+deterministic fake decode (seeded by payload bytes) exercises the full
+Spark-side plumbing — schema, partitioning, UDF signature, and batch shape
+are real and tested.
 """
 
 from __future__ import annotations
@@ -47,15 +51,27 @@ def synth_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def decode_payload(payload: bytes, kind: str, fake: bool = False) -> np.ndarray:
-    """Decode one payload to a float feature array.
+    """Decode one payload to a FEATURE_DIM float feature array.
 
-    Real decoding requires imaging/audio libraries that are not present in
-    this environment; the plumbing around this call is production-shaped.
+    kind='image' is a REAL decode: the payload is parsed as PNG by the
+    pure-stdlib codec (png_codec.decode_png) and featurized as the
+    16-bin normalized luminance histogram — a malformed payload raises
+    ValueError loudly. Audio/video decoding requires codec libraries not
+    present in this environment; for those kinds the plumbing is
+    production-shaped and `fake=True` substitutes a deterministic
+    stand-in.
     """
     if not fake:
+        if kind == "image":
+            from janet_spark.png_codec import decode_png
+
+            _, _, _, px = decode_png(payload)
+            grey = px.astype(np.float64).mean(axis=2)
+            hist, _ = np.histogram(grey, bins=FEATURE_DIM, range=(0.0, 256.0))
+            return hist.astype(np.float64) / grey.size
         raise NotImplementedError(
-            "real image/audio decode needs PIL/libsndfile — not available here; "
-            "pass fake=True for the deterministic stand-in"
+            "real audio/video decode needs libsndfile/ffmpeg — not available "
+            "here; pass fake=True for the deterministic stand-in"
         )
     # deterministic fake: sha256 of the payload -> FEATURE_DIM floats in [0,1)
     h = hashlib.sha256(payload if payload is not None else b"").digest()
@@ -108,6 +124,76 @@ def frame_sample_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
                 f = decode_payload(chunk, "image", fake=True)
                 rows.append((int(asset_id), frame_idx, float(np.round(f.mean(), 6))))
         yield pd.DataFrame(rows, columns=["asset_id", "frame_idx", "frame_feat_mean"])
+
+
+def synth_png_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic REAL-PNG asset corpus: one RGB PNG per document,
+    width = doc_id % 24 + 8, height = doc_id % 16 + 8, pixel content from
+    png_codec.synth_pixels (a pure arithmetic function of
+    (asset_id, x, y, channel), so a SQL oracle can recompute any pixel
+    statistic without touching the bytes). The encoder rotates all five
+    PNG filter types across scanlines, so every downstream decode
+    exercises the full unfilter path. Encoding runs as an Arrow-batched
+    mapInPandas stage — per-asset, shuffle-free, 100 TB-parallel."""
+    from janet_spark.png_codec import encode_png, synth_pixels
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_png(
+                    synth_pixels(int(a), int(a) % 24 + 8, int(a) % 16 + 8)
+                )
+                for a in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {"asset_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return docs.mapInPandas(gen, schema="asset_id long, payload binary")
+
+
+IMAGE_STATS_DDL = (
+    "asset_id long, width int, height int, n_channels int, "
+    "sum_c0 long, sum_c1 long, sum_c2 long, "
+    "min_c0 int, max_c0 int, min_c2 int, max_c2 int"
+)
+
+
+def decode_image_stats(assets: DataFrame) -> DataFrame:
+    """REAL image decode as a distributed operator: parse each asset's
+    PNG bytes (dimensions, channels, and every pixel come from the BYTES,
+    not from passed-through metadata columns), then emit per-channel
+    pixel sums and extrema. The second Arrow hop (binary payload between
+    two Python stages) is deliberate — it is the production shape where
+    the encoded column is stored and decoded downstream. Per-asset
+    parallel, zero shuffle."""
+    from janet_spark.png_codec import decode_png
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for a, p in zip(pdf["asset_id"], pdf["payload"]):
+                w, h, ch, px = decode_png(bytes(p))
+                s = px.astype(np.int64).sum(axis=(0, 1))
+                rows.append(
+                    (
+                        int(a), w, h, ch,
+                        int(s[0]), int(s[1]), int(s[2]),
+                        int(px[:, :, 0].min()), int(px[:, :, 0].max()),
+                        int(px[:, :, 2].min()), int(px[:, :, 2].max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "width", "height", "n_channels",
+                    "sum_c0", "sum_c1", "sum_c2",
+                    "min_c0", "max_c0", "min_c2", "max_c2",
+                ],
+            )
+
+    return assets.mapInPandas(dec, schema=IMAGE_STATS_DDL)
 
 
 def extract_features(assets: DataFrame) -> DataFrame:
