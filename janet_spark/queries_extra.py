@@ -1394,11 +1394,15 @@ def ivf_assign_frame(emb, cent):
     return emb.mapInPandas(assign, schema=IVF_INDEX_SCHEMA)
 
 
-def _ivf_search(emb, assigned, cent):
+def _ivf_search(
+    emb, assigned, cent, n_probes=_IVF_PROBES, topk=_IVF_TOPK, n_queries=10
+):
     """The IVF query tail shared by the per-call and maintained-index
-    forms: each query probes its 2 nearest cells (broadcast), candidates
-    come from the cell equi-join against the assignment table, exact
-    cosine ranks them, WindowGroupLimit takes the top-k."""
+    forms: each query probes its `n_probes` nearest cells (broadcast),
+    candidates come from the cell equi-join against the assignment table,
+    exact cosine ranks them, WindowGroupLimit takes the top-`topk`. The
+    registered queries use the defaults; scripts/ivf_recall.py sweeps
+    `n_probes` to measure recall vs the brute-force ground truth."""
     import numpy as np
     import pandas as pd
 
@@ -1414,13 +1418,13 @@ def _ivf_search(emb, assigned, cent):
             rows = []
             for i, qid in enumerate(pdf["vec_id"]):
                 order = sorted(range(len(c_ids)), key=lambda j: (-cs[i, j], c_ids[j]))
-                for cell_rank, j in enumerate(order[:_IVF_PROBES]):
+                for cell_rank, j in enumerate(order[:n_probes]):
                     rows.append((int(qid), c_ids[j], cell_rank, list(pdf["embedding"].iloc[i])))
             yield pd.DataFrame(
                 rows, columns=["qid", "cell", "cell_rank", "q_embedding"]
             )
 
-    queries = emb.filter(F.col("vec_id") < 10).mapInPandas(
+    queries = emb.filter(F.col("vec_id") < n_queries).mapInPandas(
         probes,
         schema="qid long, cell long, cell_rank int, q_embedding array<float>",
     )
@@ -1447,7 +1451,7 @@ def _ivf_search(emb, assigned, cent):
     return (
         scored.dropDuplicates(["qid", "vec_id"])
         .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= _IVF_TOPK)
+        .filter(F.col("rk") <= topk)
         .select(
             "qid",
             F.col("rk").alias("rank"),
@@ -1507,6 +1511,57 @@ def q_ann_ivf_topk_indexed(spark, sf_dir):
     return _ivf_search(emb, assigned, cent)
 
 
+_IVF_DELTA_MOD = 5  # registered-query stand-in for "today's new vectors"
+
+
+def incremental_ivf_index_run(emb_delta, cent, idx_path: str, run_id: str) -> str:
+    """Daily IVF index maintenance: coarse-quantize ONLY the delta
+    vectors against the FIXED centroid set the index was trained with and
+    append the assignments as one committed generation — the same
+    gen=<run_id> single-rename contract as the signature/pair/census
+    tables (the index never rebuilds over the old corpus, and a replayed
+    run_id replaces its own generation rather than duplicating rows).
+    Generations are disjoint by construction (each run assigns a distinct
+    delta), so `compact_generations(..., IVF_INDEX_SCHEMA)` applies
+    unchanged when the per-day dirs accumulate."""
+    from janet_spark.dedup_incremental import _write_generation
+
+    return _write_generation(ivf_assign_frame(emb_delta, cent), idx_path, run_id)
+
+
+def q_ann_ivf_topk_indexed_delta(spark, sf_dir):
+    """IVF ANN over a maintained index that grew by a DAILY DELTA: the
+    bootstrap day assigns the old corpus (vec_id % {mod} != 0) and trains
+    the centroid set; day 2 assigns only the new vectors (vec_id % {mod}
+    == 0) against those SAME held-fixed centroids and appends one
+    generation — per-day work is |delta|, never a corpus rebuild. The
+    query tail then serves over the union of generations exactly as
+    `ann_ivf_topk_indexed` does. The DuckDB oracle recomputes the
+    centroid sample over the old subset only, so the held-fixed-centroid
+    semantics (NOT full-corpus retraining) is what gets value-checked."""
+    import os
+
+    from janet_spark.dedup_incremental import (
+        _live_generation_dirs,
+        state_dir_for_input,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    is_new = F.col("vec_id") % _IVF_DELTA_MOD == 0
+    old = emb.filter(~is_new)
+    cent = ivf_centroids(old)  # trained at bootstrap, held fixed
+    idx_path = state_dir_for_input(sf_dir, "embeddings.parquet", "ivf_index_delta")
+    live = {os.path.basename(d) for d in _live_generation_dirs(idx_path)}
+    if "gen=bootstrap" not in live:
+        incremental_ivf_index_run(old, cent, idx_path, "bootstrap")
+    if "gen=delta-day2" not in live:
+        incremental_ivf_index_run(emb.filter(is_new), cent, idx_path, "delta-day2")
+    assigned = spark.read.schema(IVF_INDEX_SCHEMA).parquet(
+        *_live_generation_dirs(idx_path)
+    )
+    return _ivf_search(emb, assigned, cent)
+
+
 _DUCK_COS = (
     "list_dot_product({a}, {b}) / "
     "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
@@ -1516,6 +1571,43 @@ ORACLE_ANN_IVF_TOPK = f"""
 WITH c AS (
   SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
   FROM (SELECT * FROM embeddings
+        ORDER BY md5(cast(vec_id AS varchar)), vec_id LIMIT {_IVF_K})
+), v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings
+), sim AS (
+  SELECT v.vec_id, c.cid, {_DUCK_COS.format(a='v.ve', b='c.ce')} AS cs
+  FROM v CROSS JOIN c
+), assigned AS (
+  SELECT vec_id, cid AS cell FROM sim
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC) = 1
+), probes AS (
+  SELECT vec_id AS qid, cid AS cell FROM sim WHERE vec_id < 10
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC)
+          <= {_IVF_PROBES}
+), cand AS (
+  SELECT DISTINCT p.qid, a.vec_id FROM probes p
+  JOIN assigned a ON a.cell = p.cell
+  WHERE a.vec_id != p.qid
+), scored AS (
+  SELECT cand.qid, cand.vec_id,
+         {_DUCK_COS.format(a='q.ve', b='t.ve')} AS cs
+  FROM cand
+  JOIN v q ON q.vec_id = cand.qid
+  JOIN v t ON t.vec_id = cand.vec_id
+)
+SELECT qid, cast(row_number() OVER w AS int) AS rank, vec_id,
+       round(cs, 4) AS cosine
+FROM scored
+WINDOW w AS (PARTITION BY qid ORDER BY cs DESC, vec_id ASC)
+QUALIFY row_number() OVER w <= {_IVF_TOPK}
+ORDER BY qid, rank
+"""
+
+
+ORACLE_ANN_IVF_TOPK_DELTA = f"""
+WITH c AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+  FROM (SELECT * FROM embeddings WHERE vec_id % {_IVF_DELTA_MOD} != 0
         ORDER BY md5(cast(vec_id AS varchar)), vec_id LIMIT {_IVF_K})
 ), v AS (
   SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings
@@ -1806,6 +1898,10 @@ EXTRA_QUERIES = {
     "image_decode_stats": (q_image_decode_stats, ORACLE_IMAGE_DECODE_STATS),
     "ann_ivf_topk": (q_ann_ivf_topk, ORACLE_ANN_IVF_TOPK),
     "ann_ivf_topk_indexed": (q_ann_ivf_topk_indexed, ORACLE_ANN_IVF_TOPK),
+    "ann_ivf_topk_indexed_delta": (
+        q_ann_ivf_topk_indexed_delta,
+        ORACLE_ANN_IVF_TOPK_DELTA,
+    ),
     "kmeans_assign": (q_kmeans_assign, ORACLE_KMEANS_ASSIGN),
     "semdedup": (q_semdedup, ORACLE_SEMDEDUP),
     "distinct_users": (q_distinct_users, ORACLE_DISTINCT_USERS),
