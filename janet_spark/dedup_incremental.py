@@ -116,6 +116,48 @@ def write_pairs_generation(pairs: DataFrame, pairs_path: str, gen_id: str) -> st
     return _write_generation(pairs, pairs_path, gen_id)
 
 
+EXACT_CENSUS_SCHEMA = "kk string, source string, n long"
+
+
+def exact_census_of(docs: DataFrame) -> DataFrame:
+    """(kk, source, n): per exact-dup key (corpus-wide md5-prefix, the
+    same key dedup_report_frame scans for) and source, how many documents
+    carry it. ADDITIVE across disjoint deltas — counts sum — so the daily
+    run censuses only its delta and the reader aggregates generations."""
+    return (
+        docs.select("source", F.md5(F.substring("text", 1, 24)).alias("kk"))
+        .groupBy("kk", "source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def read_exact_census(spark: SparkSession, census_path: str) -> DataFrame | None:
+    """Sum the per-generation counts into the live (kk, source, n) view.
+    Generations are disjoint deltas, so SUM (not last-snapshot-wins) is
+    the merge; `compact_generations` applies unchanged because reads
+    re-aggregate whatever union of generations survives compaction."""
+    gens = _live_generation_dirs(census_path)
+    if not gens:
+        return None
+    return (
+        spark.read.schema(EXACT_CENSUS_SCHEMA)
+        .parquet(*gens)
+        .groupBy("kk", "source")
+        .agg(F.sum("n").alias("n"))
+    )
+
+
+def incremental_exact_census_run(
+    delta_docs: DataFrame, census_path: str, run_id: str
+) -> str:
+    """Daily exact-dup census maintenance: census ONLY the delta and
+    append one committed generation (single-rename gen=<run_id>, replay
+    replaces) — the daily report then reads a table sized by the key
+    population instead of md5-scanning the corpus per report (round-4
+    verdict "What's wrong" #2)."""
+    return _write_generation(exact_census_of(delta_docs), census_path, run_id)
+
+
 CENSUS_SCHEMA = "band_key long, bkt_n long, rep_doc long"
 
 

@@ -2381,29 +2381,40 @@ SELECT q_id, vec_id, sim, rank FROM ranked WHERE rank <= 5 ORDER BY q_id, rank
 """
 
 
-def dedup_report_frame(docs, pairs):
-    """Shared report body: per source, documents in an exact-duplicate
-    group (corpus-wide md5-prefix key) and documents appearing in ≥1 of
-    the given verified near-dup `pairs`, with rates. Everything
-    aggregates to one row per source."""
-    k = docs.select("doc_id", "source", F.md5(F.substring("text", 1, 24)).alias("kk"))
-    dup_keys = k.groupBy("kk").agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") > 1)
-    exact = (
-        k.join(dup_keys.select("kk"), "kk", "left_semi")
-        .groupBy("source")
-        .agg(F.count(F.lit(1)).alias("exact_dup_docs"))
-    )
+def _near_dup_docs_per_source(docs, pairs):
+    """(source, neardup_docs): documents appearing in ≥1 verified pair.
+    Only needs the (doc_id, source) projection of the corpus — callers on
+    the maintained path pass exactly that so the plan never reads text."""
     nd_docs = (
         pairs.select(F.col("d1").alias("doc_id"))
         .unionByName(pairs.select(F.col("d2").alias("doc_id")))
         .distinct()
     )
-    near = (
+    return (
         docs.join(nd_docs, "doc_id", "left_semi")
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("neardup_docs"))
     )
-    base = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def _exact_dup_from_census(census):
+    """(source, exact_dup_docs) and (source, n_docs) from the maintained
+    (kk, source, n) census — a key whose TOTAL count across sources
+    exceeds 1 is a duplicate group, and every document carrying it counts
+    toward its own source."""
+    dup_keys = (
+        census.groupBy("kk").agg(F.sum("n").alias("tot")).filter(F.col("tot") > 1)
+    )
+    exact = (
+        census.join(dup_keys.select("kk"), "kk", "left_semi")
+        .groupBy("source")
+        .agg(F.sum("n").alias("exact_dup_docs"))
+    )
+    base = census.groupBy("source").agg(F.sum("n").alias("n_docs"))
+    return exact, base
+
+
+def _assemble_dedup_report(base, exact, near):
     return (
         base.join(exact, "source", "left")
         .join(near, "source", "left")
@@ -2421,6 +2432,20 @@ def dedup_report_frame(docs, pairs):
         )
         .orderBy("source")
     )
+
+
+def dedup_report_frame(docs, pairs):
+    """Shared report body, standalone (scanning) form: per source,
+    documents in an exact-duplicate group (corpus-wide md5-prefix key)
+    and documents appearing in ≥1 of the given verified near-dup `pairs`,
+    with rates. Everything aggregates to one row per source. The
+    maintained form computes the same exact half from the
+    (kk, source, n) census instead of md5-scanning the corpus."""
+    from janet_spark.dedup_incremental import exact_census_of
+
+    exact, base = _exact_dup_from_census(exact_census_of(docs))
+    near = _near_dup_docs_per_source(docs, pairs)
+    return _assemble_dedup_report(base, exact, near)
 
 
 def q_dedup_report(spark, sf_dir):
@@ -2463,17 +2488,46 @@ def _maintained_pairs(spark, sf_dir):
     return pairs
 
 
+def _maintained_exact_census(spark, sf_dir):
+    """The standing (kk, source, n) exact-dup census for `sf_dir`'s
+    documents, bootstrapping gen=bootstrap on first touch — the exact-dup
+    counterpart of `_maintained_pairs`. Production appends one generation
+    per daily delta via `incremental_exact_census_run`; the reader sums
+    generations, so the table's read cost scales with the KEY population,
+    never the corpus."""
+    from janet_spark.dedup_incremental import (
+        incremental_exact_census_run,
+        read_exact_census,
+        state_dir_for_input,
+    )
+
+    census_path = state_dir_for_input(sf_dir, "documents.parquet", "exact_census")
+    census = read_exact_census(spark, census_path)
+    if census is None:
+        incremental_exact_census_run(
+            t(spark, sf_dir, "documents"), census_path, "bootstrap"
+        )
+        census = read_exact_census(spark, census_path)
+    return census
+
+
 def q_dedup_report_incremental(spark, sf_dir):
     """The production daily duplication census: consumes the MAINTAINED
-    pair generations (dedup_incremental.read_pairs_table) instead of
-    re-mining LSH pairs per invocation — the report becomes a join of
-    corpus-census aggregates against a pair table that is orders of
-    magnitude smaller than the corpus. Output is identical to
-    `dedup_report` (same oracle) because the maintained table holds
-    exactly the verified pairs the standalone miner produces — pinned by
-    tests/test_round4_ops.py on a two-generation corpus."""
-    docs = t(spark, sf_dir, "documents")
-    return dedup_report_frame(docs, _maintained_pairs(spark, sf_dir))
+    pair generations (dedup_incremental.read_pairs_table) AND the
+    maintained (kk, source, n) exact-dup census instead of re-mining LSH
+    pairs or md5-scanning the corpus per invocation (round-4 verdict
+    "What's wrong" #2) — the report becomes joins over two maintained
+    tables plus ONE pruned (doc_id, source) projection of the corpus for
+    the near-dup attribution; the text column is never read (plan-pinned
+    in tests/test_round5_ops.py). Output is identical to `dedup_report`
+    (same oracle) because the maintained tables hold exactly what the
+    standalone miner/scanner produces — pinned on a two-generation corpus
+    by tests/test_round4_ops.py (pairs) and tests/test_round5_ops.py
+    (census)."""
+    docs_idmap = t(spark, sf_dir, "documents").select("doc_id", "source")
+    exact, base = _exact_dup_from_census(_maintained_exact_census(spark, sf_dir))
+    near = _near_dup_docs_per_source(docs_idmap, _maintained_pairs(spark, sf_dir))
+    return _assemble_dedup_report(base, exact, near)
 
 
 def _dedup_report_oracle() -> str:
