@@ -1,7 +1,7 @@
 """One-command acceptance battery — everything the round gate checks,
 locally reproducible:
 
-    python scripts/acceptance.py [--fast]
+    python scripts/acceptance.py [--fast] [--stress]
 
 1. full pytest suite
 2. oracle gate at sf0.01 AND sf0.001
@@ -9,6 +9,12 @@ locally reproducible:
    partitions) — partition invariance
 4. driver contract: entry() rows > 0, len(queries()) == len(oracle_sql())
 5. bench.py emits exactly one parseable JSON line (skipped with --fast)
+6. with --stress: the cheapest discriminating scale stress — the
+   verify-tail prefilter against a planted 10^6-turn hot bucket
+   (scripts/conv_verify_prefilter_stress.py, ~30 s), whose hard asserts
+   pin identical-output AND the bounded verify fan-out; a scale
+   regression on the conversation verify tail now fails the battery
+   instead of waiting for a judge read (round-4 verdict "Next round" #7).
 
 Prints one PASS/FAIL line per step and exits nonzero on any failure.
 """
@@ -80,6 +86,14 @@ def main() -> int:
                 print("FAIL  bench JSON parse")
                 ok = False
         results.append(ok)
+
+    if "--stress" in sys.argv:
+        results.append(
+            step(
+                "stress: verify-tail prefilter (planted hot bucket)",
+                [sys.executable, "scripts/conv_verify_prefilter_stress.py", "--fast"],
+            )[0]
+        )
 
     print("ACCEPTANCE", "PASS" if all(results) else "FAIL")
     return 0 if all(results) else 1

@@ -26,7 +26,16 @@ hard asserts
 
 Writes BENCH/conv_verify_prefilter_stress.json.
 
-Usage: python scripts/conv_verify_prefilter_stress.py   (local[32])
+Usage: python scripts/conv_verify_prefilter_stress.py [--fast]  (local[32])
+
+--fast (the acceptance battery's --stress tier) skips the WITHOUT-prefilter
+baseline leg — the ~6 min unbounded shape whose cost is the very thing the
+prefilter removes — and asserts against the PLANTED truth instead: the
+corpus is constructed, so the exact expected pair set (the N_NEARDUP
+genuine pairs), the mega conversation's departure from the candidate set,
+and the bounded shingle fan-out are all checkable without re-running the
+unbounded baseline. The full A/B (output identity vs the no-prefilter run)
+remains the default mode for evidence refreshes.
 """
 
 from __future__ import annotations
@@ -179,7 +188,9 @@ def main() -> int:
     sigs = conv_sig_df(tr).persist()
     sigs.count()
 
-    results = {"n_turns": n_turns, "n_candidates": n_cand, "cpus": 32}
+    fast = "--fast" in sys.argv
+    results = {"n_turns": n_turns, "n_candidates": n_cand, "cpus": 32,
+               "mode": "fast" if fast else "full"}
 
     def shingle_rows(cand):
         convs = (
@@ -191,11 +202,12 @@ def main() -> int:
             tr.join(convs, "conv_id", "left_semi")
         ).count()
 
-    # --- WITHOUT prefilter: the unbounded shape ---
-    t0 = time.time()
-    base_pairs = _conv_verify_candidates(tr, candidates).collect()
-    results["verify_s_without_prefilter"] = round(time.time() - t0, 2)
-    results["shingle_rows_without_prefilter"] = shingle_rows(candidates)
+    # --- WITHOUT prefilter: the unbounded shape (skipped in --fast) ---
+    if not fast:
+        t0 = time.time()
+        base_pairs = _conv_verify_candidates(tr, candidates).collect()
+        results["verify_s_without_prefilter"] = round(time.time() - t0, 2)
+        results["shingle_rows_without_prefilter"] = shingle_rows(candidates)
 
     # --- WITH prefilter ---
     t0 = time.time()
@@ -205,11 +217,13 @@ def main() -> int:
     results["candidates_after_prefilter"] = surviving.count()
     results["shingle_rows_with_prefilter"] = shingle_rows(surviving)
 
-    # hard assert 1: identical pair output
-    assert sorted(map(tuple, base_pairs)) == sorted(map(tuple, pref_pairs)), (
-        len(base_pairs),
-        len(pref_pairs),
-    )
+    # hard assert 1: identical pair output (full mode; in --fast the
+    # planted truth below IS the expected output)
+    if not fast:
+        assert sorted(map(tuple, base_pairs)) == sorted(map(tuple, pref_pairs)), (
+            len(base_pairs),
+            len(pref_pairs),
+        )
     results["n_pairs"] = len(pref_pairs)
     # hard assert 2: every genuine near-dup survived end-to-end
     assert len(pref_pairs) == N_NEARDUP, len(pref_pairs)
@@ -219,13 +233,20 @@ def main() -> int:
         (F.col("c1") == "aaa-mega") | (F.col("c2") == "aaa-mega")
     ).count()
     assert mega_left == 0, mega_left
-    assert (
-        results["shingle_rows_with_prefilter"]
-        < results["shingle_rows_without_prefilter"] / 100
-    ), results
+    if fast:
+        # bounded fan-out vs the planted corpus itself: the surviving
+        # candidates' shingle table must exclude the mega conversation's
+        # ~10^6 rows (it alone dwarfs everything else in the corpus)
+        assert results["shingle_rows_with_prefilter"] < MEGA_TURNS / 100, results
+    else:
+        assert (
+            results["shingle_rows_with_prefilter"]
+            < results["shingle_rows_without_prefilter"] / 100
+        ), results
 
     os.makedirs(os.path.dirname(RESULT), exist_ok=True)
-    with open(RESULT, "w") as f:
+    out_path = RESULT.replace(".json", "_fast.json") if fast else RESULT
+    with open(out_path, "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps(results))
     return 0
