@@ -20,68 +20,66 @@ SF0001 = "/root/testdata/sf0.001"
 # queries past the cap are verified out-of-band via
 # `scripts/check_oracles.py <sf_dir> <names...>` (full-registry run
 # committed as ORACLE_CHECK_r{N}.json). Exposure therefore ROTATES per
-# round. Round-4 rotation: (a) the 4 queries new this round, then (b)
-# every query NEVER recorded by any driver run (r1∪r2∪r3 covered 102 of
-# the registry; the 25 below close the gap), then (c) the queries whose
-# only driver record is oldest (r1-only, then r2). After this round's
-# gate, every registered query has at least one driver-recorded green row.
+# round. Round-5 rotation: (a) the queries NEW or materially CHANGED this
+# round (PNG decode, IVF delta-append form, the four search-facade
+# fixtures, the census-consuming report + its refactored standalone twin),
+# then (b) the 42-query tail ordered by OLDEST most-recent driver record
+# (all r2 — after round 4 every registered query already has ≥1 driver
+# row, so the tail refreshes the stalest evidence first).
 _PRIORITY = [
-    # (a) new in round 4
+    # (a) new or changed in round 5
+    "image_decode_stats",
+    "ann_ivf_topk_indexed_delta",
+    "ranked_search",
+    "typo_ranked_search",
     "prefix_search",
     "suggest_search",
-    "incremental_embed_neardup",
-    "ann_ivf_topk_indexed",
     "dedup_report_incremental",
-    "contrastive_pairs_incremental",
-    "token_counts_bpe_1k",
-    # (b) never driver-recorded before this round
-    "dedup_clusters_lsh",
-    "doc_fingerprint_jvm",
-    "quality_repetition",
-    "chunk_dedup",
-    "decontaminate",
-    "lm_score",
-    "sequence_pack",
-    "curation_pipeline_v2",
-    "mixture_weights",
-    "disjunctive_upsert",
-    "label_array_filter",
-    "flaky_enrichment",
-    "asof_join",
-    "range_join_banded",
-    "pii_scrub",
-    "hash_sample",
-    "image_header_probe",
-    "authorized_events",
-    "curation_pipeline",
-    "event_type_pivot",
-    "set_ops_users",
-    "lateral_top_orders",
-    "stratified_sample",
-    "unpivot_doc_stats",
-    "rank_functions",
-    # (c) oldest driver record: r1-only...
-    "match_navigation",
-    "rollup_revenue",
-    # ...then r2 (not recorded in r3)
-    "ann_cosine_topk",
-    "ann_ivf_topk",
-    "broadcast_brand_revenue",
-    "canonical_rename_sql",
-    "clean_canonicalize",
-    "clean_canonicalize_jvm",
-    "customer_order_fulljoin",
-    "dedup_clusters",
-    "distinct_users",
-    "doc_fingerprint",
-    "embed_neardup_blocked",
-    "exact_dedup",
-    "extract_turns",
-    "frame_sample",
-    "fs_safe_timestamp",
-    "html_strip",
+    "dedup_report",
+    # (b) stalest driver record (r2), alphabetical
     "json_props_histogram",
     "keyword_match_count",
+    "keyword_spans",
+    "lang_id",
+    "langs_per_source",
+    "latest_event_per_user",
+    "manifest_upsert",
+    "match_offsets_sql",
+    "match_ordinal",
+    "metadata_extract",
+    "minhash_lsh_pairs",
+    "moving_avg_value",
+    "multi_keyword_spans",
+    "multimodal_features",
+    "multimodal_probe",
+    "ngram_jaccard_pairs",
+    "ordered_concat",
+    "ordinal_dates",
+    "point_lookup",
+    "pricing_summary",
+    "quality_scores",
+    "reassemble_convs",
+    "rename_suggest",
+    "resume_anti_join",
+    "revenue_by_region",
+    "sanitized_filenames",
+    "search_index_projection",
+    "semi_join_search",
+    "sessionize_events",
+    "simhash",
+    "token_counts",
+    "top_orders",
+    "tumbling_hourly_events",
+    "value_percentiles",
+    # ...then the r3 tail, alphabetical
+    "apply_mixture",
+    "best_of_n",
+    "bigram_lm",
+    "bpe_pair_census",
+    "chat_render",
+    "cluster_safe_split",
+    "contrastive_pairs",
+    "conv_branch_dedup",
 ]
 
 
