@@ -29,6 +29,7 @@ SF0001 = "/root/testdata/sf0.001"
 _PRIORITY = [
     # (a) new or changed in round 5
     "image_decode_stats",
+    "audio_decode_stats",
     "ann_ivf_topk_indexed_delta",
     "ranked_search",
     "typo_ranked_search",

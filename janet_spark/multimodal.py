@@ -5,12 +5,15 @@ decode / feature-extract / resize / frame-sample run as Arrow-batched
 mapInPandas stages. IMAGE decode is REAL (round-5): PNG payloads decode
 through the pure-stdlib codec in png_codec.py (zlib inflate + scanline
 unfiltering — verified against externally-encoded system PNGs and an
-arithmetic DuckDB oracle). Audio/video codecs are the remaining stub (no
-libsndfile/ffmpeg in this container): for those kinds `decode_payload`
-raises NotImplementedError unless `fake=True`, in which case a
-deterministic fake decode (seeded by payload bytes) exercises the full
-Spark-side plumbing — schema, partitioning, UDF signature, and batch shape
-are real and tested.
+arithmetic DuckDB oracle). AUDIO decode is REAL too (round-5): 16-bit
+integer-PCM WAV payloads decode through wav_codec.py (struct-only RIFF
+chunk walk, cross-validated against the stdlib `wave` module in both
+directions). VIDEO is the one remaining stub — an H.26x/VP9/AV1
+bitstream decoder is genuinely not stdlib-feasible — so for that kind
+`decode_payload` raises NotImplementedError unless `fake=True`, in which
+case a deterministic fake decode (seeded by payload bytes) exercises the
+full Spark-side plumbing — schema, partitioning, UDF signature, and
+batch shape are real and tested.
 """
 
 from __future__ import annotations
@@ -55,11 +58,14 @@ def decode_payload(payload: bytes, kind: str, fake: bool = False) -> np.ndarray:
 
     kind='image' is a REAL decode: the payload is parsed as PNG by the
     pure-stdlib codec (png_codec.decode_png) and featurized as the
-    16-bin normalized luminance histogram — a malformed payload raises
-    ValueError loudly. Audio/video decoding requires codec libraries not
-    present in this environment; for those kinds the plumbing is
-    production-shaped and `fake=True` substitutes a deterministic
-    stand-in.
+    16-bin normalized luminance histogram. kind='audio' is a REAL decode
+    too: the payload is parsed as 16-bit integer-PCM WAV
+    (wav_codec.decode_wav) and featurized as the 16-bin normalized
+    amplitude histogram over the full int16 range. A malformed payload
+    raises ValueError loudly for both. Video decoding requires bitstream
+    codecs not present in (or stdlib-buildable for) this environment;
+    for that kind the plumbing is production-shaped and `fake=True`
+    substitutes a deterministic stand-in.
     """
     if not fake:
         if kind == "image":
@@ -69,8 +75,16 @@ def decode_payload(payload: bytes, kind: str, fake: bool = False) -> np.ndarray:
             grey = px.astype(np.float64).mean(axis=2)
             hist, _ = np.histogram(grey, bins=FEATURE_DIM, range=(0.0, 256.0))
             return hist.astype(np.float64) / grey.size
+        if kind == "audio":
+            from janet_spark.wav_codec import decode_wav
+
+            _, _, samples = decode_wav(payload)
+            hist, _ = np.histogram(
+                samples, bins=FEATURE_DIM, range=(-32768.0, 32768.0)
+            )
+            return hist.astype(np.float64) / samples.size
         raise NotImplementedError(
-            "real audio/video decode needs libsndfile/ffmpeg — not available "
+            "real video decode needs an H.26x/VP9/AV1 codec — not available "
             "here; pass fake=True for the deterministic stand-in"
         )
     # deterministic fake: sha256 of the payload -> FEATURE_DIM floats in [0,1)
@@ -194,6 +208,74 @@ def decode_image_stats(assets: DataFrame) -> DataFrame:
             )
 
     return assets.mapInPandas(dec, schema=IMAGE_STATS_DDL)
+
+
+def synth_wav_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic REAL-WAV asset corpus: one stereo 16-bit PCM WAV per
+    document, n_samples = doc_id % 240 + 60, sample_rate cycling
+    8/12/16 kHz by doc_id % 3, sample content from wav_codec.synth_samples
+    (a pure arithmetic function of (asset_id, t, channel), so a SQL
+    oracle can recompute any sample statistic without touching the
+    bytes). Encoding runs as an Arrow-batched mapInPandas stage —
+    per-asset, shuffle-free, 100 TB-parallel."""
+    from janet_spark.wav_codec import encode_wav, synth_samples
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_wav(
+                    synth_samples(int(a), int(a) % 240 + 60, 2),
+                    8000 + (int(a) % 3) * 4000,
+                )
+                for a in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {"asset_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return docs.mapInPandas(gen, schema="asset_id long, payload binary")
+
+
+AUDIO_STATS_DDL = (
+    "asset_id long, sample_rate int, n_channels int, n_samples int, "
+    "sum_c0 long, sum_c1 long, min_c0 int, max_c0 int, min_c1 int, max_c1 int"
+)
+
+
+def decode_audio_stats(assets: DataFrame) -> DataFrame:
+    """REAL audio decode as a distributed operator: parse each asset's
+    WAV bytes (sample rate, channel count, frame count, and every sample
+    come from the BYTES, not from passed-through metadata columns), then
+    emit per-channel sample sums and extrema. Same production shape as
+    decode_image_stats: the encoded binary column crosses an Arrow hop
+    and decodes downstream. Per-asset parallel, zero shuffle."""
+    from janet_spark.wav_codec import decode_wav
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for a, p in zip(pdf["asset_id"], pdf["payload"]):
+                rate, ch, s = decode_wav(bytes(p))
+                tot = s.astype(np.int64).sum(axis=0)
+                rows.append(
+                    (
+                        int(a), rate, ch, int(s.shape[0]),
+                        int(tot[0]), int(tot[1]),
+                        int(s[:, 0].min()), int(s[:, 0].max()),
+                        int(s[:, 1].min()), int(s[:, 1].max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "sample_rate", "n_channels", "n_samples",
+                    "sum_c0", "sum_c1",
+                    "min_c0", "max_c0", "min_c1", "max_c1",
+                ],
+            )
+
+    return assets.mapInPandas(dec, schema=AUDIO_STATS_DDL)
 
 
 def extract_features(assets: DataFrame) -> DataFrame:

@@ -1894,8 +1894,77 @@ ORDER BY asset_id
 """
 
 
+def q_audio_decode_stats(spark, sf_dir):
+    """End-to-end REAL audio decode (the audio twin of
+    image_decode_stats, closing the 'needs libsndfile' claim the same way
+    round 5 closed 'needs PIL'): synthesize one stereo 16-bit PCM WAV per
+    document (deterministic sample function of (asset_id, t, channel)),
+    carry it as a binary column through an Arrow hop, then DECODE it with
+    the pure-stdlib codec (janet_spark/wav_codec.py — struct-only RIFF
+    chunk walk, cross-validated against the stdlib `wave` module) and
+    emit per-channel means and extrema. Sample rate, channel count, frame
+    count, and every sample come from the BYTES.
+
+    The oracle recomputes the same statistics arithmetically from the
+    generator formula — the WAV bytes never reach DuckDB — so any decoder
+    defect (header offset, endianness, interleave order, truncation)
+    breaks the value hash. Rounded means divide an exact integer sum by
+    an exact count in both systems, so the doubles agree bit-for-bit.
+    Reference analog: opaque asset payload probed then decoded downstream
+    (apps/ocr/src/lib/ocr-utils.ts:197-222).
+
+    Scale: both stages are per-asset mapInPandas — shuffle-free, linear,
+    embarrassingly parallel at 100 TB."""
+    from janet_spark.multimodal import decode_audio_stats, synth_wav_assets
+
+    assets = synth_wav_assets(spark, sf_dir)
+    stats = decode_audio_stats(assets)
+    n = F.col("n_samples").cast("double")
+    return stats.select(
+        "asset_id",
+        "sample_rate",
+        "n_channels",
+        "n_samples",
+        F.round(F.col("sum_c0") / n, 4).alias("mean_c0"),
+        F.round(F.col("sum_c1") / n, 4).alias("mean_c1"),
+        "min_c0",
+        "max_c0",
+        "min_c1",
+        "max_c1",
+    ).orderBy("asset_id")
+
+
+ORACLE_AUDIO_DECODE_STATS = """
+WITH ts AS (SELECT unnest(range(300)) AS t),
+     cs AS (SELECT unnest(range(2)) AS c),
+base AS (
+  SELECT doc_id AS asset_id,
+         cast(8000 + (doc_id % 3) * 4000 AS int) AS sample_rate,
+         cast(doc_id % 240 + 60 AS int) AS n_samples
+  FROM documents
+),
+sm AS (
+  SELECT b.asset_id, b.sample_rate, b.n_samples, cs.c AS chan,
+         (b.asset_id * 31 + ts.t * 7 + cs.c * 101) % 4096 - 2048 AS v
+  FROM base b, ts, cs
+  WHERE ts.t < b.n_samples
+)
+SELECT asset_id, sample_rate, 2 AS n_channels, n_samples,
+       round(sum(CASE WHEN chan = 0 THEN v END)::double / n_samples, 4) AS mean_c0,
+       round(sum(CASE WHEN chan = 1 THEN v END)::double / n_samples, 4) AS mean_c1,
+       cast(min(CASE WHEN chan = 0 THEN v END) AS int) AS min_c0,
+       cast(max(CASE WHEN chan = 0 THEN v END) AS int) AS max_c0,
+       cast(min(CASE WHEN chan = 1 THEN v END) AS int) AS min_c1,
+       cast(max(CASE WHEN chan = 1 THEN v END) AS int) AS max_c1
+FROM sm
+GROUP BY asset_id, sample_rate, n_samples
+ORDER BY asset_id
+"""
+
+
 EXTRA_QUERIES = {
     "image_decode_stats": (q_image_decode_stats, ORACLE_IMAGE_DECODE_STATS),
+    "audio_decode_stats": (q_audio_decode_stats, ORACLE_AUDIO_DECODE_STATS),
     "ann_ivf_topk": (q_ann_ivf_topk, ORACLE_ANN_IVF_TOPK),
     "ann_ivf_topk_indexed": (q_ann_ivf_topk_indexed, ORACLE_ANN_IVF_TOPK),
     "ann_ivf_topk_indexed_delta": (

@@ -146,12 +146,15 @@ def test_multimodal_fake_decode_deterministic():
     assert a.shape == (FEATURE_DIM,)
     assert np.array_equal(a, b)
     assert not np.array_equal(a, c)
-    # real image decode is implemented (png_codec): malformed bytes reject
-    # loudly; only audio/video still require the deterministic stand-in
+    # real image/audio decode is implemented (png_codec/wav_codec):
+    # malformed bytes reject loudly; only video still requires the
+    # deterministic stand-in
     with pytest.raises(ValueError, match="not a PNG"):
         decode_payload(b"hello", "image", fake=False)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="not a WAV"):
         decode_payload(b"hello", "audio", fake=False)
+    with pytest.raises(NotImplementedError):
+        decode_payload(b"hello", "video", fake=False)
 
 
 def test_multimodal_spark_plumbing(spark):

@@ -164,7 +164,7 @@ def test_png_decode_rejects_unsupported_shapes_loudly():
 def test_decode_payload_real_image_path():
     """kind='image' decodes REAL PNG bytes (no fake flag): the feature is
     the 16-bin luminance histogram, normalized. The NotImplementedError
-    now covers audio/video only."""
+    now covers video only (audio decodes for real via wav_codec)."""
     import numpy as np
 
     from janet_spark.multimodal import FEATURE_DIM, decode_payload
@@ -178,9 +178,113 @@ def test_decode_payload_real_image_path():
     f = decode_payload(white, "image")
     assert f[-1] == 1.0
     with pytest.raises(NotImplementedError):
-        decode_payload(b"\x00" * 16, "audio")
+        decode_payload(b"\x00" * 16, "video")
     with pytest.raises(ValueError):
         decode_payload(b"not a png", "image")
+
+
+def test_wav_codec_roundtrip_and_stdlib_cross_validation():
+    """encode_wav/decode_wav roundtrip across channel counts, sample
+    counts, and rates — and BOTH directions against the independent
+    stdlib `wave` reader/writer, so a consistent-but-wrong codec (shared
+    header-offset or interleave mistake) cannot self-certify."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from janet_spark.wav_codec import decode_wav, encode_wav, synth_samples
+
+    for aid, n, ch, rate in [(0, 60, 1, 8000), (7, 299, 2, 16000), (12345, 100, 3, 44100)]:
+        s = synth_samples(aid, n, ch)
+        rate_out, ch_out, out = decode_wav(encode_wav(s, rate))
+        assert (rate_out, ch_out) == (rate, ch)
+        assert np.array_equal(out, s)
+
+    s = synth_samples(42, 128, 2)
+    w = wave.open(io.BytesIO(encode_wav(s, 16000)))
+    assert (w.getframerate(), w.getnchannels(), w.getsampwidth(), w.getnframes()) == (16000, 2, 2, 128)
+    assert np.array_equal(
+        np.frombuffer(w.readframes(128), dtype="<i2").reshape(-1, 2), s
+    )
+
+    buf = io.BytesIO()
+    ww = wave.open(buf, "wb")
+    ww.setnchannels(2)
+    ww.setsampwidth(2)
+    ww.setframerate(8000)
+    ww.writeframes(s.astype("<i2").tobytes())
+    ww.close()
+    rate_out, ch_out, out = decode_wav(buf.getvalue())
+    assert (rate_out, ch_out) == (8000, 2)
+    assert np.array_equal(out, s)
+
+
+def test_wav_decode_rejects_unsupported_shapes_loudly():
+    import struct
+
+    import numpy as np
+
+    from janet_spark.wav_codec import decode_wav, encode_wav
+
+    with pytest.raises(ValueError, match="bad RIFF"):
+        decode_wav(b"hello world!")
+    with pytest.raises(ValueError, match="no fmt"):
+        decode_wav(b"RIFF" + struct.pack("<I", 4) + b"WAVE")
+
+    def wav_with_fmt(audio_format: int, bits: int) -> bytes:
+        fmt = struct.pack("<HHIIHH", audio_format, 1, 8000, 16000, 2, bits)
+        body = (
+            b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 0)
+        )
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    with pytest.raises(ValueError, match="audio_format=3"):
+        decode_wav(wav_with_fmt(3, 32))  # IEEE float
+    with pytest.raises(ValueError, match="8-bit"):
+        decode_wav(wav_with_fmt(1, 8))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_wav(encode_wav(np.zeros((4, 2), np.int16), 8000)[:-3])
+
+
+def test_decode_payload_real_audio_path():
+    """kind='audio' decodes REAL WAV bytes (no fake flag): the feature is
+    the 16-bin amplitude histogram over the int16 range, normalized."""
+    import numpy as np
+
+    from janet_spark.multimodal import FEATURE_DIM, decode_payload
+    from janet_spark.wav_codec import encode_wav
+
+    silence = encode_wav(np.zeros((32, 2), np.int16), 8000)
+    f = decode_payload(silence, "audio")
+    assert f.shape == (FEATURE_DIM,)
+    assert f[FEATURE_DIM // 2] == 1.0 and f.sum() == 1.0  # all samples at 0
+    loud = encode_wav(np.full((32, 1), 32767, np.int16), 8000)
+    f = decode_payload(loud, "audio")
+    assert f[-1] == 1.0
+    with pytest.raises(ValueError):
+        decode_payload(b"not a wav", "audio")
+
+
+def test_audio_decode_stats_matches_direct_synthesis(spark):
+    """The registered query's Spark path (synth -> Arrow hop -> decode ->
+    stats) agrees with statistics computed directly from the sample
+    generator, for every asset at sf0.001."""
+    import numpy as np
+
+    from janet_spark.queries_extra import q_audio_decode_stats
+    from janet_spark.wav_codec import synth_samples
+
+    got = q_audio_decode_stats(spark, _SF).toPandas()
+    assert len(got) == 500
+    for row in got.head(25).itertuples():
+        s = synth_samples(int(row.asset_id), int(row.asset_id) % 240 + 60, 2)
+        assert row.n_samples == s.shape[0]
+        assert row.sample_rate == 8000 + int(row.asset_id) % 3 * 4000
+        assert row.mean_c0 == round(float(s[:, 0].astype(np.int64).mean()), 4)
+        assert (row.min_c1, row.max_c1) == (s[:, 1].min(), s[:, 1].max())
 
 
 def test_state_dir_env_override(tmp_path, monkeypatch):
