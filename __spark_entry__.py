@@ -30,6 +30,7 @@ _PRIORITY = [
     # (a) new or changed in round 5
     "image_decode_stats",
     "audio_decode_stats",
+    "video_frame_sample",
     "ann_ivf_topk_indexed_delta",
     "ranked_search",
     "typo_ranked_search",

@@ -234,6 +234,8 @@ def main() -> None:
         "ann_ivf_topk_indexed",
         "ann_ivf_topk_indexed_delta",
         "image_decode_stats",
+        "audio_decode_stats",
+        "video_frame_sample",
     ]
     for name in extended:
         fn, _ = registry[name]

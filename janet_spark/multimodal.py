@@ -8,12 +8,14 @@ unfiltering — verified against externally-encoded system PNGs and an
 arithmetic DuckDB oracle). AUDIO decode is REAL too (round-5): 16-bit
 integer-PCM WAV payloads decode through wav_codec.py (struct-only RIFF
 chunk walk, cross-validated against the stdlib `wave` module in both
-directions). VIDEO is the one remaining stub — an H.26x/VP9/AV1
-bitstream decoder is genuinely not stdlib-feasible — so for that kind
-`decode_payload` raises NotImplementedError unless `fake=True`, in which
-case a deterministic fake decode (seeded by payload bytes) exercises the
-full Spark-side plumbing — schema, partitioning, UDF signature, and
-batch shape are real and tested.
+directions). VIDEO decode is REAL at the container level: uncompressed
+24-bit-DIB AVI payloads decode through avi_codec.py (nested-RIFF walk +
+BMP-style frame buffers), so frame sampling runs on real bytes; the
+honest codec-bound boundary is COMPRESSED bitstreams (H.26x/VP9/AV1),
+which raise ValueError naming the fourcc — a codec library genuinely
+cannot be built from the stdlib. `fake=True` remains for exercising the
+Spark-side plumbing (schema, partitioning, UDF signature, batch shape)
+with payloads that aren't real media files.
 """
 
 from __future__ import annotations
@@ -61,11 +63,13 @@ def decode_payload(payload: bytes, kind: str, fake: bool = False) -> np.ndarray:
     16-bin normalized luminance histogram. kind='audio' is a REAL decode
     too: the payload is parsed as 16-bit integer-PCM WAV
     (wav_codec.decode_wav) and featurized as the 16-bin normalized
-    amplitude histogram over the full int16 range. A malformed payload
-    raises ValueError loudly for both. Video decoding requires bitstream
-    codecs not present in (or stdlib-buildable for) this environment;
-    for that kind the plumbing is production-shaped and `fake=True`
-    substitutes a deterministic stand-in.
+    amplitude histogram over the full int16 range. kind='video' is a
+    REAL decode for uncompressed-DIB AVI (avi_codec.decode_avi),
+    featurized as the 16-bin luminance histogram over all frames;
+    compressed bitstreams raise ValueError naming the fourcc (the
+    genuine codec-library boundary). A malformed payload raises
+    ValueError loudly for all three kinds; `fake=True` substitutes the
+    deterministic stand-in for non-media payloads.
     """
     if not fake:
         if kind == "image":
@@ -83,10 +87,16 @@ def decode_payload(payload: bytes, kind: str, fake: bool = False) -> np.ndarray:
                 samples, bins=FEATURE_DIM, range=(-32768.0, 32768.0)
             )
             return hist.astype(np.float64) / samples.size
-        raise NotImplementedError(
-            "real video decode needs an H.26x/VP9/AV1 codec — not available "
-            "here; pass fake=True for the deterministic stand-in"
-        )
+        if kind == "video":
+            from janet_spark.avi_codec import decode_avi
+
+            frames = decode_avi(payload)
+            if frames.size == 0:
+                return np.zeros(FEATURE_DIM, dtype=np.float64)
+            grey = frames.astype(np.float64).mean(axis=3)
+            hist, _ = np.histogram(grey, bins=FEATURE_DIM, range=(0.0, 256.0))
+            return hist.astype(np.float64) / grey.size
+        raise ValueError(f"unknown payload kind: {kind!r}")
     # deterministic fake: sha256 of the payload -> FEATURE_DIM floats in [0,1)
     h = hashlib.sha256(payload if payload is not None else b"").digest()
     vals = [
@@ -276,6 +286,76 @@ def decode_audio_stats(assets: DataFrame) -> DataFrame:
             )
 
     return assets.mapInPandas(dec, schema=AUDIO_STATS_DDL)
+
+
+def synth_avi_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic REAL-AVI asset corpus: one uncompressed 24-bit AVI
+    per document, n_frames = doc_id % 6 + 2, width = doc_id % 10 + 6,
+    height = doc_id % 8 + 5, frame content from avi_codec.synth_frames
+    (a pure arithmetic function of (asset_id, frame, x, y, channel), so
+    a SQL oracle can recompute any frame statistic without touching the
+    bytes). Widths are deliberately non-multiples of 4 for some assets
+    so every decode exercises the DIB row-padding path. Encoding runs as
+    an Arrow-batched mapInPandas stage — per-asset, shuffle-free."""
+    from janet_spark.avi_codec import encode_avi, synth_frames
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_avi(
+                    synth_frames(
+                        int(a), int(a) % 6 + 2, int(a) % 10 + 6, int(a) % 8 + 5
+                    )
+                )
+                for a in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {"asset_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    return docs.mapInPandas(gen, schema="asset_id long, payload binary")
+
+
+FRAME_SAMPLE_DDL = (
+    "asset_id long, n_frames int, frame_idx int, "
+    "sum_c0 long, sum_c1 long, sum_c2 long, n_px int"
+)
+
+
+def sample_video_frames(assets: DataFrame, stride: int = 2) -> DataFrame:
+    """REAL video frame-sampling as a distributed operator: parse each
+    asset's AVI bytes (frame count, dimensions, and every pixel come from
+    the BYTES), keep every `stride`-th frame, and emit per-channel pixel
+    sums per kept frame — the frame-grain analog of decode_image_stats.
+    One input asset row explodes to ceil(n_frames/stride) output rows
+    inside the same Arrow batch; per-asset parallel, zero shuffle."""
+    from janet_spark.avi_codec import decode_avi
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for a, p in zip(pdf["asset_id"], pdf["payload"]):
+                frames = decode_avi(bytes(p))
+                n = frames.shape[0]
+                for fi in range(0, n, stride):
+                    s = frames[fi].astype(np.int64).sum(axis=(0, 1))
+                    rows.append(
+                        (
+                            int(a), n, fi,
+                            int(s[0]), int(s[1]), int(s[2]),
+                            int(frames.shape[1] * frames.shape[2]),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "n_frames", "frame_idx",
+                    "sum_c0", "sum_c1", "sum_c2", "n_px",
+                ],
+            )
+
+    return assets.mapInPandas(dec, schema=FRAME_SAMPLE_DDL)
 
 
 def extract_features(assets: DataFrame) -> DataFrame:

@@ -1962,9 +1962,75 @@ ORDER BY asset_id
 """
 
 
+def q_video_frame_sample(spark, sf_dir):
+    """End-to-end REAL video frame-sampling (the video third of the
+    modality closures, and the brief's 'frame-sample' operator on real
+    bytes): synthesize one uncompressed 24-bit AVI per document
+    (deterministic pixel function of (asset_id, frame, x, y, channel)),
+    carry it as a binary column through an Arrow hop, then DECODE it
+    with the pure-stdlib container codec (janet_spark/avi_codec.py —
+    nested-RIFF walk + DIB un-padding/un-flipping) and keep every 2nd
+    frame, emitting per-channel means per kept frame. Frame count,
+    dimensions, and every pixel come from the BYTES; compressed streams
+    would reject loudly naming the fourcc.
+
+    The oracle recomputes the same statistics arithmetically from the
+    generator formula — the AVI bytes never reach DuckDB — so any
+    container-walk defect (row padding, bottom-up flip, BGR order, frame
+    boundary) breaks the value hash. Rounded means divide an exact
+    integer sum by an exact count in both systems.
+    Reference analog: opaque asset payload probed then decoded downstream
+    (apps/ocr/src/lib/ocr-utils.ts:197-222).
+
+    Scale: per-asset mapInPandas, one row per sampled frame —
+    shuffle-free, linear, embarrassingly parallel at 100 TB."""
+    from janet_spark.multimodal import sample_video_frames, synth_avi_assets
+
+    assets = synth_avi_assets(spark, sf_dir)
+    sampled = sample_video_frames(assets, stride=2)
+    n = F.col("n_px").cast("double")
+    return sampled.select(
+        "asset_id",
+        "n_frames",
+        "frame_idx",
+        F.round(F.col("sum_c0") / n, 4).alias("mean_c0"),
+        F.round(F.col("sum_c1") / n, 4).alias("mean_c1"),
+        F.round(F.col("sum_c2") / n, 4).alias("mean_c2"),
+    ).orderBy("asset_id", "frame_idx")
+
+
+ORACLE_VIDEO_FRAME_SAMPLE = """
+WITH fs AS (SELECT unnest(range(8)) AS f),
+     xs AS (SELECT unnest(range(16)) AS x),
+     ys AS (SELECT unnest(range(13)) AS y),
+     cs AS (SELECT unnest(range(3)) AS c),
+base AS (
+  SELECT doc_id AS asset_id,
+         cast(doc_id % 6 + 2 AS int) AS n_frames,
+         cast(doc_id % 10 + 6 AS int) AS w,
+         cast(doc_id % 8 + 5 AS int) AS h
+  FROM documents
+),
+px AS (
+  SELECT b.asset_id, b.n_frames, fs.f AS frame_idx, cs.c AS chan,
+         (b.asset_id * 31 + fs.f * 17 + xs.x * 7 + ys.y * 13 + cs.c * 101) % 256 AS v
+  FROM base b, fs, xs, ys, cs
+  WHERE fs.f < b.n_frames AND fs.f % 2 = 0 AND xs.x < b.w AND ys.y < b.h
+)
+SELECT asset_id, n_frames, cast(frame_idx AS int) AS frame_idx,
+       round(avg(CASE WHEN chan = 0 THEN v END), 4) AS mean_c0,
+       round(avg(CASE WHEN chan = 1 THEN v END), 4) AS mean_c1,
+       round(avg(CASE WHEN chan = 2 THEN v END), 4) AS mean_c2
+FROM px
+GROUP BY asset_id, n_frames, frame_idx
+ORDER BY asset_id, frame_idx
+"""
+
+
 EXTRA_QUERIES = {
     "image_decode_stats": (q_image_decode_stats, ORACLE_IMAGE_DECODE_STATS),
     "audio_decode_stats": (q_audio_decode_stats, ORACLE_AUDIO_DECODE_STATS),
+    "video_frame_sample": (q_video_frame_sample, ORACLE_VIDEO_FRAME_SAMPLE),
     "ann_ivf_topk": (q_ann_ivf_topk, ORACLE_ANN_IVF_TOPK),
     "ann_ivf_topk_indexed": (q_ann_ivf_topk_indexed, ORACLE_ANN_IVF_TOPK),
     "ann_ivf_topk_indexed_delta": (

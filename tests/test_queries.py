@@ -146,14 +146,15 @@ def test_multimodal_fake_decode_deterministic():
     assert a.shape == (FEATURE_DIM,)
     assert np.array_equal(a, b)
     assert not np.array_equal(a, c)
-    # real image/audio decode is implemented (png_codec/wav_codec):
-    # malformed bytes reject loudly; only video still requires the
-    # deterministic stand-in
+    # real decode is implemented for all three modalities (png_codec /
+    # wav_codec / avi_codec): malformed bytes reject loudly; the genuine
+    # codec-library boundary is compressed video bitstreams, which
+    # ValueError naming the fourcc
     with pytest.raises(ValueError, match="not a PNG"):
         decode_payload(b"hello", "image", fake=False)
     with pytest.raises(ValueError, match="not a WAV"):
         decode_payload(b"hello", "audio", fake=False)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="not an AVI"):
         decode_payload(b"hello", "video", fake=False)
 
 

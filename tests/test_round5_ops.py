@@ -163,8 +163,9 @@ def test_png_decode_rejects_unsupported_shapes_loudly():
 
 def test_decode_payload_real_image_path():
     """kind='image' decodes REAL PNG bytes (no fake flag): the feature is
-    the 16-bin luminance histogram, normalized. The NotImplementedError
-    now covers video only (audio decodes for real via wav_codec)."""
+    the 16-bin luminance histogram, normalized. All three modalities now
+    decode for real (wav_codec for audio, avi_codec for uncompressed
+    video); compressed video bitstreams are the ValueError boundary."""
     import numpy as np
 
     from janet_spark.multimodal import FEATURE_DIM, decode_payload
@@ -177,7 +178,7 @@ def test_decode_payload_real_image_path():
     white = encode_png(np.full((6, 6, 3), 255, np.uint8))
     f = decode_payload(white, "image")
     assert f[-1] == 1.0
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="not an AVI"):
         decode_payload(b"\x00" * 16, "video")
     with pytest.raises(ValueError):
         decode_payload(b"not a png", "image")
@@ -266,6 +267,74 @@ def test_decode_payload_real_audio_path():
     assert f[-1] == 1.0
     with pytest.raises(ValueError):
         decode_payload(b"not a wav", "audio")
+
+
+def test_avi_codec_roundtrip_and_loud_rejects():
+    """encode_avi/decode_avi roundtrip across frame counts and
+    dimensions, including widths that are not multiples of 4 (the DIB
+    row-padding path); malformed containers and compressed fourccs
+    reject loudly naming the cause."""
+    import struct
+
+    import numpy as np
+
+    from janet_spark.avi_codec import decode_avi, encode_avi, synth_frames
+
+    for aid, n, w, h in [(0, 2, 8, 6), (7, 5, 9, 5), (123, 3, 11, 7), (9, 1, 4, 4)]:
+        fr = synth_frames(aid, n, w, h)
+        out = decode_avi(encode_avi(fr))
+        assert out.shape == fr.shape
+        assert np.array_equal(out, fr)
+
+    with pytest.raises(ValueError, match="not an AVI"):
+        decode_avi(b"hello world!")
+    with pytest.raises(ValueError, match="not an AVI"):
+        decode_avi(b"RIFF" + struct.pack("<I", 4) + b"WAVE")
+    # patch biCompression in a valid file to a compressed fourcc:
+    # the reject must name it (the genuine codec-library boundary)
+    b = bytearray(encode_avi(synth_frames(1, 2, 8, 6)))
+    at = b.find(b"strf") + 8 + 16  # strf tag+size, then biCompression offset
+    struct.pack_into("<I", b, at, struct.unpack("<I", b"h264")[0])
+    with pytest.raises(ValueError, match="h264"):
+        decode_avi(bytes(b))
+
+
+def test_decode_payload_real_video_path():
+    """kind='video' decodes REAL uncompressed-AVI bytes (no fake flag):
+    the feature is the 16-bin luminance histogram over all frames."""
+    import numpy as np
+
+    from janet_spark.avi_codec import encode_avi
+    from janet_spark.multimodal import FEATURE_DIM, decode_payload
+
+    black = encode_avi(np.zeros((3, 6, 8, 3), np.uint8))
+    f = decode_payload(black, "video")
+    assert f.shape == (FEATURE_DIM,)
+    assert f[0] == 1.0 and f[1:].sum() == 0.0
+    white = encode_avi(np.full((3, 6, 8, 3), 255, np.uint8))
+    assert decode_payload(white, "video")[-1] == 1.0
+
+
+def test_video_frame_sample_matches_direct_synthesis(spark):
+    """The registered query's Spark path (synth -> Arrow hop -> decode ->
+    stride-2 sample) agrees with statistics computed directly from the
+    frame generator."""
+    import numpy as np
+
+    from janet_spark.avi_codec import synth_frames
+    from janet_spark.queries_extra import q_video_frame_sample
+
+    got = q_video_frame_sample(spark, _SF).toPandas()
+    # every asset contributes ceil(n_frames / 2) sampled frames
+    per_asset = got.groupby("asset_id").size()
+    for aid, cnt in per_asset.head(25).items():
+        assert cnt == (int(aid) % 6 + 2 + 1) // 2
+    for row in got.head(40).itertuples():
+        aid = int(row.asset_id)
+        fr = synth_frames(aid, aid % 6 + 2, aid % 10 + 6, aid % 8 + 5)
+        assert row.n_frames == fr.shape[0]
+        want = round(float(fr[row.frame_idx, :, :, 0].astype(np.int64).mean()), 4)
+        assert row.mean_c0 == want
 
 
 def test_audio_decode_stats_matches_direct_synthesis(spark):
