@@ -31,6 +31,7 @@ _PRIORITY = [
     "image_decode_stats",
     "audio_decode_stats",
     "video_frame_sample",
+    "image_resize_stats",
     "ann_ivf_topk_indexed_delta",
     "ranked_search",
     "typo_ranked_search",

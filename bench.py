@@ -236,6 +236,7 @@ def main() -> None:
         "image_decode_stats",
         "audio_decode_stats",
         "video_frame_sample",
+        "image_resize_stats",
     ]
     for name in extended:
         fn, _ = registry[name]

@@ -220,6 +220,58 @@ def decode_image_stats(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(dec, schema=IMAGE_STATS_DDL)
 
 
+RESIZE_STATS_DDL = (
+    "asset_id long, r_width int, r_height int, "
+    "rmean_c0 double, rmean_c1 double, rmean_c2 double, "
+    "rmin_c0 double, rmax_c0 double, rmin_c2 double, rmax_c2 double"
+)
+
+
+def resize_image_stats(assets: DataFrame) -> DataFrame:
+    """REAL image resize as a distributed operator: decode each asset's
+    PNG bytes, 2x2 box-average downsample (odd trailing row/column
+    trimmed — the standard box filter), and emit the resized image's
+    per-channel mean and extrema. Every resized value is an exact
+    multiple of 0.25 (a 4-pixel integer sum / 4) and the mean is one
+    division of an exact quarter-sum, so a SQL oracle grouping the pixel
+    generator by (x//2, y//2) reproduces the doubles bit-for-bit.
+    Per-asset parallel, zero shuffle."""
+    from janet_spark.png_codec import decode_png
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for a, p in zip(pdf["asset_id"], pdf["payload"]):
+                w, h, _, px = decode_png(bytes(p))
+                w2, h2 = w // 2, h // 2
+                t = px[: h2 * 2, : w2 * 2].astype(np.float64)
+                resized = (
+                    t[0::2, 0::2] + t[1::2, 0::2] + t[0::2, 1::2] + t[1::2, 1::2]
+                ) / 4.0
+                rows.append(
+                    (
+                        int(a), w2, h2,
+                        float(resized[:, :, 0].mean()),
+                        float(resized[:, :, 1].mean()),
+                        float(resized[:, :, 2].mean()),
+                        float(resized[:, :, 0].min()),
+                        float(resized[:, :, 0].max()),
+                        float(resized[:, :, 2].min()),
+                        float(resized[:, :, 2].max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "r_width", "r_height",
+                    "rmean_c0", "rmean_c1", "rmean_c2",
+                    "rmin_c0", "rmax_c0", "rmin_c2", "rmax_c2",
+                ],
+            )
+
+    return assets.mapInPandas(dec, schema=RESIZE_STATS_DDL)
+
+
 def synth_wav_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic REAL-WAV asset corpus: one stereo 16-bit PCM WAV per
     document, n_samples = doc_id % 240 + 60, sample_rate cycling

@@ -1894,6 +1894,78 @@ ORDER BY asset_id
 """
 
 
+def q_image_resize_stats(spark, sf_dir):
+    """End-to-end REAL image resize (the 'resize' leg of the brief's
+    decode / feature-extract / resize / frame-sample multimodal surface,
+    previously claimed by the module docstring but not implemented):
+    synthesize true PNGs, decode from bytes, 2x2 box-average downsample
+    (odd edges trimmed), and emit the resized image's per-channel mean
+    and extrema plus the output dimensions.
+
+    Exactness: every resized value is a 4-pixel integer sum / 4 — an
+    exact multiple of 0.25 — and the mean is one division of an exact
+    quarter-sum, so the DuckDB oracle that groups the pixel generator by
+    (x//2, y//2) reproduces the doubles bit-for-bit without the bytes
+    ever reaching DuckDB. Any resize defect (wrong block pairing, edge
+    handling, channel mixup) breaks the value hash.
+
+    Scale: per-asset mapInPandas — shuffle-free, linear."""
+    from janet_spark.multimodal import resize_image_stats, synth_png_assets
+
+    assets = synth_png_assets(spark, sf_dir)
+    stats = resize_image_stats(assets)
+    return stats.select(
+        "asset_id",
+        "r_width",
+        "r_height",
+        F.round("rmean_c0", 4).alias("rmean_c0"),
+        F.round("rmean_c1", 4).alias("rmean_c1"),
+        F.round("rmean_c2", 4).alias("rmean_c2"),
+        "rmin_c0",
+        "rmax_c0",
+        "rmin_c2",
+        "rmax_c2",
+    ).orderBy("asset_id")
+
+
+ORACLE_IMAGE_RESIZE_STATS = """
+WITH xs AS (SELECT unnest(range(31)) AS i),
+     ys AS (SELECT unnest(range(23)) AS j),
+     cs AS (SELECT unnest(range(3)) AS k),
+base AS (
+  SELECT doc_id AS asset_id,
+         cast(doc_id % 24 + 8 AS int) AS width,
+         cast(doc_id % 16 + 8 AS int) AS height
+  FROM documents
+),
+px AS (
+  SELECT b.asset_id, b.width, b.height,
+         xs.i // 2 AS bx, ys.j // 2 AS by, cs.k AS chan,
+         (b.asset_id * 31 + xs.i * 7 + ys.j * 13 + cs.k * 101) % 256 AS v
+  FROM base b, xs, ys, cs
+  WHERE xs.i < (b.width // 2) * 2 AND ys.j < (b.height // 2) * 2
+),
+blocks AS (
+  SELECT asset_id, width, height, bx, by, chan,
+         sum(v)::double / 4 AS bavg
+  FROM px GROUP BY asset_id, width, height, bx, by, chan
+)
+SELECT asset_id,
+       cast(width // 2 AS int) AS r_width,
+       cast(height // 2 AS int) AS r_height,
+       round(avg(CASE WHEN chan = 0 THEN bavg END), 4) AS rmean_c0,
+       round(avg(CASE WHEN chan = 1 THEN bavg END), 4) AS rmean_c1,
+       round(avg(CASE WHEN chan = 2 THEN bavg END), 4) AS rmean_c2,
+       min(CASE WHEN chan = 0 THEN bavg END) AS rmin_c0,
+       max(CASE WHEN chan = 0 THEN bavg END) AS rmax_c0,
+       min(CASE WHEN chan = 2 THEN bavg END) AS rmin_c2,
+       max(CASE WHEN chan = 2 THEN bavg END) AS rmax_c2
+FROM blocks
+GROUP BY asset_id, width, height
+ORDER BY asset_id
+"""
+
+
 def q_audio_decode_stats(spark, sf_dir):
     """End-to-end REAL audio decode (the audio twin of
     image_decode_stats, closing the 'needs libsndfile' claim the same way
@@ -2031,6 +2103,7 @@ EXTRA_QUERIES = {
     "image_decode_stats": (q_image_decode_stats, ORACLE_IMAGE_DECODE_STATS),
     "audio_decode_stats": (q_audio_decode_stats, ORACLE_AUDIO_DECODE_STATS),
     "video_frame_sample": (q_video_frame_sample, ORACLE_VIDEO_FRAME_SAMPLE),
+    "image_resize_stats": (q_image_resize_stats, ORACLE_IMAGE_RESIZE_STATS),
     "ann_ivf_topk": (q_ann_ivf_topk, ORACLE_ANN_IVF_TOPK),
     "ann_ivf_topk_indexed": (q_ann_ivf_topk_indexed, ORACLE_ANN_IVF_TOPK),
     "ann_ivf_topk_indexed_delta": (

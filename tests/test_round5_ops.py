@@ -337,6 +337,28 @@ def test_video_frame_sample_matches_direct_synthesis(spark):
         assert row.mean_c0 == want
 
 
+def test_image_resize_stats_matches_direct_numpy(spark):
+    """The registered resize query (decode -> 2x2 box average -> stats)
+    agrees with a direct numpy resize of the synthesized pixels,
+    including odd-dimension edge trimming."""
+    import numpy as np
+
+    from janet_spark.png_codec import synth_pixels
+    from janet_spark.queries_extra import q_image_resize_stats
+
+    got = q_image_resize_stats(spark, _SF).toPandas()
+    assert len(got) == 500
+    for row in got.head(25).itertuples():
+        aid = int(row.asset_id)
+        w, h = aid % 24 + 8, aid % 16 + 8
+        px = synth_pixels(aid, w, h).astype(np.float64)
+        t = px[: h // 2 * 2, : w // 2 * 2]
+        rs = (t[0::2, 0::2] + t[1::2, 0::2] + t[0::2, 1::2] + t[1::2, 1::2]) / 4
+        assert (row.r_width, row.r_height) == (w // 2, h // 2)
+        assert row.rmean_c1 == round(float(rs[:, :, 1].mean()), 4)
+        assert (row.rmin_c0, row.rmax_c0) == (rs[:, :, 0].min(), rs[:, :, 0].max())
+
+
 def test_audio_decode_stats_matches_direct_synthesis(spark):
     """The registered query's Spark path (synth -> Arrow hop -> decode ->
     stats) agrees with statistics computed directly from the sample
