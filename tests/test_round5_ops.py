@@ -1,6 +1,9 @@
 """Round-5 additions: ADVICE fixes (replay idempotency, pair-table
-compaction distinctness), PNG decode, the parameterized search facade,
-incremental IVF index maintenance, and the maintained exact-dup census."""
+compaction distinctness), the parameterized search facade, incremental
+IVF index maintenance, the maintained exact-dup census, and the real
+multimodal codecs — PNG decode (png_codec), 16-bit-PCM WAV decode
+(wav_codec), uncompressed-AVI frame extraction (avi_codec), and 2x2
+box-average image resize."""
 
 import os
 
