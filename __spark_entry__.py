@@ -28,6 +28,10 @@ SF0001 = "/root/testdata/sf0.001"
 # row, so the tail refreshes the stalest evidence first).
 _PRIORITY = [
     # (a) new or changed in round 5
+    "audio_frame_features",
+    "ann_pq_topk",
+    "ann_pq_rerank_topk",
+    "ann_ivf_topk_spill",
     "image_decode_stats",
     "audio_decode_stats",
     "video_frame_sample",

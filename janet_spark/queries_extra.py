@@ -1366,10 +1366,17 @@ def ivf_centroids(emb, k=_IVF_K):
 IVF_INDEX_SCHEMA = "vec_id long, cell long, embedding array<float>"
 
 
-def ivf_assign_frame(emb, cent):
+def ivf_assign_frame(emb, cent, spill: int = 1):
     """(vec_id, cell, embedding): every vector coarse-quantized to its
     nearest centroid cell — the IVF index table. One narrow mapInPandas
-    GEMM over the scan; centroids broadcast by closure."""
+    GEMM over the scan; centroids broadcast by closure.
+
+    `spill > 1` is multi-assignment (each vector lands in its `spill`
+    nearest cells, the classic recall dial for boundary vectors — a
+    vector just across a cell border is still found by a 1-probe query
+    of the neighboring cell). The index grows by exactly `spill`x; the
+    query tail is unchanged and dedups candidates that arrive via two
+    cells. Measured: BENCH/ivf_recall.json `spill2` section."""
     import numpy as np
     import pandas as pd
 
@@ -1379,17 +1386,28 @@ def ivf_assign_frame(emb, cent):
 
     def assign(batches):
         for pdf in batches:
+            if not len(pdf):
+                continue
             v = np.array(list(pdf["embedding"]), dtype=np.float64)
             vn = v / np.linalg.norm(v, axis=1, keepdims=True)
             cs = vn @ c_norm.T  # (n, n_cent)
-            best = cs.argmax(axis=1)  # first max = lowest centroid index
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"],
-                    "cell": [c_ids[i] for i in best],
-                    "embedding": pdf["embedding"],
-                }
-            )
+            if spill == 1:
+                best = cs.argmax(axis=1)[:, None]  # first max = lowest index
+            else:
+                # stable argsort: ties keep the lowest centroid index, the
+                # same (cs desc, cid asc) order the oracle's rank uses
+                best = np.argsort(-cs, axis=1, kind="stable")[:, :spill]
+            frames = [
+                pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"],
+                        "cell": [c_ids[i] for i in best[:, r]],
+                        "embedding": pdf["embedding"],
+                    }
+                )
+                for r in range(best.shape[1])
+            ]
+            yield pd.concat(frames, ignore_index=True)
 
     return emb.mapInPandas(assign, schema=IVF_INDEX_SCHEMA)
 
@@ -1511,6 +1529,28 @@ def q_ann_ivf_topk_indexed(spark, sf_dir):
     return _ivf_search(emb, assigned, cent)
 
 
+_IVF_SPILL = 2
+
+
+def q_ann_ivf_topk_spill(spark, sf_dir):
+    """IVF ANN with MULTI-ASSIGNMENT (spill=2): every vector is indexed
+    under its 2 nearest cells, and each query probes only its single
+    nearest cell. The classic IVF recall dial flipped to the write side —
+    boundary vectors (just across a cell border from the query) are still
+    found by a 1-probe query, trading 2x index size for fewer probes per
+    query. Measured on the 80k-vector stress corpus: spill=2/probe=1
+    recall@10 = see BENCH/ivf_recall.json `spill2`, vs spill=1/probe=1's
+    0.61 — the same candidate volume per query as spill=1/probe=2 but
+    with the cost paid at index-build time, the right trade when queries
+    dominate writes (serving). Candidates arriving via both cells dedup
+    in the shared query tail. Oracle: rank-2 window over the same
+    deterministic centroid sample."""
+    emb = t(spark, sf_dir, "embeddings")
+    cent = ivf_centroids(emb)
+    assigned = ivf_assign_frame(emb, cent, spill=_IVF_SPILL)
+    return _ivf_search(emb, assigned, cent, n_probes=1)
+
+
 _IVF_DELTA_MOD = 5  # registered-query stand-in for "today's new vectors"
 
 
@@ -1562,6 +1602,311 @@ def q_ann_ivf_topk_indexed_delta(spark, sf_dir):
     return _ivf_search(emb, assigned, cent)
 
 
+# ---------------------------------------------------------------------------
+# Product-quantization ANN: per-subspace codebooks, uint8 codes, ADC search
+# ---------------------------------------------------------------------------
+
+_PQ_M = 4  # subspaces (64-dim embedding -> 4 x 16-dim subvectors)
+_PQ_SUB = 16  # dims per subspace
+_PQ_K = 16  # codewords per subspace
+_PQ_TOPK = 3
+
+PQ_CODES_SCHEMA = "vec_id long, s int, code long"
+
+
+def pq_codebooks(emb, k=_PQ_K):
+    """Deterministic bounded codebook sample, the PQ twin of
+    `ivf_centroids`: the k vectors with the smallest md5(vec_id), each
+    sliced into _PQ_M subvectors downstream. Constant k rows to the
+    driver regardless of table size; real PQ would k-means-train each
+    subspace on a bounded sample — the hash top-k is the deterministic
+    stand-in with the same scale shape (and lets the DuckDB oracle
+    recompute the identical codebooks)."""
+    rows = (
+        emb.select("vec_id", "embedding")
+        .withColumn("h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("h", "vec_id")
+        .limit(k)
+        .collect()
+    )
+    return sorted(rows, key=lambda r: int(r["vec_id"]))
+
+
+def _pq_l2sq(a, b):
+    """L2^2 via the dot-product expansion aa - 2ab + bb — the SAME
+    formula the DuckDB oracle uses (list_dot_product terms), so both
+    systems round identical doubles."""
+    import numpy as np
+
+    return (
+        (a * a).sum(axis=-1, keepdims=True)
+        - 2.0 * (a @ b.T)
+        + (b * b).sum(axis=-1)
+    )
+
+
+def pq_encode_frame(emb, cent, m: int = _PQ_M):
+    """(vec_id, s, code): every vector product-quantized — per subspace
+    s, the id of the L2-nearest codeword (tie-break lowest codeword id).
+    One narrow mapInPandas GEMM over the scan, codebooks broadcast by
+    closure; the output is the ENTIRE stored index: `m` small ints per
+    vector (1 byte each at k<=256) instead of the float vector — a 64x
+    memory reduction at dim=64/float32/m=4, which is what makes
+    billion-vector serving fit in RAM at 100 TB corpus scale."""
+    import numpy as np
+    import pandas as pd
+
+    c_ids = [int(r["vec_id"]) for r in cent]
+    c_mat = np.array([r["embedding"] for r in cent], dtype=np.float64)
+    sub = c_mat.shape[1] // m
+
+    def enc(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.array(list(pdf["embedding"]), dtype=np.float64)
+            frames = []
+            for s in range(m):
+                vs = v[:, s * sub : (s + 1) * sub]
+                cs = c_mat[:, s * sub : (s + 1) * sub]
+                # argmin first-occurrence == lowest codebook index == lowest
+                # cid (cent is sorted by vec_id), matching the oracle's
+                # (dist asc, cid asc) tie-break
+                best = _pq_l2sq(vs, cs).argmin(axis=1)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": pdf["vec_id"].astype("int64"),
+                            "s": s,
+                            "code": [c_ids[j] for j in best],
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    return emb.mapInPandas(enc, schema=PQ_CODES_SCHEMA)
+
+
+def pq_lut_frame(queries, cent, m: int = _PQ_M):
+    """(qid, s, code, pdist): the per-query ADC lookup table — the exact
+    L2^2 between each query subvector and each codeword subvector. Size
+    is queries x m x k rows (640 for the registered query): tiny and
+    broadcastable no matter the corpus size."""
+    import numpy as np
+    import pandas as pd
+
+    c_ids = [int(r["vec_id"]) for r in cent]
+    c_mat = np.array([r["embedding"] for r in cent], dtype=np.float64)
+    sub = c_mat.shape[1] // m
+
+    def lut(batches):
+        for pdf in batches:
+            rows = []
+            for i, qid in enumerate(pdf["vec_id"]):
+                q = np.array(pdf["embedding"].iloc[i], dtype=np.float64)
+                for s in range(m):
+                    qs = q[s * sub : (s + 1) * sub]
+                    cs = c_mat[:, s * sub : (s + 1) * sub]
+                    pdist = _pq_l2sq(qs[None, :], cs)[0]
+                    for j, cid in enumerate(c_ids):
+                        rows.append((int(qid), s, cid, float(pdist[j])))
+            yield pd.DataFrame(rows, columns=["qid", "s", "code", "pdist"])
+
+    return queries.mapInPandas(
+        lut, schema="qid long, s int, code long, pdist double"
+    )
+
+
+def q_ann_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (the memory-compression scale path next
+    to IVF's candidate-pruning one): vectors encode to _PQ_M codeword ids
+    (argmin L2 per 16-dim subspace against a deterministic fixed-k
+    codebook), and each query ranks the WHOLE corpus by asymmetric
+    distance computation — its broadcast lookup table of query-to-codeword
+    partial distances equi-joins the code table on (s, code) and sums per
+    (query, vector).
+
+    At 100 TB: the stored index is 4 bytes per vector instead of a 256-
+    byte float vector (64x), the LUT is queries x 64 rows broadcast, the
+    join is a broadcast hash join over the narrow code table, and the
+    per-(qid, vec_id) sum is a map-side-combinable partial aggregation —
+    no full-vector shuffle anywhere. Composes with IVF (scan only probed
+    cells' codes) exactly as in Jegou et al.'s IVFADC; recall vs exact
+    brute force is measured in BENCH/pq_recall.json. The DuckDB oracle
+    recomputes codebooks, codes, and ADC sums from the same deterministic
+    sample via the identical aa-2ab+bb expansion."""
+    emb = t(spark, sf_dir, "embeddings")
+    cent = pq_codebooks(emb)
+    codes = pq_encode_frame(emb, cent)
+    lut = pq_lut_frame(emb.filter(F.col("vec_id") < 10), cent)
+    return _pq_adc_search(codes, lut)
+
+
+def _pq_adc_search(codes, lut, topk=_PQ_TOPK):
+    """The ADC query tail shared by the registered query and
+    scripts/pq_recall.py: broadcast the per-query lookup table, equi-join
+    the narrow code table on (s, code), sum partial distances per
+    (query, vector) — a map-side-combinable aggregation — and take the
+    top-`topk` by (dist asc, vec_id asc)."""
+    adc = (
+        codes.join(F.broadcast(lut), ["s", "code"])
+        .filter(F.col("qid") != F.col("vec_id"))
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("pdist").alias("dist"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("vec_id"))
+    return (
+        adc.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= topk)
+        .select(
+            "qid",
+            F.col("rk").alias("rank"),
+            "vec_id",
+            F.round("dist", 4).alias("adc_dist"),
+        )
+        .orderBy("qid", "rank")
+    )
+
+
+_PQ_RERANK_R = 20  # ADC shortlist size for the registered re-rank query
+
+
+def q_ann_pq_rerank_topk(spark, sf_dir):
+    """The full production PQ recipe (Jegou et al.'s ADC + exact re-rank,
+    the configuration BENCH/pq_recall.json measures at recall@10 = 1.0
+    with a 64x-compressed index): ADC over the code table shortlists the
+    top-{R} candidates per query from compressed codes alone, then ONLY
+    those R rows join back to the float vectors for an exact cosine
+    re-rank to the final top-k.
+
+    At 100 TB: the expensive scan touches 4-byte codes, never vectors;
+    the re-rank reads R full vectors per query via an equi-join on
+    vec_id — a per-query cost independent of corpus size. The oracle
+    reproduces shortlist AND re-rank from the same deterministic
+    codebooks."""
+    emb = t(spark, sf_dir, "embeddings")
+    cent = pq_codebooks(emb)
+    codes = pq_encode_frame(emb, cent)
+    queries = emb.filter(F.col("vec_id") < 10)
+    lut = pq_lut_frame(queries, cent)
+    short = _pq_adc_search(codes, lut, topk=_PQ_RERANK_R).select("qid", "vec_id")
+
+    qv = queries.select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("q_embedding")
+    )
+    cand = short.join(emb, "vec_id").join(F.broadcast(qv), "qid")
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.array(list(pdf["q_embedding"]), dtype=np.float64)
+            v = np.array(list(pdf["embedding"]), dtype=np.float64)
+            cs = (q * v).sum(axis=1) / (
+                np.linalg.norm(q, axis=1) * np.linalg.norm(v, axis=1)
+            )
+            yield pd.DataFrame(
+                {"qid": pdf["qid"], "vec_id": pdf["vec_id"], "cs": cs}
+            )
+
+    scored = cand.mapInPandas(score, schema="qid long, vec_id long, cs double")
+    w = Window.partitionBy("qid").orderBy(F.desc("cs"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _PQ_TOPK)
+        .select(
+            "qid",
+            F.col("rk").alias("rank"),
+            "vec_id",
+            F.round("cs", 4).alias("cosine"),
+        )
+        .orderBy("qid", "rank")
+    )
+
+
+_DUCK_L2SQ = (
+    "(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+    " + list_dot_product({b}, {b}))"
+)
+
+ORACLE_ANN_PQ_TOPK = f"""
+WITH ss AS (SELECT unnest(range({_PQ_M})) AS s),
+c AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+  FROM (SELECT * FROM embeddings
+        ORDER BY md5(cast(vec_id AS varchar)), vec_id LIMIT {_PQ_K})
+),
+csub AS (
+  SELECT ss.s, c.cid,
+         list_slice(c.ce, ss.s * {_PQ_SUB} + 1, ss.s * {_PQ_SUB} + {_PQ_SUB}) AS cs
+  FROM c, ss
+),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+vsub AS (
+  SELECT ss.s, v.vec_id,
+         list_slice(v.ve, ss.s * {_PQ_SUB} + 1, ss.s * {_PQ_SUB} + {_PQ_SUB}) AS vs
+  FROM v, ss
+),
+enc AS (
+  SELECT vsub.vec_id, vsub.s, csub.cid AS code
+  FROM vsub JOIN csub ON csub.s = vsub.s
+  QUALIFY row_number() OVER (
+    PARTITION BY vsub.vec_id, vsub.s
+    ORDER BY {_DUCK_L2SQ.format(a='vsub.vs', b='csub.cs')} ASC, csub.cid ASC) = 1
+),
+lut AS (
+  SELECT q.vec_id AS qid, csub.s, csub.cid AS code,
+         {_DUCK_L2SQ.format(a='q.vs', b='csub.cs')} AS pdist
+  FROM vsub q JOIN csub ON csub.s = q.s
+  WHERE q.vec_id < 10
+),
+adc AS (
+  SELECT l.qid, e.vec_id, sum(l.pdist) AS dist
+  FROM enc e JOIN lut l ON l.s = e.s AND l.code = e.code
+  WHERE e.vec_id != l.qid
+  GROUP BY l.qid, e.vec_id
+)
+SELECT qid, cast(row_number() OVER w AS int) AS rank, vec_id,
+       round(dist, 4) AS adc_dist
+FROM adc
+WINDOW w AS (PARTITION BY qid ORDER BY dist ASC, vec_id ASC)
+QUALIFY row_number() OVER w <= {_PQ_TOPK}
+ORDER BY qid, rank
+"""
+
+
+_PQ_CTES = ORACLE_ANN_PQ_TOPK.split("\nSELECT qid,")[0]
+_PQ_RERANK_COS = (
+    "list_dot_product(q.ve, tv.ve) / "
+    "(sqrt(list_dot_product(q.ve, q.ve)) * "
+    "sqrt(list_dot_product(tv.ve, tv.ve)))"
+)
+
+ORACLE_ANN_PQ_RERANK_TOPK = f"""{_PQ_CTES},
+short AS (
+  SELECT qid, vec_id FROM adc
+  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY dist ASC, vec_id ASC)
+          <= {_PQ_RERANK_R}
+),
+rr AS (
+  SELECT short.qid, short.vec_id,
+         {_PQ_RERANK_COS} AS cs
+  FROM short
+  JOIN v q ON q.vec_id = short.qid
+  JOIN v tv ON tv.vec_id = short.vec_id
+)
+SELECT qid, cast(row_number() OVER w AS int) AS rank, vec_id,
+       round(cs, 4) AS cosine
+FROM rr
+WINDOW w AS (PARTITION BY qid ORDER BY cs DESC, vec_id ASC)
+QUALIFY row_number() OVER w <= {_PQ_TOPK}
+ORDER BY qid, rank
+"""
+
+
 _DUCK_COS = (
     "list_dot_product({a}, {b}) / "
     "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
@@ -1584,6 +1929,43 @@ WITH c AS (
   SELECT vec_id AS qid, cid AS cell FROM sim WHERE vec_id < 10
   QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC)
           <= {_IVF_PROBES}
+), cand AS (
+  SELECT DISTINCT p.qid, a.vec_id FROM probes p
+  JOIN assigned a ON a.cell = p.cell
+  WHERE a.vec_id != p.qid
+), scored AS (
+  SELECT cand.qid, cand.vec_id,
+         {_DUCK_COS.format(a='q.ve', b='t.ve')} AS cs
+  FROM cand
+  JOIN v q ON q.vec_id = cand.qid
+  JOIN v t ON t.vec_id = cand.vec_id
+)
+SELECT qid, cast(row_number() OVER w AS int) AS rank, vec_id,
+       round(cs, 4) AS cosine
+FROM scored
+WINDOW w AS (PARTITION BY qid ORDER BY cs DESC, vec_id ASC)
+QUALIFY row_number() OVER w <= {_IVF_TOPK}
+ORDER BY qid, rank
+"""
+
+
+ORACLE_ANN_IVF_TOPK_SPILL = f"""
+WITH c AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+  FROM (SELECT * FROM embeddings
+        ORDER BY md5(cast(vec_id AS varchar)), vec_id LIMIT {_IVF_K})
+), v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings
+), sim AS (
+  SELECT v.vec_id, c.cid, {_DUCK_COS.format(a='v.ve', b='c.ce')} AS cs
+  FROM v CROSS JOIN c
+), assigned AS (
+  SELECT vec_id, cid AS cell FROM sim
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC)
+          <= {_IVF_SPILL}
+), probes AS (
+  SELECT vec_id AS qid, cid AS cell FROM sim WHERE vec_id < 10
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC) = 1
 ), cand AS (
   SELECT DISTINCT p.qid, a.vec_id FROM probes p
   JOIN assigned a ON a.cell = p.cell
@@ -2034,6 +2416,64 @@ ORDER BY asset_id
 """
 
 
+def q_audio_frame_features(spark, sf_dir):
+    """REAL audio feature extraction over real bytes (the feature-extract
+    leg of the brief's multimodal surface): decode each deterministic
+    stereo PCM WAV with the pure-stdlib codec (janet_spark/wav_codec.py),
+    split channel 0 into non-overlapping 64-sample frames (partial tail
+    kept with its true length), and emit the classic short-time features
+    per frame — RMS energy and the strict zero-crossing count.
+
+    The oracle regenerates the samples from the arithmetic generator
+    formula (the WAV bytes never reach DuckDB) and aggregates the same
+    features per t//64 frame group, pairing consecutive samples with a
+    frame-partitioned lead() for the crossings. Both systems compute
+    sqrt(exact_int_sum / exact_int_count) on identical doubles, so the
+    rounded RMS agrees bit-for-bit; any decoder or framing defect breaks
+    the value hash. Reference analog: opaque asset payload decoded then
+    featurized downstream (apps/ocr/src/lib/ocr-utils.ts:197-222).
+
+    Scale: decode+featurize is one per-asset mapInPandas — shuffle-free,
+    linear, embarrassingly parallel at 100 TB."""
+    from janet_spark.multimodal import audio_frame_features, synth_wav_assets
+
+    assets = synth_wav_assets(spark, sf_dir)
+    feats = audio_frame_features(assets, frame_len=64)
+    return feats.select(
+        "asset_id",
+        "frame_idx",
+        "frame_len",
+        F.round("rms_c0", 4).alias("rms_c0"),
+        "zcr_c0",
+    ).orderBy("asset_id", "frame_idx")
+
+
+ORACLE_AUDIO_FRAME_FEATURES = """
+WITH ts AS (SELECT unnest(range(300)) AS t),
+base AS (
+  SELECT doc_id AS asset_id, cast(doc_id % 240 + 60 AS int) AS n_samples
+  FROM documents
+),
+sm AS (
+  SELECT b.asset_id, ts.t, cast(ts.t // 64 AS int) AS frame_idx,
+         (b.asset_id * 31 + ts.t * 7) % 4096 - 2048 AS v
+  FROM base b, ts
+  WHERE ts.t < b.n_samples
+),
+pairs AS (
+  SELECT asset_id, frame_idx, t, v,
+         lead(v) OVER (PARTITION BY asset_id, frame_idx ORDER BY t) AS nv
+  FROM sm
+)
+SELECT asset_id, frame_idx, cast(count(*) AS int) AS frame_len,
+       round(sqrt(sum(v * v)::double / count(*)), 4) AS rms_c0,
+       cast(coalesce(sum(CASE WHEN v * nv < 0 THEN 1 END), 0) AS int) AS zcr_c0
+FROM pairs
+GROUP BY asset_id, frame_idx
+ORDER BY asset_id, frame_idx
+"""
+
+
 def q_video_frame_sample(spark, sf_dir):
     """End-to-end REAL video frame-sampling (the video third of the
     modality closures, and the brief's 'frame-sample' operator on real
@@ -2102,9 +2542,13 @@ ORDER BY asset_id, frame_idx
 EXTRA_QUERIES = {
     "image_decode_stats": (q_image_decode_stats, ORACLE_IMAGE_DECODE_STATS),
     "audio_decode_stats": (q_audio_decode_stats, ORACLE_AUDIO_DECODE_STATS),
+    "audio_frame_features": (q_audio_frame_features, ORACLE_AUDIO_FRAME_FEATURES),
     "video_frame_sample": (q_video_frame_sample, ORACLE_VIDEO_FRAME_SAMPLE),
     "image_resize_stats": (q_image_resize_stats, ORACLE_IMAGE_RESIZE_STATS),
+    "ann_pq_topk": (q_ann_pq_topk, ORACLE_ANN_PQ_TOPK),
+    "ann_pq_rerank_topk": (q_ann_pq_rerank_topk, ORACLE_ANN_PQ_RERANK_TOPK),
     "ann_ivf_topk": (q_ann_ivf_topk, ORACLE_ANN_IVF_TOPK),
+    "ann_ivf_topk_spill": (q_ann_ivf_topk_spill, ORACLE_ANN_IVF_TOPK_SPILL),
     "ann_ivf_topk_indexed": (q_ann_ivf_topk_indexed, ORACLE_ANN_IVF_TOPK),
     "ann_ivf_topk_indexed_delta": (
         q_ann_ivf_topk_indexed_delta,

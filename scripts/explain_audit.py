@@ -132,6 +132,11 @@ AUDITED = [
     "audio_decode_stats",
     "video_frame_sample",
     "image_resize_stats",
+    # round-5 tail: framed audio features, PQ-compressed ANN, IVF spill
+    "audio_frame_features",
+    "ann_pq_topk",
+    "ann_pq_rerank_topk",
+    "ann_ivf_topk_spill",
 ]
 
 

@@ -38,26 +38,15 @@ N_CENT = 64
 PROBE_SWEEP = (1, 2, 4)
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    out_dir = "/tmp/ivf_recall"
-    spark = (
-        SparkSession.builder.master("local[32]")
-        .config("spark.sql.shuffle.partitions", "64")
-        .config("spark.driver.memory", "8g")
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("ERROR")
-
+def build_stress_corpus(spark, sf_dir: str, out_dir: str):
+    """The shared ANN-recall stress corpus (also imported by
+    scripts/pq_recall.py): sf embeddings replicated x REPL with seeded
+    per-replica Gaussian noise then renormalized — distinct unit vectors
+    with continuous neighborhoods. Returns (emb_df, truth, n, dim) where
+    truth maps qid -> exact cosine top-TOPK vec_id set (self excluded,
+    ties broken (cosine desc, vec_id asc) like the engine)."""
     import pandas as pd
 
-    from janet_spark.queries_extra import (
-        _ivf_search,
-        ivf_assign_frame,
-        ivf_centroids,
-    )
-
-    # --- corpus: x40 replicas with seeded per-replica noise -------------
     base = (
         spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         .select("vec_id", "embedding")
@@ -66,7 +55,7 @@ def main() -> int:
         .reset_index(drop=True)
     )
     b = np.array(list(base["embedding"]), dtype=np.float64)
-    n_base, dim = b.shape
+    _n_base, dim = b.shape
     mats, ids = [], []
     for k in range(REPL):
         rng = np.random.default_rng(20260818 + k)
@@ -109,6 +98,27 @@ def main() -> int:
         # tie-break (cosine desc, vec_id asc) to match the engine
         idx = np.lexsort((vec_ids, -s))[:TOPK]
         truth[qid] = set(int(vec_ids[j]) for j in idx)
+    return emb, truth, n, dim
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out_dir = "/tmp/ivf_recall"
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from janet_spark.queries_extra import (
+        _ivf_search,
+        ivf_assign_frame,
+        ivf_centroids,
+    )
+
+    emb, truth, n, dim = build_stress_corpus(spark, sf_dir, out_dir)
 
     # --- index build (once) + probe sweep over the engine path ----------
     t0 = time.time()
@@ -127,26 +137,48 @@ def main() -> int:
         "index_build_sec": build_sec,
         "probes": {},
     }
-    for p in PROBE_SWEEP:
-        t0 = time.time()
-        hits = (
-            _ivf_search(emb, assigned, cent, n_probes=p, topk=TOPK, n_queries=N_QUERIES)
-            .select("qid", "vec_id")
-            .toPandas()
-        )
-        sec = round(time.time() - t0, 2)
-        got = hits.groupby("qid")["vec_id"].apply(set).to_dict()
-        recalls = [
-            len(got.get(qid, set()) & truth[qid]) / TOPK for qid in truth
-        ]
-        report["probes"][str(p)] = {
-            "recall_at_10": round(float(np.mean(recalls)), 4),
-            "min_query_recall": round(float(np.min(recalls)), 4),
-            "query_sweep_sec": sec,
-            "scanned_fraction": round(p / N_CENT, 4),
-        }
-        print(f"probes={p}: recall@10={report['probes'][str(p)]['recall_at_10']}"
-              f" (min {report['probes'][str(p)]['min_query_recall']}) in {sec}s")
+    def sweep(assigned_frame, probe_list, scan_mult):
+        out = {}
+        for p in probe_list:
+            t0 = time.time()
+            hits = (
+                _ivf_search(
+                    emb, assigned_frame, cent,
+                    n_probes=p, topk=TOPK, n_queries=N_QUERIES,
+                )
+                .select("qid", "vec_id")
+                .toPandas()
+            )
+            sec = round(time.time() - t0, 2)
+            got = hits.groupby("qid")["vec_id"].apply(set).to_dict()
+            recalls = [
+                len(got.get(qid, set()) & truth[qid]) / TOPK for qid in truth
+            ]
+            out[str(p)] = {
+                "recall_at_10": round(float(np.mean(recalls)), 4),
+                "min_query_recall": round(float(np.min(recalls)), 4),
+                "query_sweep_sec": sec,
+                "scanned_fraction": round(p * scan_mult / N_CENT, 4),
+            }
+            print(f"probes={p} (x{scan_mult} index): "
+                  f"recall@10={out[str(p)]['recall_at_10']}"
+                  f" (min {out[str(p)]['min_query_recall']}) in {sec}s")
+        return out
+
+    report["probes"] = sweep(assigned, PROBE_SWEEP, 1)
+
+    # --- multi-assignment (spill=2) index: the write-side recall dial ---
+    t0 = time.time()
+    assigned2 = ivf_assign_frame(emb, cent, spill=2).persist()
+    n2 = assigned2.count()
+    spill_build_sec = round(time.time() - t0, 2)
+    assert n2 == 2 * n
+    report["spill2"] = {
+        "index_rows": n2,
+        "index_build_sec": spill_build_sec,
+        "probes": sweep(assigned2, (1, 2), 2),
+    }
+    assigned2.unpersist()
 
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/ivf_recall.json", "w") as f:

@@ -612,3 +612,192 @@ def test_dedup_report_incremental_never_reads_text(spark):
     )
     for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
         assert "text" not in m.group(1), m.group(1)
+
+
+def test_audio_frame_features_matches_direct_synthesis(spark):
+    """The framed-feature query (decode -> 64-sample frames -> RMS/ZCR)
+    agrees with features computed directly from the sample generator,
+    including the partial tail frame."""
+    import math
+
+    import numpy as np
+
+    from janet_spark.queries_extra import q_audio_frame_features
+    from janet_spark.wav_codec import synth_samples
+
+    got = q_audio_frame_features(spark, _SF).toPandas()
+    # every asset contributes ceil(n_samples / 64) frames
+    per_asset = got.groupby("asset_id").size()
+    for aid, cnt in per_asset.head(25).items():
+        assert cnt == (int(aid) % 240 + 60 + 63) // 64
+    for row in got.head(60).itertuples():
+        aid = int(row.asset_id)
+        v = synth_samples(aid, aid % 240 + 60, 2)[:, 0].astype(np.int64)
+        fr = v[row.frame_idx * 64 : (row.frame_idx + 1) * 64]
+        assert row.frame_len == len(fr)
+        assert row.rms_c0 == round(math.sqrt(int((fr * fr).sum()) / len(fr)), 4)
+        assert row.zcr_c0 == int(((fr[:-1] * fr[1:]) < 0).sum())
+
+
+def test_pq_encode_and_adc_match_direct_numpy(spark):
+    """PQ codes are the argmin-L2 codeword per subspace, and the ADC
+    top-k from the broadcast-join tail equals a direct numpy ADC over
+    the same codes — checked for both the registered m=4 geometry and
+    the parameterized m=8 one."""
+    import numpy as np
+
+    from janet_spark.queries_extra import (
+        _pq_adc_search,
+        pq_codebooks,
+        pq_encode_frame,
+        pq_lut_frame,
+    )
+
+    emb = spark.read.parquet(f"{_SF}/embeddings.parquet")
+    pdf = emb.toPandas().sort_values("vec_id").reset_index(drop=True)
+    v = np.array(list(pdf["embedding"]), dtype=np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    cent = pq_codebooks(emb, k=16)
+    c_ids = np.array([int(r["vec_id"]) for r in cent])
+    c = np.array([r["embedding"] for r in cent], dtype=np.float64)
+
+    for m in (4, 8):
+        sub = v.shape[1] // m
+        codes = (
+            pq_encode_frame(emb, cent, m=m)
+            .toPandas()
+            .sort_values(["vec_id", "s"])
+            .reset_index(drop=True)
+        )
+        assert len(codes) == len(pdf) * m
+        # direct argmin per subspace
+        want = {}
+        for s in range(m):
+            vs, cs = v[:, s * sub : (s + 1) * sub], c[:, s * sub : (s + 1) * sub]
+            d = ((vs[:, None, :] - cs[None, :, :]) ** 2).sum(-1)
+            for i, vid in enumerate(ids):
+                want[(int(vid), s)] = int(c_ids[d[i].argmin()])
+        got_codes = {
+            (int(r.vec_id), int(r.s)): int(r.code) for r in codes.itertuples()
+        }
+        assert got_codes == want
+
+        # ADC top-3 for queries vec_id < 5 vs direct numpy
+        lut = pq_lut_frame(emb.filter("vec_id < 5"), cent, m=m)
+        got = _pq_adc_search(pq_encode_frame(emb, cent, m=m), lut, topk=3).toPandas()
+        code_idx = {int(cid): j for j, cid in enumerate(c_ids)}
+        for qid in range(5):
+            qv = v[ids == qid][0]
+            d_adc = np.zeros(len(ids))
+            for s in range(m):
+                qs = qv[s * sub : (s + 1) * sub]
+                cs = c[:, s * sub : (s + 1) * sub]
+                pdists = ((qs[None, :] - cs) ** 2).sum(-1)
+                codes_s = np.array(
+                    [code_idx[want[(int(vid), s)]] for vid in ids]
+                )
+                d_adc += pdists[codes_s]
+            mask = ids != qid
+            order = np.lexsort((ids[mask], d_adc[mask]))[:3]
+            want_top = [int(ids[mask][j]) for j in order]
+            got_top = got[got.qid == qid].sort_values("rank")["vec_id"].tolist()
+            assert got_top == want_top
+
+
+def test_ivf_spill_doubles_index_and_widens_candidates(spark):
+    """spill=2 assignment lands every vector in exactly its 2 nearest
+    distinct cells; a 1-probe query over the spilled index sees a
+    candidate superset of the 1-probe query over the spill=1 index."""
+    from janet_spark.queries_extra import (
+        _ivf_search,
+        ivf_assign_frame,
+        ivf_centroids,
+    )
+
+    emb = spark.read.parquet(f"{_SF}/embeddings.parquet")
+    cent = ivf_centroids(emb)
+    a1 = ivf_assign_frame(emb, cent)
+    a2 = ivf_assign_frame(emb, cent, spill=2)
+    n = emb.count()
+    assert a2.count() == 2 * n
+    # two DISTINCT cells per vector
+    assert (
+        a2.groupBy("vec_id")
+        .agg(F.countDistinct("cell").alias("k"))
+        .filter("k != 2")
+        .count()
+        == 0
+    )
+    # the spill-2 assignment contains the spill-1 assignment
+    assert a1.join(a2, ["vec_id", "cell"], "left_anti").count() == 0
+    got1 = {
+        (r.qid, r.vec_id)
+        for r in _ivf_search(emb, a1, cent, n_probes=1).collect()
+    }
+    got2 = _ivf_search(emb, a2, cent, n_probes=1).toPandas()
+    assert len(got2) == 30  # 10 queries x top-3, dedup held
+    # per-query result sets rank at least as well: every spill-2 top-3
+    # cosine >= the spill-1 top-3 cosine at the same rank
+    got1_ranked = {
+        (r.qid, r.rank): r.cosine
+        for r in _ivf_search(emb, a1, cent, n_probes=1).collect()
+    }
+    for r in got2.itertuples():
+        assert r.cosine >= got1_ranked[(r.qid, r.rank)] - 1e-9
+
+
+def test_pq_rerank_dominates_pure_adc(spark):
+    """The re-ranked PQ query returns exact cosines, its candidates all
+    come from the ADC shortlist, and per (query, rank) its cosine is >=
+    the exact cosine of the pure-ADC top-3 (re-ranking a superset can
+    only improve the exact-metric ordering)."""
+    import numpy as np
+
+    from janet_spark.queries_extra import (
+        _PQ_RERANK_R,
+        _pq_adc_search,
+        pq_codebooks,
+        pq_encode_frame,
+        pq_lut_frame,
+        q_ann_pq_rerank_topk,
+        q_ann_pq_topk,
+    )
+
+    emb = spark.read.parquet(f"{_SF}/embeddings.parquet")
+    pdf = emb.toPandas().set_index("vec_id")
+    vecs = {int(i): np.array(e, dtype=np.float64) for i, e in pdf["embedding"].items()}
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    rr = q_ann_pq_rerank_topk(spark, _SF).toPandas()
+    assert len(rr) == 30
+    cent = pq_codebooks(emb)
+    short = (
+        _pq_adc_search(
+            pq_encode_frame(emb, cent),
+            pq_lut_frame(emb.filter("vec_id < 10"), cent),
+            topk=_PQ_RERANK_R,
+        )
+        .toPandas()
+        .groupby("qid")["vec_id"]
+        .apply(set)
+        .to_dict()
+    )
+    adc = q_ann_pq_topk(spark, _SF).toPandas()
+    for row in rr.itertuples():
+        assert row.vec_id in short[row.qid]
+        assert row.cosine == round(cos(vecs[row.qid], vecs[row.vec_id]), 4)
+    # re-rank top-3 = the 3 exact-cosine maxima of the shortlist, so
+    # position-wise (both sides sorted desc by exact cosine) it dominates
+    # the ADC top-3, which is just another 3-subset of the shortlist
+    for qid, grp in rr.groupby("qid"):
+        got = grp.sort_values("rank")["cosine"].tolist()
+        a_cos = sorted(
+            (
+                round(cos(vecs[qid], vecs[int(v)]), 4)
+                for v in adc[adc.qid == qid]["vec_id"]
+            ),
+            reverse=True,
+        )
+        assert all(g >= a - 1e-9 for g, a in zip(got, a_cos))
