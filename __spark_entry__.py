@@ -31,6 +31,7 @@ _PRIORITY = [
     "audio_frame_features",
     "ann_pq_topk",
     "ann_pq_rerank_topk",
+    "ann_ivfadc_topk",
     "ann_ivf_topk_spill",
     "image_decode_stats",
     "audio_decode_stats",

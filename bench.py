@@ -237,6 +237,11 @@ def main() -> None:
         "audio_decode_stats",
         "video_frame_sample",
         "image_resize_stats",
+        "audio_frame_features",
+        "ann_pq_topk",
+        "ann_pq_rerank_topk",
+        "ann_ivfadc_topk",
+        "ann_ivf_topk_spill",
     ]
     for name in extended:
         fn, _ = registry[name]

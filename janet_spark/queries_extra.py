@@ -1412,15 +1412,11 @@ def ivf_assign_frame(emb, cent, spill: int = 1):
     return emb.mapInPandas(assign, schema=IVF_INDEX_SCHEMA)
 
 
-def _ivf_search(
-    emb, assigned, cent, n_probes=_IVF_PROBES, topk=_IVF_TOPK, n_queries=10
-):
-    """The IVF query tail shared by the per-call and maintained-index
-    forms: each query probes its `n_probes` nearest cells (broadcast),
-    candidates come from the cell equi-join against the assignment table,
-    exact cosine ranks them, WindowGroupLimit takes the top-`topk`. The
-    registered queries use the defaults; scripts/ivf_recall.py sweeps
-    `n_probes` to measure recall vs the brute-force ground truth."""
+def _ivf_probe_frame(query_vectors, cent, n_probes):
+    """(qid, cell, cell_rank, q_embedding): each query vector's
+    `n_probes` nearest centroid cells by cosine (ties (cs desc, cid
+    asc)), carrying the query embedding for the downstream exact scorer.
+    Shared by `_ivf_search` and the IVFADC composition."""
     import numpy as np
     import pandas as pd
 
@@ -1430,6 +1426,8 @@ def _ivf_search(
 
     def probes(batches):
         for pdf in batches:
+            if not len(pdf):
+                continue
             v = np.array(list(pdf["embedding"]), dtype=np.float64)
             vn = v / np.linalg.norm(v, axis=1, keepdims=True)
             cs = vn @ c_norm.T
@@ -1442,9 +1440,26 @@ def _ivf_search(
                 rows, columns=["qid", "cell", "cell_rank", "q_embedding"]
             )
 
-    queries = emb.filter(F.col("vec_id") < n_queries).mapInPandas(
+    return query_vectors.mapInPandas(
         probes,
         schema="qid long, cell long, cell_rank int, q_embedding array<float>",
+    )
+
+
+def _ivf_search(
+    emb, assigned, cent, n_probes=_IVF_PROBES, topk=_IVF_TOPK, n_queries=10
+):
+    """The IVF query tail shared by the per-call and maintained-index
+    forms: each query probes its `n_probes` nearest cells (broadcast),
+    candidates come from the cell equi-join against the assignment table,
+    exact cosine ranks them, WindowGroupLimit takes the top-`topk`. The
+    registered queries use the defaults; scripts/ivf_recall.py sweeps
+    `n_probes` to measure recall vs the brute-force ground truth."""
+    import numpy as np
+    import pandas as pd
+
+    queries = _ivf_probe_frame(
+        emb.filter(F.col("vec_id") < n_queries), cent, n_probes
     )
 
     joined = F.broadcast(queries).join(assigned, "cell").filter(
@@ -1790,7 +1805,14 @@ def q_ann_pq_rerank_topk(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 10)
     lut = pq_lut_frame(queries, cent)
     short = _pq_adc_search(codes, lut, topk=_PQ_RERANK_R).select("qid", "vec_id")
+    return _exact_rerank(short, emb, queries)
 
+
+def _exact_rerank(short, emb, queries, topk=_PQ_TOPK):
+    """Exact-cosine re-rank of a (qid, vec_id) shortlist: only the
+    shortlisted vectors join back to the float embeddings (per-query cost
+    independent of corpus size), the query vectors broadcast, and a
+    WindowGroupLimit takes the final top-k by (cosine desc, vec_id asc)."""
     qv = queries.select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("q_embedding")
     )
@@ -1816,7 +1838,7 @@ def q_ann_pq_rerank_topk(spark, sf_dir):
     w = Window.partitionBy("qid").orderBy(F.desc("cs"), F.asc("vec_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= _PQ_TOPK)
+        .filter(F.col("rk") <= topk)
         .select(
             "qid",
             F.col("rk").alias("rank"),
@@ -1825,6 +1847,50 @@ def q_ann_pq_rerank_topk(spark, sf_dir):
         )
         .orderBy("qid", "rank")
     )
+
+
+def q_ann_ivfadc_topk(spark, sf_dir):
+    """IVFADC — the full Jegou et al. composition and the production
+    billion-vector serving shape: IVF cell-pruning picks WHICH vectors to
+    score (each query probes its 2 nearest cells), PQ codes decide HOW
+    cheaply (ADC over 4-byte codes, never float vectors), and only the
+    ADC top-{R} shortlist reads full embeddings for the exact re-rank.
+
+    At 100 TB the three cost layers are: candidate volume ~ corpus *
+    probes/k_cells (broadcast probe join), ADC bytes ~ candidates * 4
+    (code equi-join + map-side-combinable sum), exact bytes ~ queries *
+    R * vector (bounded re-rank join). Every stage is a broadcast or
+    equi-join — no all-pairs anywhere. The oracle recomputes both
+    deterministic codebook samples and all three stages in SQL."""
+    emb = t(spark, sf_dir, "embeddings")
+    ivf_cent = ivf_centroids(emb)
+    assigned = ivf_assign_frame(emb, ivf_cent).select("vec_id", "cell")
+    pq_cent = pq_codebooks(emb)
+    codes = pq_encode_frame(emb, pq_cent)
+    queries = emb.filter(F.col("vec_id") < 10)
+
+    probes = _ivf_probe_frame(queries, ivf_cent, _IVF_PROBES).select("qid", "cell")
+    cand = (
+        F.broadcast(probes)
+        .join(assigned, "cell")
+        .filter(F.col("qid") != F.col("vec_id"))
+        .select("qid", "vec_id")
+        .distinct()
+    )
+    lut = pq_lut_frame(queries, pq_cent)
+    adc = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(lut), ["qid", "s", "code"])
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("pdist").alias("dist"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("vec_id"))
+    short = (
+        adc.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _PQ_RERANK_R)
+        .select("qid", "vec_id")
+    )
+    return _exact_rerank(short, emb, queries)
 
 
 _DUCK_L2SQ = (
@@ -1873,6 +1939,93 @@ SELECT qid, cast(row_number() OVER w AS int) AS rank, vec_id,
        round(dist, 4) AS adc_dist
 FROM adc
 WINDOW w AS (PARTITION BY qid ORDER BY dist ASC, vec_id ASC)
+QUALIFY row_number() OVER w <= {_PQ_TOPK}
+ORDER BY qid, rank
+"""
+
+
+ORACLE_ANN_IVFADC_TOPK = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+ic AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+  FROM (SELECT * FROM embeddings
+        ORDER BY md5(cast(vec_id AS varchar)), vec_id LIMIT {_IVF_K})
+),
+sim AS (
+  SELECT v.vec_id, ic.cid,
+         list_dot_product(v.ve, ic.ce) /
+         (sqrt(list_dot_product(v.ve, v.ve)) *
+          sqrt(list_dot_product(ic.ce, ic.ce))) AS cs
+  FROM v CROSS JOIN ic
+),
+assigned AS (
+  SELECT vec_id, cid AS cell FROM sim
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC) = 1
+),
+probes AS (
+  SELECT vec_id AS qid, cid AS cell FROM sim WHERE vec_id < 10
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC)
+          <= {_IVF_PROBES}
+),
+cand AS (
+  SELECT DISTINCT p.qid, a.vec_id FROM probes p
+  JOIN assigned a ON a.cell = p.cell
+  WHERE a.vec_id != p.qid
+),
+ss AS (SELECT unnest(range({_PQ_M})) AS s),
+pc AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS ce
+  FROM (SELECT * FROM embeddings
+        ORDER BY md5(cast(vec_id AS varchar)), vec_id LIMIT {_PQ_K})
+),
+csub AS (
+  SELECT ss.s, pc.cid,
+         list_slice(pc.ce, ss.s * {_PQ_SUB} + 1, ss.s * {_PQ_SUB} + {_PQ_SUB}) AS cs
+  FROM pc, ss
+),
+vsub AS (
+  SELECT ss.s, v.vec_id,
+         list_slice(v.ve, ss.s * {_PQ_SUB} + 1, ss.s * {_PQ_SUB} + {_PQ_SUB}) AS vs
+  FROM v, ss
+),
+enc AS (
+  SELECT vsub.vec_id, vsub.s, csub.cid AS code
+  FROM vsub JOIN csub ON csub.s = vsub.s
+  QUALIFY row_number() OVER (
+    PARTITION BY vsub.vec_id, vsub.s
+    ORDER BY {_DUCK_L2SQ.format(a='vsub.vs', b='csub.cs')} ASC, csub.cid ASC) = 1
+),
+lut AS (
+  SELECT q.vec_id AS qid, csub.s, csub.cid AS code,
+         {_DUCK_L2SQ.format(a='q.vs', b='csub.cs')} AS pdist
+  FROM vsub q JOIN csub ON csub.s = q.s
+  WHERE q.vec_id < 10
+),
+adc AS (
+  SELECT cand.qid, cand.vec_id, sum(l.pdist) AS dist
+  FROM cand
+  JOIN enc e ON e.vec_id = cand.vec_id
+  JOIN lut l ON l.qid = cand.qid AND l.s = e.s AND l.code = e.code
+  GROUP BY cand.qid, cand.vec_id
+),
+short AS (
+  SELECT qid, vec_id FROM adc
+  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY dist ASC, vec_id ASC)
+          <= {_PQ_RERANK_R}
+),
+rr AS (
+  SELECT short.qid, short.vec_id,
+         list_dot_product(q.ve, tv.ve) /
+         (sqrt(list_dot_product(q.ve, q.ve)) *
+          sqrt(list_dot_product(tv.ve, tv.ve))) AS cs
+  FROM short
+  JOIN v q ON q.vec_id = short.qid
+  JOIN v tv ON tv.vec_id = short.vec_id
+)
+SELECT qid, cast(row_number() OVER w AS int) AS rank, vec_id,
+       round(cs, 4) AS cosine
+FROM rr
+WINDOW w AS (PARTITION BY qid ORDER BY cs DESC, vec_id ASC)
 QUALIFY row_number() OVER w <= {_PQ_TOPK}
 ORDER BY qid, rank
 """
@@ -2547,6 +2700,7 @@ EXTRA_QUERIES = {
     "image_resize_stats": (q_image_resize_stats, ORACLE_IMAGE_RESIZE_STATS),
     "ann_pq_topk": (q_ann_pq_topk, ORACLE_ANN_PQ_TOPK),
     "ann_pq_rerank_topk": (q_ann_pq_rerank_topk, ORACLE_ANN_PQ_RERANK_TOPK),
+    "ann_ivfadc_topk": (q_ann_ivfadc_topk, ORACLE_ANN_IVFADC_TOPK),
     "ann_ivf_topk": (q_ann_ivf_topk, ORACLE_ANN_IVF_TOPK),
     "ann_ivf_topk_spill": (q_ann_ivf_topk_spill, ORACLE_ANN_IVF_TOPK_SPILL),
     "ann_ivf_topk_indexed": (q_ann_ivf_topk_indexed, ORACLE_ANN_IVF_TOPK),

@@ -136,6 +136,7 @@ AUDITED = [
     "audio_frame_features",
     "ann_pq_topk",
     "ann_pq_rerank_topk",
+    "ann_ivfadc_topk",
     "ann_ivf_topk_spill",
 ]
 

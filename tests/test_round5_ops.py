@@ -801,3 +801,42 @@ def test_pq_rerank_dominates_pure_adc(spark):
             reverse=True,
         )
         assert all(g >= a - 1e-9 for g, a in zip(got, a_cos))
+
+
+def test_ivfadc_candidates_respect_probed_cells_and_exact_cosines(spark):
+    """IVFADC results: every returned neighbor's IVF cell is one of the
+    query's 2 probed cells (candidates never leave the probe scope), and
+    the returned cosines are EXACT (the re-rank read the float vectors,
+    not the quantized codes)."""
+    import numpy as np
+
+    from janet_spark.queries_extra import (
+        _IVF_PROBES,
+        _ivf_probe_frame,
+        ivf_assign_frame,
+        ivf_centroids,
+        q_ann_ivfadc_topk,
+    )
+
+    emb = spark.read.parquet(f"{_SF}/embeddings.parquet")
+    got = q_ann_ivfadc_topk(spark, _SF).toPandas()
+    assert len(got) == 30
+    cent = ivf_centroids(emb)
+    cells = {
+        int(r.vec_id): int(r.cell)
+        for r in ivf_assign_frame(emb, cent).select("vec_id", "cell").collect()
+    }
+    probed = (
+        _ivf_probe_frame(emb.filter("vec_id < 10"), cent, _IVF_PROBES)
+        .toPandas()
+        .groupby("qid")["cell"]
+        .apply(set)
+        .to_dict()
+    )
+    pdf = emb.toPandas().set_index("vec_id")
+    vecs = {int(i): np.array(e, dtype=np.float64) for i, e in pdf["embedding"].items()}
+    for row in got.itertuples():
+        assert cells[int(row.vec_id)] in probed[int(row.qid)]
+        q, v = vecs[int(row.qid)], vecs[int(row.vec_id)]
+        want = float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v)))
+        assert row.cosine == round(want, 4)
