@@ -33,6 +33,7 @@ _PRIORITY = [
     "ann_pq_rerank_topk",
     "ann_ivfadc_topk",
     "ann_ivf_topk_spill",
+    "per_source_cap",
     "image_decode_stats",
     "audio_decode_stats",
     "video_frame_sample",

@@ -242,6 +242,7 @@ def main() -> None:
         "ann_pq_rerank_topk",
         "ann_ivfadc_topk",
         "ann_ivf_topk_spill",
+        "per_source_cap",
     ]
     for name in extended:
         fn, _ = registry[name]

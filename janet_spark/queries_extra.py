@@ -823,6 +823,44 @@ ORDER BY doc_id
 """
 
 
+_SOURCE_CAP = 10
+
+
+def q_per_source_cap(spark, sf_dir):
+    """Per-source document cap (the RefinedWeb/FineWeb-style per-domain
+    limit that stops a handful of mega-domains from dominating the
+    training mix): keep at most N documents per source, chosen by
+    deterministic hash order (md5(doc_id), doc_id) so the kept subset is
+    reproducible across engines and repartitionings — a capped uniform
+    sample, not "whatever arrived first".
+
+    At 100 TB: one hash-partition shuffle on source; the rank<=N filter
+    compiles to WindowGroupLimit, which prunes to N rows per source
+    map-side BEFORE the shuffle, so a mega-domain with 10^9 docs moves
+    only N rows per input partition instead of sorting 10^9 — the skew
+    a naive window sort would die on is bounded by construction."""
+    docs = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _SOURCE_CAP)
+        .select("doc_id", "source", F.col("rk").alias("cap_rank"))
+        .orderBy("source", "cap_rank")
+    )
+
+
+ORACLE_PER_SOURCE_CAP = f"""
+SELECT doc_id, source, cast(row_number() OVER w AS int) AS cap_rank
+FROM documents
+WINDOW w AS (PARTITION BY source
+             ORDER BY md5(cast(doc_id AS varchar)), doc_id)
+QUALIFY row_number() OVER w <= {_SOURCE_CAP}
+ORDER BY source, cap_rank
+"""
+
+
 # ---------------------------------------------------------------------------
 # correlated LATERAL subquery (per-row top-k without a global window)
 # ---------------------------------------------------------------------------
@@ -2735,6 +2773,7 @@ EXTRA_QUERIES = {
     "pii_scrub": (q_pii_scrub, ORACLE_PII_SCRUB),
     "pii_pseudonymize": (q_pii_pseudonymize, ORACLE_PII_PSEUDONYMIZE),
     "hash_sample": (q_hash_sample, ORACLE_HASH_SAMPLE),
+    "per_source_cap": (q_per_source_cap, ORACLE_PER_SOURCE_CAP),
     "image_header_probe": (q_image_header_probe, ORACLE_IMAGE_HEADER_PROBE),
     "authorized_events": (q_authorized_events, ORACLE_AUTHORIZED_EVENTS),
     "curation_pipeline": (q_curation_pipeline, ORACLE_CURATION_PIPELINE),

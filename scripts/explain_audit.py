@@ -138,6 +138,7 @@ AUDITED = [
     "ann_pq_rerank_topk",
     "ann_ivfadc_topk",
     "ann_ivf_topk_spill",
+    "per_source_cap",
 ]
 
 

@@ -169,3 +169,18 @@ def test_curation_suite_plan_shapes(spark):
     # block-total aggregate, and a broadcast join carries offsets back
     assert plan.count("Exchange SinglePartition") <= 1, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_per_source_cap_uses_window_group_limit(spark):
+    """The per-domain cap must compile to Partial+Final WindowGroupLimit
+    (map-side prune to N rows per source BEFORE the shuffle) — the
+    property that bounds a 10^9-doc mega-domain. A plain sort-window
+    plan here would be a 100 TB regression."""
+    from janet_spark.queries_extra import EXTRA_QUERIES
+
+    fn, _ = EXTRA_QUERIES["per_source_cap"]
+    plan = _plan(fn(spark, SF))
+    assert "WindowGroupLimit" in plan, plan
+    assert "Partial" in plan and "Final" in plan, plan
+    # exactly the one hash shuffle on source (+ the presentation sort)
+    assert _shuffles(plan) <= 2, plan
