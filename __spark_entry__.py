@@ -28,6 +28,7 @@ SF0001 = "/root/testdata/sf0.001"
 # row, so the tail refreshes the stalest evidence first).
 _PRIORITY = [
     # (a) new or changed in round 5
+    "line_dedup_corpus",
     "audio_frame_features",
     "ann_pq_topk",
     "ann_pq_rerank_topk",

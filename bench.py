@@ -164,6 +164,7 @@ def main() -> None:
         "dedup_clusters_lsh",
         "quality_repetition",
         "chunk_dedup",
+        "line_dedup_corpus",
         "decontaminate",
         "lm_score",
         "sequence_pack",

@@ -801,6 +801,124 @@ ORDER BY doc_id
 """
 
 
+_LINE_WORDS = 16  # deterministic line grain (this corpus is single-line)
+_LINE_DUP_DOCS = 2  # a line seen in >= K distinct docs is corpus boilerplate
+
+
+def _line_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, line): fixed-width word segments standing in for the
+    newline grain. The driver corpus contains no newlines, so the
+    deterministic segmenter is the same {_LINE_WORDS}-word chunking the
+    transcript derivation uses; a production corpus swaps this one
+    projection for split(text, '\\n') + posexplode and nothing downstream
+    changes. Narrow (explode of a closed-form sequence), no shuffle."""
+    wdocs = _word_docs(docs)
+    size = F.size(F.col("__words"))
+    n_lines = F.greatest(
+        F.ceil(size / F.lit(float(_LINE_WORDS))).cast("int"), F.lit(1)
+    )
+    return wdocs.select(
+        "doc_id",
+        "__words",
+        F.explode(F.sequence(F.lit(0), n_lines - 1)).alias("pos"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.expr(
+            f"array_join(slice(__words, pos * {_LINE_WORDS} + 1, {_LINE_WORDS}), ' ')"
+        ).alias("line"),
+    )
+
+
+def q_line_dedup_corpus(spark, sf_dir):
+    """CCNet-style corpus-frequency line deduplication (Wenzek et al.
+    2020 §4.1; also RefinedWeb's line-wise corrections): a line whose
+    hash appears in >= _LINE_DUP_DOCS distinct documents is boilerplate
+    (navigation bars, cookie banners, canned headers) and is REMOVED from
+    every document; the surviving lines are reassembled in original order.
+    Unlike `turn_boilerplate` (census only) this is the rewriting
+    operator — the output is the cleaned corpus plus per-doc drop counts.
+    Reference analog: janet's OCR-text cleanup rewrites page text in
+    place (apps/ocr/src/lib/ocr-utils.ts) — same strip-and-reassemble
+    contract, here at corpus scale.
+
+    Scale shape: the census is ONE two-phase aggregate on md5(line)
+    (map-side partial countDistinct via the standard expand), and the
+    rewrite is a line_sig-keyed left join where the census side holds one
+    32-char row per DISTINCT boilerplate line — orders of magnitude below
+    the corpus, broadcastable when it fits and AQE-skew-handled when the
+    hot boilerplate keys dominate otherwise. Reassembly is the
+    ordered-concat pattern: per-doc collect_list of (pos, line) structs,
+    array_sort, join — doc-keyed, skew-bounded by document length. No
+    Python, no window over the full corpus, raw line text never shuffles
+    except doc-keyed for reassembly."""
+    return line_dedup_corpus_frame(t(spark, sf_dir, "documents"))
+
+
+def line_dedup_corpus_frame(docs: DataFrame) -> DataFrame:
+    """Frame form of `q_line_dedup_corpus` over any (doc_id, text) frame."""
+    lines = _line_docs(docs).withColumn("line_sig", F.md5("line"))
+    boiler = (
+        lines.groupBy("line_sig")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= _LINE_DUP_DOCS)
+        .select("line_sig", F.lit(True).alias("is_dup"))
+    )
+    flagged = lines.join(boiler, "line_sig", "left").withColumn(
+        "is_dup", F.coalesce(F.col("is_dup"), F.lit(False))
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.count(F.when(F.col("is_dup"), F.lit(1))).alias("n_dropped"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(~F.col("is_dup"), F.struct("pos", "line"))
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+ORACLE_LINE_DEDUP_CORPUS = f"""
+WITH d AS (
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS ws FROM documents
+), n AS (
+  SELECT doc_id, ws,
+         greatest(cast(ceil(len(ws) / {_LINE_WORDS}.0) AS int), 1) AS nc
+  FROM d
+), e AS (
+  SELECT doc_id, ws, cast(unnest(range(0, nc)) AS int) AS pos FROM n
+), l AS (
+  SELECT doc_id, pos,
+         array_to_string(list_slice(ws, pos * {_LINE_WORDS} + 1,
+                                    pos * {_LINE_WORDS} + {_LINE_WORDS}), ' ')
+           AS line
+  FROM e
+), c AS (
+  SELECT md5(line) AS line_sig FROM l
+  GROUP BY md5(line) HAVING count(DISTINCT doc_id) >= {_LINE_DUP_DOCS}
+), f AS (
+  SELECT l.doc_id, l.pos, l.line, c.line_sig IS NOT NULL AS is_dup
+  FROM l LEFT JOIN c ON md5(l.line) = c.line_sig
+)
+SELECT doc_id,
+       count(*) AS n_lines,
+       count(*) FILTER (WHERE is_dup) AS n_dropped,
+       coalesce(string_agg(line, ' ' ORDER BY pos) FILTER (WHERE NOT is_dup),
+                '') AS clean_text
+FROM f GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 _DECONTAM_GRAM = 8
 _EVAL_MOD = 11  # doc_id % 11 == 0 -> held-out eval set (deterministic)
 
@@ -3352,6 +3470,7 @@ TEXT_QUERIES = {
     "exact_dedup": (q_exact_dedup, ORACLE_EXACT_DEDUP),
     "chunk_dedup": (q_chunk_dedup, ORACLE_CHUNK_DEDUP),
     "substring_dedup": (q_substring_dedup, ORACLE_SUBSTRING_DEDUP),
+    "line_dedup_corpus": (q_line_dedup_corpus, ORACLE_LINE_DEDUP_CORPUS),
     "unicode_clean": (q_unicode_clean, ORACLE_UNICODE_CLEAN),
     "decontaminate": (q_decontaminate, ORACLE_DECONTAMINATE),
     "lm_score": (q_lm_score, ORACLE_LM_SCORE),

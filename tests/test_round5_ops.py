@@ -840,3 +840,48 @@ def test_ivfadc_candidates_respect_probed_cells_and_exact_cosines(spark):
         q, v = vecs[int(row.qid)], vecs[int(row.vec_id)]
         want = float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v)))
         assert row.cosine == round(want, 4)
+
+
+def test_line_dedup_corpus_drops_shared_lines_keeps_order(spark):
+    """CCNet line dedup: a 16-word line appearing in >= 2 distinct docs is
+    removed from every doc; unique lines survive in original order; a doc
+    made entirely of boilerplate cleans to the empty string."""
+    from janet_spark.queries_text import line_dedup_corpus_frame
+
+    def line(tag):
+        return " ".join(f"{tag}{j}" for j in range(16))
+
+    A, B = line("boilA"), line("boilB")
+    U1, U2, U3 = line("uniq1"), line("uniq2"), line("uniq3")
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join([A, U1, B])),
+            (2, " ".join([B, U2, A])),
+            (3, U3),
+            (4, A),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in line_dedup_corpus_frame(docs).collect()}
+    assert (rows[1].n_lines, rows[1].n_dropped, rows[1].clean_text) == (3, 2, U1)
+    assert (rows[2].n_lines, rows[2].n_dropped, rows[2].clean_text) == (3, 2, U2)
+    assert (rows[3].n_lines, rows[3].n_dropped, rows[3].clean_text) == (1, 0, U3)
+    assert (rows[4].n_lines, rows[4].n_dropped, rows[4].clean_text) == (1, 1, "")
+
+
+def test_line_dedup_corpus_within_doc_repeat_not_boilerplate(spark):
+    """A line repeated twice WITHIN one doc but in no other doc is NOT
+    corpus boilerplate (the census counts DISTINCT docs): both copies
+    survive, in order."""
+    from janet_spark.queries_text import line_dedup_corpus_frame
+
+    def line(tag):
+        return " ".join(f"{tag}{j}" for j in range(16))
+
+    R, U = line("rep"), line("uniq")
+    docs = spark.createDataFrame(
+        [(1, " ".join([R, U, R]))], "doc_id long, text string"
+    )
+    row = line_dedup_corpus_frame(docs).collect()[0]
+    assert (row.n_lines, row.n_dropped) == (3, 0)
+    assert row.clean_text == " ".join([R, U, R])
