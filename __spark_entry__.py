@@ -29,6 +29,7 @@ SF0001 = "/root/testdata/sf0.001"
 _PRIORITY = [
     # (a) new or changed in round 5
     "line_dedup_corpus",
+    "line_dedup_corpus_incremental",
     "audio_frame_features",
     "ann_pq_topk",
     "ann_pq_rerank_topk",

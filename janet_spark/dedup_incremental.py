@@ -158,6 +158,46 @@ def incremental_exact_census_run(
     return _write_generation(exact_census_of(delta_docs), census_path, run_id)
 
 
+LINE_CENSUS_SCHEMA = "line_sig string, n_docs long"
+
+
+def line_census_of(lines: DataFrame) -> DataFrame:
+    """(line_sig, n_docs) over a (doc_id, line_sig) frame — the
+    boilerplate census behind `line_dedup_corpus`. ADDITIVE across daily
+    deltas because deltas partition the corpus by doc_id (each document
+    is censused in exactly one delta), so per-line distinct-doc counts
+    sum across generations."""
+    return lines.groupBy("line_sig").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+
+
+def read_line_census(spark: SparkSession, census_path: str) -> DataFrame | None:
+    """Sum the per-generation counts into the live (line_sig, n_docs)
+    view. Same contract as `read_exact_census`: generations are disjoint
+    deltas so SUM is the merge, and `compact_generations` applies
+    unchanged because reads re-aggregate whatever union survives."""
+    gens = _live_generation_dirs(census_path)
+    if not gens:
+        return None
+    return (
+        spark.read.schema(LINE_CENSUS_SCHEMA)
+        .parquet(*gens)
+        .groupBy("line_sig")
+        .agg(F.sum("n_docs").alias("n_docs"))
+    )
+
+
+def incremental_line_census_run(
+    delta_lines: DataFrame, census_path: str, run_id: str
+) -> str:
+    """Daily line-census maintenance: census ONLY the delta's lines and
+    append one committed generation (single-rename gen=<run_id>, replay
+    replaces) — the daily boilerplate rewrite then reads a table sized by
+    the distinct-line population instead of re-censusing the corpus."""
+    return _write_generation(line_census_of(delta_lines), census_path, run_id)
+
+
 CENSUS_SCHEMA = "band_key long, bkt_n long, rep_doc long"
 
 

@@ -855,14 +855,20 @@ def q_line_dedup_corpus(spark, sf_dir):
     return line_dedup_corpus_frame(t(spark, sf_dir, "documents"))
 
 
-def line_dedup_corpus_frame(docs: DataFrame) -> DataFrame:
-    """Frame form of `q_line_dedup_corpus` over any (doc_id, text) frame."""
+def line_dedup_corpus_frame(
+    docs: DataFrame, census: DataFrame | None = None
+) -> DataFrame:
+    """Frame form of `q_line_dedup_corpus` over any (doc_id, text) frame.
+    `census`: optional pre-computed (line_sig, n_docs) frame (the
+    maintained table, in the incremental form); None re-censuses the
+    input — both produce the identical rewrite by construction."""
     lines = _line_docs(docs).withColumn("line_sig", F.md5("line"))
-    boiler = (
-        lines.groupBy("line_sig")
-        .agg(F.countDistinct("doc_id").alias("n_docs"))
-        .filter(F.col("n_docs") >= _LINE_DUP_DOCS)
-        .select("line_sig", F.lit(True).alias("is_dup"))
+    if census is None:
+        census = lines.groupBy("line_sig").agg(
+            F.countDistinct("doc_id").alias("n_docs")
+        )
+    boiler = census.filter(F.col("n_docs") >= _LINE_DUP_DOCS).select(
+        "line_sig", F.lit(True).alias("is_dup")
     )
     flagged = lines.join(boiler, "line_sig", "left").withColumn(
         "is_dup", F.coalesce(F.col("is_dup"), F.lit(False))
@@ -886,6 +892,44 @@ def line_dedup_corpus_frame(docs: DataFrame) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _maintained_line_census(spark, sf_dir):
+    """The standing (line_sig, n_docs) boilerplate census for `sf_dir`'s
+    documents, bootstrapping gen=bootstrap on first touch — the line-grain
+    counterpart of `_maintained_exact_census`. Production appends one
+    generation per daily delta via `incremental_line_census_run`; the
+    reader sums generations, so read cost scales with the distinct-line
+    population, never the corpus."""
+    from janet_spark.dedup_incremental import (
+        incremental_line_census_run,
+        read_line_census,
+        state_dir_for_input,
+    )
+
+    census_path = state_dir_for_input(sf_dir, "documents.parquet", "line_census")
+    census = read_line_census(spark, census_path)
+    if census is None:
+        delta_lines = _line_docs(t(spark, sf_dir, "documents")).select(
+            "doc_id", F.md5("line").alias("line_sig")
+        )
+        incremental_line_census_run(delta_lines, census_path, "bootstrap")
+        census = read_line_census(spark, census_path)
+    return census
+
+
+def q_line_dedup_corpus_incremental(spark, sf_dir):
+    """Maintained form of `q_line_dedup_corpus`: the boilerplate census
+    comes from the committed line-census generations instead of a fresh
+    corpus-wide countDistinct per run — the daily rewrite's census read
+    scales with the distinct-line population (one (md5, long) row per
+    line ever seen), and a daily delta appends one generation censusing
+    only its own documents. Output is identical to the standalone form
+    (same oracle) because distinct-doc counts are additive across the
+    doc-id-partitioned deltas; pinned maintained == scanned on a
+    two-generation corpus in tests/test_round5_ops.py."""
+    docs = t(spark, sf_dir, "documents")
+    return line_dedup_corpus_frame(docs, census=_maintained_line_census(spark, sf_dir))
 
 
 ORACLE_LINE_DEDUP_CORPUS = f"""
@@ -3471,6 +3515,10 @@ TEXT_QUERIES = {
     "chunk_dedup": (q_chunk_dedup, ORACLE_CHUNK_DEDUP),
     "substring_dedup": (q_substring_dedup, ORACLE_SUBSTRING_DEDUP),
     "line_dedup_corpus": (q_line_dedup_corpus, ORACLE_LINE_DEDUP_CORPUS),
+    "line_dedup_corpus_incremental": (
+        q_line_dedup_corpus_incremental,
+        ORACLE_LINE_DEDUP_CORPUS,
+    ),
     "unicode_clean": (q_unicode_clean, ORACLE_UNICODE_CLEAN),
     "decontaminate": (q_decontaminate, ORACLE_DECONTAMINATE),
     "lm_score": (q_lm_score, ORACLE_LM_SCORE),

@@ -885,3 +885,43 @@ def test_line_dedup_corpus_within_doc_repeat_not_boilerplate(spark):
     row = line_dedup_corpus_frame(docs).collect()[0]
     assert (row.n_lines, row.n_dropped) == (3, 0)
     assert row.clean_text == " ".join([R, U, R])
+
+
+def test_line_census_maintained_equals_scanned_two_generations(spark, tmp_path):
+    """The maintained line census (two daily-delta generations, summed on
+    read) must drive line_dedup_corpus_frame to the exact output of the
+    standalone full-scan form — including a boilerplate line whose two
+    occurrences arrive in DIFFERENT deltas (the additivity property)."""
+    from pyspark.sql import functions as F
+
+    from janet_spark.dedup_incremental import (
+        incremental_line_census_run,
+        read_line_census,
+    )
+    from janet_spark.queries_text import _line_docs, line_dedup_corpus_frame
+
+    def line(tag):
+        return " ".join(f"{tag}{j}" for j in range(16))
+
+    A, U1, U2 = line("boilA"), line("uniq1"), line("uniq2")
+    docs = spark.createDataFrame(
+        [(1, " ".join([A, U1])), (2, " ".join([U2, A]))],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "line_census")
+    for day, parity in (("d1", 0), ("d2", 1)):
+        delta = docs.filter(F.col("doc_id") % 2 == parity)
+        delta_lines = _line_docs(delta).select(
+            "doc_id", F.md5("line").alias("line_sig")
+        )
+        incremental_line_census_run(delta_lines, path, day)
+
+    census = read_line_census(spark, path)
+    maintained = sorted(
+        map(tuple, line_dedup_corpus_frame(docs, census=census).collect())
+    )
+    scanned = sorted(map(tuple, line_dedup_corpus_frame(docs).collect()))
+    assert maintained == scanned
+    # the cross-delta boilerplate line A was dropped from BOTH docs
+    by_id = dict((r[0], r) for r in maintained)
+    assert by_id[1][3] == U1 and by_id[2][3] == U2
