@@ -184,3 +184,19 @@ def test_per_source_cap_uses_window_group_limit(spark):
     assert "Partial" in plan and "Final" in plan, plan
     # exactly the one hash shuffle on source (+ the presentation sort)
     assert _shuffles(plan) <= 2, plan
+
+
+def test_line_dedup_corpus_broadcast_rewrite_and_partial_reassembly(spark):
+    """The boilerplate set (census filtered to n_docs >= K) must reach the
+    rewrite as a BROADCAST join side — never a corpus-sized shuffle of the
+    exploded lines by line_sig — and the per-doc reassembly must be a
+    partial+final aggregate (map-side combine before the doc_id
+    exchange). Shuffles: census distinct expand (2) + reassembly (1) +
+    presentation sort (1)."""
+    from janet_spark.queries_text import TEXT_QUERIES
+
+    fn, _ = TEXT_QUERIES["line_dedup_corpus"]
+    plan = _plan(fn(spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "partial_collect_list" in plan, plan
+    assert _shuffles(plan) <= 4, plan
