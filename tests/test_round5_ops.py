@@ -925,3 +925,46 @@ def test_line_census_maintained_equals_scanned_two_generations(spark, tmp_path):
     # the cross-delta boilerplate line A was dropped from BOTH docs
     by_id = dict((r[0], r) for r in maintained)
     assert by_id[1][3] == U1 and by_id[2][3] == U2
+
+
+def test_write_table_dynamic_partition_overwrite_emulation(spark, tmp_path):
+    """Without a catalog, write_table must emulate Iceberg
+    overwritePartitions on parquet: partitions present in the frame are
+    replaced whole, untouched partitions survive, and a repeat of the
+    same write is idempotent."""
+    from janet_spark.sources import write_table
+
+    path = str(tmp_path / "tbl")
+    day1 = spark.createDataFrame(
+        [(0, "a"), (0, "b"), (1, "c")], "part_bucket int, v string"
+    )
+    assert write_table(day1, path, partition_by=("part_bucket",)) == "parquet"
+    # rewrite ONLY bucket 1
+    day2 = spark.createDataFrame([(1, "c2")], "part_bucket int, v string")
+    assert write_table(day2, path, partition_by=("part_bucket",)) == "parquet"
+    got = sorted(
+        (r.part_bucket, r.v) for r in spark.read.parquet(path).collect()
+    )
+    assert got == [(0, "a"), (0, "b"), (1, "c2")]
+    # idempotent replay
+    write_table(day2, path, partition_by=("part_bucket",))
+    assert sorted(
+        (r.part_bucket, r.v) for r in spark.read.parquet(path).collect()
+    ) == [(0, "a"), (0, "b"), (1, "c2")]
+
+
+def test_write_table_unpartitioned_swap_and_spec_guard(spark, tmp_path):
+    from janet_spark.sources import write_table
+
+    path = str(tmp_path / "flat")
+    write_table(spark.createDataFrame([(1,)], "x int"), path)
+    write_table(spark.createDataFrame([(2,)], "x int"), path)
+    assert [r.x for r in spark.read.parquet(path).collect()] == [2]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="one partition column"):
+        write_table(
+            spark.createDataFrame([(1, 2)], "a int, b int"),
+            path,
+            partition_by=("a", "b"),
+        )
