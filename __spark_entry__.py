@@ -30,6 +30,7 @@ _PRIORITY = [
     # (a) new or changed in round 5
     "line_dedup_corpus",
     "line_dedup_corpus_incremental",
+    "conv_boilerplate_strip",
     "audio_frame_features",
     "ann_pq_topk",
     "ann_pq_rerank_topk",

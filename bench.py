@@ -165,6 +165,8 @@ def main() -> None:
         "quality_repetition",
         "chunk_dedup",
         "line_dedup_corpus",
+        "line_dedup_corpus_incremental",
+        "conv_boilerplate_strip",
         "decontaminate",
         "lm_score",
         "sequence_pack",

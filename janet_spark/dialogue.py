@@ -404,6 +404,69 @@ def q_turn_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return turn_boilerplate_frame(derived_transcripts(spark, sf_dir))
 
 
+def conv_boilerplate_strip_frame(tr: DataFrame) -> DataFrame:
+    """The REWRITE `turn_boilerplate` censuses for: drop every turn whose
+    exact text recurs in >= 2 distinct conversations (system prompts,
+    canned banners) and densely re-index the survivors per conversation —
+    the strip-before-packing step a trainer runs so boilerplate never
+    reaches the loss. Empty turns are never boilerplate (same rule as the
+    census). Output keeps the original index as `orig_turn_idx` so spans
+    and lineage keyed to the pre-strip ordering still resolve.
+
+    Scale shape: census = one two-phase distinct agg on md5(text) (raw
+    text never shuffles); the strip is a sig-keyed left-anti-shaped join
+    where the boilerplate side is one 32-char row per distinct recurring
+    text (broadcastable — boilerplate vocabularies are tiny by
+    definition); re-indexing is a conv-keyed window, skew-bounded by
+    conversation length exactly like reassembly."""
+    boiler = (
+        tr.filter(F.col("text") != "")
+        .groupBy(F.md5("text").alias("sig"))
+        .agg(F.countDistinct("conv_id").alias("n_convs"))
+        .filter(F.col("n_convs") >= 2)
+        .select("sig", F.lit(True).alias("is_boiler"))
+    )
+    kept = (
+        tr.withColumn("sig", F.md5("text"))
+        .join(boiler, "sig", "left")
+        .filter(F.col("is_boiler").isNull())
+    )
+    w = Window.partitionBy("conv_id").orderBy("orig_turn_idx")
+    return (
+        kept.select(
+            "conv_id",
+            F.col("turn_idx").alias("orig_turn_idx"),
+            "role",
+            "text",
+        )
+        .withColumn("turn_idx", (F.row_number().over(w) - 1).cast("int"))
+        .select("conv_id", "turn_idx", "orig_turn_idx", "role", "text")
+        .orderBy("conv_id", "turn_idx")
+    )
+
+
+def q_conv_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return conv_boilerplate_strip_frame(derived_transcripts(spark, sf_dir))
+
+
+ORACLE_CONV_BOILERPLATE_STRIP = f"""
+{_CTE}
+, c AS (
+  SELECT md5(text) AS sig FROM transcripts WHERE text <> ''
+  GROUP BY md5(text) HAVING count(DISTINCT conv_id) >= 2
+), k AS (
+  SELECT t.conv_id, t.turn_idx AS orig_turn_idx, t.role, t.text
+  FROM transcripts t LEFT JOIN c ON md5(t.text) = c.sig
+  WHERE c.sig IS NULL
+)
+SELECT conv_id,
+       cast(row_number() OVER (PARTITION BY conv_id ORDER BY orig_turn_idx)
+            - 1 AS int) AS turn_idx,
+       orig_turn_idx, role, text
+FROM k ORDER BY conv_id, turn_idx
+"""
+
+
 ORACLE_TURN_BOILERPLATE = f"""
 {_CTE}
 SELECT md5(text) AS turn_sig,
@@ -1082,6 +1145,10 @@ DIALOGUE_QUERIES = {
     "conv_merge_roles": (q_conv_merge_roles, ORACLE_CONV_MERGE_ROLES),
     "conv_tail_truncate": (q_conv_tail_truncate, ORACLE_CONV_TAIL_TRUNCATE),
     "turn_boilerplate": (q_turn_boilerplate, ORACLE_TURN_BOILERPLATE),
+    "conv_boilerplate_strip": (
+        q_conv_boilerplate_strip,
+        ORACLE_CONV_BOILERPLATE_STRIP,
+    ),
     "best_of_n": (q_best_of_n, ORACLE_BEST_OF_N),
     "preference_pairs": (q_preference_pairs, ORACLE_PREFERENCE_PAIRS),
     "sft_examples": (q_sft_examples, ORACLE_SFT_EXAMPLES),

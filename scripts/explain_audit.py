@@ -139,6 +139,10 @@ AUDITED = [
     "ann_ivfadc_topk",
     "ann_ivf_topk_spill",
     "per_source_cap",
+    # round-5 tail: corpus-frequency line dedup (standalone + maintained)
+    "line_dedup_corpus",
+    "line_dedup_corpus_incremental",
+    "conv_boilerplate_strip",
 ]
 
 

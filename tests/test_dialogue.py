@@ -349,3 +349,42 @@ def test_chat_render_offsets_reconstruct_exactly(spark):
     empty = c1[3]
     assert empty.target_start == empty.target_end
     assert empty.is_target
+
+
+def test_conv_boilerplate_strip_reindexes_and_keeps_within_conv_repeats(spark):
+    """A turn text recurring in >= 2 distinct conversations is stripped
+    from all of them and survivors re-index densely (orig_turn_idx keeps
+    provenance); the same text repeated twice WITHIN one conversation is
+    not boilerplate; empty turns are never boilerplate."""
+    from janet_spark.dialogue import conv_boilerplate_strip_frame
+
+    rows = [
+        # conv a: boiler at 0, unique at 1, boiler at 2
+        ("a", 0, "user", "SYSTEM PROMPT", "", None),
+        ("a", 1, "assistant", "unique answer a", "", None),
+        ("a", 2, "tool", "CANNED BANNER", "", None),
+        # conv b: shares both boiler texts
+        ("b", 0, "user", "CANNED BANNER", "", None),
+        ("b", 1, "assistant", "SYSTEM PROMPT", "", None),
+        ("b", 2, "tool", "unique answer b", "", None),
+        # conv c: repeats its own text twice (kept), plus an empty turn
+        ("c", 0, "user", "only in c", "", None),
+        ("c", 1, "assistant", "only in c", "", None),
+        ("c", 2, "tool", "", "", None),
+    ]
+    tr = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    got = [
+        (r.conv_id, r.turn_idx, r.orig_turn_idx, r.text)
+        for r in conv_boilerplate_strip_frame(tr).collect()
+    ]
+    assert got == [
+        ("a", 0, 1, "unique answer a"),
+        ("b", 0, 2, "unique answer b"),
+        ("c", 0, 0, "only in c"),
+        ("c", 1, 1, "only in c"),
+        ("c", 2, 2, ""),
+    ]
