@@ -31,6 +31,8 @@ _PRIORITY = [
     "line_dedup_corpus",
     "line_dedup_corpus_incremental",
     "conv_boilerplate_strip",
+    "dsir_importance",
+    "dsir_select",
     "audio_frame_features",
     "ann_pq_topk",
     "ann_pq_rerank_topk",

@@ -167,6 +167,8 @@ def main() -> None:
         "line_dedup_corpus",
         "line_dedup_corpus_incremental",
         "conv_boilerplate_strip",
+        "dsir_importance",
+        "dsir_select",
         "decontaminate",
         "lm_score",
         "sequence_pack",

@@ -3499,6 +3499,172 @@ FROM h ORDER BY asset_id, frame_idx
 """
 
 
+_DSIR_BUCKETS = 256  # hashed-ngram feature dimensionality (DSIR uses 10^4;
+# 256 keeps the oracle's per-bucket arithmetic renderable while exercising
+# the identical collision-tolerant estimator)
+_DSIR_SELECT_K = 100  # resample size for dsir_select
+
+
+def _dsir_feature_occurrences(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, bucket) — one row per hashed-ngram feature OCCURRENCE.
+
+    DSIR's feature map (Xie et al. 2023 §3, "Data Selection for Language
+    Models via Importance Resampling"): word unigrams + word bigrams,
+    hashed into a fixed bucket space. The hash is md5-prefix → int so
+    Spark and DuckDB bucket identically (the engine-portable idiom used
+    by hash_sample). Narrow explode — no shuffle until the bucket
+    aggregates."""
+    ws = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    base = docs.select("doc_id", "lang", ws.alias("ws"))
+    uni = base.select("doc_id", "lang", F.explode("ws").alias("feat"))
+    # sequence(0, size-2) DESCENDS when size < 2 — guard with when()
+    big = base.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.when(
+                F.size("ws") >= 2,
+                F.expr(
+                    "transform(sequence(0, size(ws) - 2),"
+                    " i -> concat(ws[i], ' ', ws[i + 1]))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("feat"),
+    )
+    bucket = F.conv(F.substring(F.md5("feat"), 1, 2), 16, 10).cast("int")
+    return (
+        uni.unionByName(big)
+        .filter(F.col("feat") != "")
+        .select("doc_id", "lang", bucket.alias("bucket"))
+    )
+
+
+def dsir_importance_frame(docs: DataFrame) -> DataFrame:
+    """Per-document DSIR importance weight: log2 likelihood ratio of the
+    doc's hashed-ngram bag under the TARGET distribution (here: the
+    corpus's own lang='en' slice, standing in for the paper's
+    Wikipedia+books target) vs the RAW distribution (the whole corpus),
+    both add-1 smoothed over the bucket space.
+
+    log w(doc) = Σ_occurrences log2( (ct[b]+1)·(R+B) / ((cr[b]+1)·(T+B)) )
+
+    with ct/cr the target/raw bucket counts and T/R their totals — exact
+    integer products divided as doubles, so both engines round the same
+    4-decimal value (the lm_score parity recipe).
+
+    Scale shape: the classifier IS the ≤256-row ratio table — two
+    map-side-combinable bucket aggregates over the occurrence stream,
+    then a broadcast join back and one per-doc combinable sum. Raw text
+    shuffles nowhere; the only doc-grain shuffle is the final groupBy
+    doc_id. At 100 TB the ratio table is still ≤B rows: this is the
+    pattern's whole point — the importance model never grows with the
+    corpus."""
+    occ = _dsir_feature_occurrences(docs)
+    raw = occ.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = (
+        occ.filter(F.col("lang") == "en")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    tot = raw.agg(F.sum("cr").alias("r_tot")).crossJoin(
+        tgt.agg(F.sum("ct").alias("t_tot"))
+    )
+    ratio = (
+        raw.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.log2(
+                (
+                    (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1))
+                    * (F.col("r_tot") + F.lit(_DSIR_BUCKETS))
+                ).cast("double")
+                / (
+                    (F.col("cr") + F.lit(1)) * (F.col("t_tot") + F.lit(_DSIR_BUCKETS))
+                ).cast("double")
+            ).alias("lr"),
+        )
+    )
+    return (
+        occ.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.round(F.sum("lr"), 4).alias("dsir_logw"),
+        )
+        .select("doc_id", "lang", "n_feats", "dsir_logw")
+    )
+
+
+def q_dsir_importance(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    return dsir_importance_frame(docs).orderBy("doc_id")
+
+
+def q_dsir_select(spark, sf_dir):
+    """The resample step: keep the top-K documents by importance weight.
+    DSIR proper adds Gumbel noise before the top-k; the deterministic
+    variant (weight desc, doc_id tie-break) is the auditable form — same
+    selection in any engine, any partitioning. Spark executes
+    orderBy+limit as TakeOrderedAndProject: each task keeps K rows, the
+    driver merges — no global sort of the doc-grain table, which is what
+    makes the selection scale-safe at 10^9 docs."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        dsir_importance_frame(docs)
+        .orderBy(F.desc("dsir_logw"), "doc_id")
+        .limit(_DSIR_SELECT_K)
+    )
+
+
+_DSIR_CTE = f"""
+WITH ws AS (
+  SELECT doc_id, lang, string_split(coalesce(text, ''), ' ') AS w FROM documents
+), feats AS (
+  SELECT doc_id, lang, unnest(w) AS feat FROM ws
+  UNION ALL
+  SELECT doc_id, lang,
+         unnest(list_transform(range(1, len(w)),
+                               i -> w[i] || ' ' || w[i + 1])) AS feat
+  FROM ws
+), occ AS (
+  SELECT doc_id, lang,
+         (strpos('0123456789abcdef', substr(md5(feat), 1, 1)) - 1) * 16
+         + strpos('0123456789abcdef', substr(md5(feat), 2, 1)) - 1 AS bucket
+  FROM feats WHERE feat <> ''
+), raw AS (
+  SELECT bucket, count(*) AS cr FROM occ GROUP BY bucket
+), tgt AS (
+  SELECT bucket, count(*) AS ct FROM occ WHERE lang = 'en' GROUP BY bucket
+), tot AS (
+  SELECT (SELECT sum(cr) FROM raw) AS r_tot, (SELECT sum(ct) FROM tgt) AS t_tot
+), ratio AS (
+  SELECT raw.bucket,
+         log2(cast((coalesce(tgt.ct, 0) + 1) * (tot.r_tot + {_DSIR_BUCKETS})
+                   AS double)
+              / cast((raw.cr + 1) * (tot.t_tot + {_DSIR_BUCKETS}) AS double))
+           AS lr
+  FROM raw LEFT JOIN tgt ON raw.bucket = tgt.bucket, tot
+), w AS (
+  SELECT occ.doc_id, occ.lang, count(*) AS n_feats,
+         round(sum(ratio.lr), 4) AS dsir_logw
+  FROM occ JOIN ratio ON occ.bucket = ratio.bucket
+  GROUP BY occ.doc_id, occ.lang
+)
+"""
+
+ORACLE_DSIR_IMPORTANCE = f"""
+{_DSIR_CTE}
+SELECT doc_id, lang, n_feats, dsir_logw FROM w ORDER BY doc_id
+"""
+
+ORACLE_DSIR_SELECT = f"""
+{_DSIR_CTE}
+SELECT doc_id, lang, n_feats, dsir_logw FROM w
+ORDER BY dsir_logw DESC, doc_id LIMIT {_DSIR_SELECT_K}
+"""
+
+
 TEXT_QUERIES = {
     "extract_turns": (q_extract_turns, ORACLE_EXTRACT_TURNS),
     "reassemble_convs": (q_reassemble_convs, ORACLE_REASSEMBLE_CONVS),
@@ -3522,6 +3688,8 @@ TEXT_QUERIES = {
     "unicode_clean": (q_unicode_clean, ORACLE_UNICODE_CLEAN),
     "decontaminate": (q_decontaminate, ORACLE_DECONTAMINATE),
     "lm_score": (q_lm_score, ORACLE_LM_SCORE),
+    "dsir_importance": (q_dsir_importance, ORACLE_DSIR_IMPORTANCE),
+    "dsir_select": (q_dsir_select, ORACLE_DSIR_SELECT),
     "sequence_pack": (q_sequence_pack, ORACLE_SEQUENCE_PACK),
     "pack_examples": (q_pack_examples, _pack_examples_oracle()),
     "curation_pipeline_v2": (q_curation_pipeline_v2, ORACLE_CURATION_PIPELINE_V2),

@@ -143,6 +143,9 @@ AUDITED = [
     "line_dedup_corpus",
     "line_dedup_corpus_incremental",
     "conv_boilerplate_strip",
+    # round-5 tail: DSIR importance weights + deterministic resample
+    "dsir_importance",
+    "dsir_select",
 ]
 
 

@@ -968,3 +968,37 @@ def test_write_table_unpartitioned_swap_and_spec_guard(spark, tmp_path):
             path,
             partition_by=("a", "b"),
         )
+
+
+def test_dsir_importance_ranks_target_like_docs_higher(spark):
+    """DSIR semantics: documents whose hashed-ngram bag matches the
+    target (lang='en') vocabulary score a higher mean importance weight
+    than off-target docs with disjoint vocabulary, and a raw doc written
+    in the target vocabulary outranks one that isn't — the classifier
+    generalizes past the lang label to the feature distribution."""
+    from janet_spark.queries_text import dsir_importance_frame
+
+    en = "the model trains on curated english text with common words"
+    zz = "zzq qqz zqz qzq zzz qqq zqq qzz zzqq qqzz"
+    rows = (
+        [(i, "en", en + f" variant {i}") for i in range(8)]
+        + [(100, "xx", en + " variant 100")]  # target-like bag, raw label
+        + [(200 + i, "xx", zz + f" tail {i}") for i in range(8)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    w = {r.doc_id: r.dsir_logw for r in dsir_importance_frame(docs).collect()}
+    assert w[100] > w[200]  # same raw label, target-like bag wins
+    en_mean = sum(w[i] for i in range(8)) / 8
+    zz_mean = sum(w[200 + i] for i in range(8)) / 8
+    assert en_mean > 0 > zz_mean
+
+
+def test_dsir_select_is_deterministic_topk(spark):
+    """dsir_select returns exactly K rows, ordered by (weight desc,
+    doc_id), independent of input partitioning."""
+    from janet_spark.queries_text import _DSIR_SELECT_K, q_dsir_select
+
+    got = q_dsir_select(spark, "/root/testdata/sf0.001").collect()
+    assert len(got) == _DSIR_SELECT_K
+    keys = [(-r.dsir_logw, r.doc_id) for r in got]
+    assert keys == sorted(keys)
