@@ -227,19 +227,48 @@ def _write_generation(bands: DataFrame, sig_path: str, gen_id: str) -> str:
     The staging dir is suffixed with pid + a random token so two
     concurrent sessions committing the SAME gen_id (e.g. both racing the
     'bootstrap' generation over a shared state dir) never interleave
-    writes into one staging dir — each stages privately and the last
-    rename wins whole, never a partial mix."""
+    writes into one staging dir — each stages privately, the first rename
+    wins whole, and the loser detects the winner (rename onto an existing
+    non-empty dir raises) and discards its own staging: never a partial
+    mix, never a crashed loser. Staging hygiene: this process's staging
+    is always removed (committed, superseded, or failed — the finally
+    block), and stale stagings from hard-crashed processes are swept once
+    they are a day old (age gate so a live concurrent committer's staging
+    is never pulled out from under it)."""
+    import time
     import uuid
 
     os.makedirs(sig_path, exist_ok=True)
+    for entry in os.listdir(sig_path):
+        p = os.path.join(sig_path, entry)
+        try:
+            if (
+                entry.startswith("_staging_")
+                and os.path.isdir(p)
+                and time.time() - os.path.getmtime(p) > 86400
+            ):
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass  # a concurrent sweep already removed it
     staging = os.path.join(
         sig_path, f"_staging_{gen_id}_{os.getpid()}_{uuid.uuid4().hex[:8]}"
     )
     final = os.path.join(sig_path, f"gen={gen_id}")
-    bands.write.mode("overwrite").parquet(staging)
-    if os.path.exists(final):
-        shutil.rmtree(final)
-    os.rename(staging, final)
+    try:
+        bands.write.mode("overwrite").parquet(staging)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        try:
+            os.rename(staging, final)
+        except OSError:
+            # lost the race: a concurrent committer renamed its staging
+            # into `final` between our rmtree/exists check and our rename
+            # (ENOTEMPTY on POSIX). Its generation is complete — ours is
+            # the duplicate, so discard it rather than crash the session.
+            if not os.path.isdir(final):
+                raise
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
     return final
 
 

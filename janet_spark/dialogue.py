@@ -424,13 +424,9 @@ def conv_boilerplate_strip_frame(tr: DataFrame) -> DataFrame:
         .groupBy(F.md5("text").alias("sig"))
         .agg(F.countDistinct("conv_id").alias("n_convs"))
         .filter(F.col("n_convs") >= 2)
-        .select("sig", F.lit(True).alias("is_boiler"))
+        .select("sig")
     )
-    kept = (
-        tr.withColumn("sig", F.md5("text"))
-        .join(boiler, "sig", "left")
-        .filter(F.col("is_boiler").isNull())
-    )
+    kept = tr.withColumn("sig", F.md5("text")).join(boiler, "sig", "left_anti")
     w = Window.partitionBy("conv_id").orderBy("orig_turn_idx")
     return (
         kept.select(

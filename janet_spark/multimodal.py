@@ -77,12 +77,18 @@ def decode_payload(payload: bytes, kind: str, fake: bool = False) -> np.ndarray:
 
             _, _, _, px = decode_png(payload)
             grey = px.astype(np.float64).mean(axis=2)
+            if grey.size == 0:
+                # loud-reject contract: a 0x0 image has no featurizable
+                # content; silently returning NaNs would flow downstream
+                raise ValueError("image decodes to zero pixels")
             hist, _ = np.histogram(grey, bins=FEATURE_DIM, range=(0.0, 256.0))
             return hist.astype(np.float64) / grey.size
         if kind == "audio":
             from janet_spark.wav_codec import decode_wav
 
             _, _, samples = decode_wav(payload)
+            if samples.size == 0:
+                raise ValueError("audio decodes to zero samples")
             hist, _ = np.histogram(
                 samples, bins=FEATURE_DIM, range=(-32768.0, 32768.0)
             )
@@ -200,12 +206,17 @@ def decode_image_stats(assets: DataFrame) -> DataFrame:
             for a, p in zip(pdf["asset_id"], pdf["payload"]):
                 w, h, ch, px = decode_png(bytes(p))
                 s = px.astype(np.int64).sum(axis=(0, 1))
+                # channel-general: greyscale broadcasts its single plane
+                # (c_i reads plane min(i, ch-1)), so a color-type-0 PNG —
+                # which decode_png legitimately returns as ch=1 — reports
+                # r=g=b stats instead of crashing on s[1]/s[2]
+                c = lambda i: min(i, ch - 1)
                 rows.append(
                     (
                         int(a), w, h, ch,
-                        int(s[0]), int(s[1]), int(s[2]),
-                        int(px[:, :, 0].min()), int(px[:, :, 0].max()),
-                        int(px[:, :, 2].min()), int(px[:, :, 2].max()),
+                        int(s[c(0)]), int(s[c(1)]), int(s[c(2)]),
+                        int(px[:, :, c(0)].min()), int(px[:, :, c(0)].max()),
+                        int(px[:, :, c(2)].min()), int(px[:, :, c(2)].max()),
                     )
                 )
             yield pd.DataFrame(
@@ -320,12 +331,16 @@ def decode_audio_stats(assets: DataFrame) -> DataFrame:
             for a, p in zip(pdf["asset_id"], pdf["payload"]):
                 rate, ch, s = decode_wav(bytes(p))
                 tot = s.astype(np.int64).sum(axis=0)
+                # channel-general like decode_image_stats: a mono WAV
+                # (ch=1, legitimate decode_wav output) reports c1 == c0
+                # instead of crashing on tot[1]/s[:, 1]
+                c1 = min(1, ch - 1)
                 rows.append(
                     (
                         int(a), rate, ch, int(s.shape[0]),
-                        int(tot[0]), int(tot[1]),
+                        int(tot[0]), int(tot[c1]),
                         int(s[:, 0].min()), int(s[:, 0].max()),
-                        int(s[:, 1].min()), int(s[:, 1].max()),
+                        int(s[:, c1].min()), int(s[:, c1].max()),
                     )
                 )
             yield pd.DataFrame(

@@ -477,7 +477,9 @@ _TYPO_QUERIES = [
     (3, "the tabble scan quary", "src6", "en"),
 ]
 
-_TYPO_DAMP = 0.5  # score multiplier per edit: exact-before-typo ranking
+_TYPO_DAMP = _EXPANSION_DAMP  # single knob: engine (search facade) and every
+# oracle render damp expansions identically — tuning one constant cannot
+# silently diverge the two sides of the hash-match gate
 
 
 def q_typo_ranked_search(spark, sf_dir):
@@ -877,7 +879,7 @@ _PREFIX_QUERIES = [
     (4, "window", "src12", "en"),
 ]
 
-_PREFIX_DAMP = 0.5  # exact-before-prefix, like _TYPO_DAMP's exact-before-typo
+_PREFIX_DAMP = _EXPANSION_DAMP  # alias of the single expansion knob (see _TYPO_DAMP)
 
 # every prefix of a word, shortest first — the prefix-key analogue of
 # _DELETES_EXPR: vocabulary-sized * avg word length, never corpus-sized
@@ -1017,8 +1019,12 @@ def suggest_oracle_sql(query_rows) -> str:
     registered ORACLE_SUGGEST_SEARCH constant and lets tests verify the
     facade on novel user-composed query strings (the reference's
     Playwright test types 'cobra', apps/web/tests/pdfs.spec.ts:32-35)."""
+    esc = lambda s: str(s).replace("'", "''")  # SQL string-literal escape:
+    # user-composed query text ("cobra's den") must neither break the
+    # oracle's syntax nor be able to inject SQL into it
     rows = ", ".join(
-        f"({q}, '{text}', '{src}', '{lang}')" for q, text, src, lang in query_rows
+        f"({int(q)}, '{esc(text)}', '{esc(src)}', '{esc(lang)}')"
+        for q, text, src, lang in query_rows
     )
     values = f"queries(q_id, q_text, f_source, f_lang) AS (VALUES {rows})"
     return f"""

@@ -161,6 +161,14 @@ def write_table(
         shutil.rmtree(staging, ignore_errors=True)
     else:
         old = path_or_ident + "__old"
+        if not os.path.isdir(path_or_ident) and os.path.isdir(old):
+            # recover a stranded swap: a prior writer crashed between
+            # rename(table, __old) and rename(staging, table), leaving the
+            # sole surviving copy at __old with the table path empty.
+            # Restore it BEFORE the rmtree below, which would otherwise
+            # delete that only copy (same crash-window contract as
+            # streaming.update_index_stream)
+            os.rename(old, path_or_ident)
         shutil.rmtree(old, ignore_errors=True)
         if os.path.isdir(path_or_ident):
             os.rename(path_or_ident, old)

@@ -1002,3 +1002,114 @@ def test_dsir_select_is_deterministic_topk(spark):
     assert len(got) == _DSIR_SELECT_K
     keys = [(-r.dsir_logw, r.doc_id) for r in got]
     assert keys == sorted(keys)
+
+
+def test_search_facade_apostrophe_query_safe_oracle(spark):
+    """suggest_oracle_sql must escape user-composed text: a query with an
+    apostrophe ("cobra's") renders a syntactically valid oracle (no SQL
+    breakage, no injection channel) and both sides agree on the result."""
+    from janet_spark.queries_relational import t
+    from janet_spark.search import search, suggest_oracle_sql
+
+    rows = [(1, "cobra's merge", "src0", "en")]
+    docs = t(spark, _SF, "documents")
+    queries = spark.createDataFrame(
+        rows, "q_id int, q_text string, f_source string, f_lang string"
+    )
+    got = search(docs, queries).toPandas()
+    want = _duck_search(suggest_oracle_sql(rows))  # raises if not escaped
+    assert len(got) == len(want)
+
+
+def test_image_stats_greyscale_and_audio_stats_mono(spark):
+    """Channel-general stats: a colour-type-0 (greyscale) PNG and a mono
+    WAV are legitimate codec outputs; the stats operators broadcast the
+    single plane/channel instead of crashing on a hard-coded index."""
+    import numpy as np
+
+    from janet_spark.multimodal import decode_audio_stats, decode_image_stats
+    from janet_spark.png_codec import encode_png
+    from janet_spark.wav_codec import encode_wav
+
+    grey = (np.arange(12, dtype=np.uint8).reshape(3, 4, 1) * 7) % 256
+    png = encode_png(grey)
+    img = spark.createDataFrame(
+        [(1, bytearray(png))], "asset_id long, payload binary"
+    )
+    r = decode_image_stats(img).collect()[0]
+    assert (r.width, r.height, r.n_channels) == (4, 3, 1)
+    assert r.sum_c0 == r.sum_c1 == r.sum_c2 == int(grey.astype(np.int64).sum())
+    assert (r.min_c0, r.max_c0) == (r.min_c2, r.max_c2)
+
+    mono = (np.arange(32, dtype=np.int16).reshape(-1, 1) * 501) - 8000
+    wav = encode_wav(mono, 8000)
+    aud = spark.createDataFrame(
+        [(2, bytearray(wav))], "asset_id long, payload binary"
+    )
+    s = decode_audio_stats(aud).collect()[0]
+    assert (s.n_channels, s.n_samples) == (1, 32)
+    assert s.sum_c0 == s.sum_c1 == int(mono.astype(np.int64).sum())
+    assert (s.min_c0, s.max_c0) == (s.min_c1, s.max_c1)
+
+
+def test_decode_payload_rejects_empty_media_loudly():
+    """A structurally valid zero-sample WAV (or 0x0 PNG) must raise, not
+    return a silent all-NaN feature vector."""
+    import numpy as np
+    import pytest as _pytest
+
+    from janet_spark.multimodal import decode_payload
+    from janet_spark.wav_codec import encode_wav
+
+    empty_wav = encode_wav(np.zeros((0, 1), dtype=np.int16), 8000)
+    with _pytest.raises(ValueError, match="zero samples"):
+        decode_payload(empty_wav, "audio")
+
+
+def test_write_table_recovers_stranded_swap(spark, tmp_path):
+    """Crash window between rename(table, __old) and rename(staging,
+    table): the sole surviving copy sits at __old. The next write_table
+    must restore it (never rmtree it) before swapping in the new data —
+    and a plain reader path sees the restored table if no write happens."""
+    import os
+
+    from janet_spark.sources import write_table
+
+    path = str(tmp_path / "tbl")
+    write_table(spark.range(5).toDF("id"), path)
+    # simulate the crash: table moved aside, new staging never landed
+    os.rename(path, path + "__old")
+    assert not os.path.isdir(path)
+    write_table(spark.range(9).toDF("id"), path)  # must not delete __old copy
+    assert spark.read.parquet(path).count() == 9
+    assert not os.path.isdir(path + "__old")
+
+
+def test_write_generation_race_loser_discards_and_cleans(spark, tmp_path, monkeypatch):
+    """Two sessions race the same gen_id: the loser's rename hits the
+    winner's committed dir (ENOTEMPTY), must NOT crash, and must leave no
+    staging debris behind."""
+    import os
+
+    import janet_spark.dedup_incremental as di
+
+    sig_path = str(tmp_path / "state")
+    df = spark.range(3).selectExpr("cast(id as long) as doc_id")
+    real_rename = os.rename
+
+    def racing_rename(src, dst):
+        if "_staging_" in src and dst.endswith("gen=raced"):
+            # the winner commits between our exists-check and our rename
+            os.makedirs(dst, exist_ok=True)
+            with open(os.path.join(dst, "part-0.parquet"), "w") as f:
+                f.write("winner")
+            raise OSError(39, "Directory not empty")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(di.os, "rename", racing_rename)
+    final = di._write_generation(df, sig_path, "raced")
+    assert os.path.isdir(final)
+    with open(os.path.join(final, "part-0.parquet")) as f:
+        assert f.read() == "winner"  # the winner's generation survived whole
+    debris = [e for e in os.listdir(sig_path) if e.startswith("_staging_")]
+    assert debris == []
