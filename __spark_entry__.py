@@ -33,6 +33,8 @@ _PRIORITY = [
     "conv_boilerplate_strip",
     "dsir_importance",
     "dsir_select",
+    "bloom_dedup_prefilter",
+    "heavy_hitters_cms",
     "audio_frame_features",
     "ann_pq_topk",
     "ann_pq_rerank_topk",
@@ -104,12 +106,14 @@ def _registry():
     from janet_spark.queries_relational import RELATIONAL_QUERIES
     from janet_spark.queries_text import TEXT_QUERIES
     from janet_spark.search import SEARCH_QUERIES
+    from janet_spark.sketches import SKETCH_QUERIES
 
     merged: dict[str, tuple] = {}
     merged.update(RELATIONAL_QUERIES)
     merged.update(TEXT_QUERIES)
     merged.update(EXTRA_QUERIES)
     merged.update(SEARCH_QUERIES)
+    merged.update(SKETCH_QUERIES)
     merged.update(CONV_QUERIES)
     merged.update(DIALOGUE_QUERIES)
     reg: dict[str, tuple] = {}

@@ -70,6 +70,7 @@ def main() -> None:
     from janet_spark.queries_text import TEXT_QUERIES
     from janet_spark.reassemble import reassemble_conversations
     from janet_spark.search import SEARCH_QUERIES
+    from janet_spark.sketches import SKETCH_QUERIES
     from janet_spark.session import build_session
 
     spark = build_session(
@@ -121,6 +122,7 @@ def main() -> None:
         **TEXT_QUERIES,
         **EXTRA_QUERIES,
         **SEARCH_QUERIES,
+        **SKETCH_QUERIES,
         **CONV_QUERIES,
         **DIALOGUE_QUERIES,
     }
@@ -169,6 +171,8 @@ def main() -> None:
         "conv_boilerplate_strip",
         "dsir_importance",
         "dsir_select",
+        "bloom_dedup_prefilter",
+        "heavy_hitters_cms",
         "decontaminate",
         "lm_score",
         "sequence_pack",

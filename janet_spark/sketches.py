@@ -1,0 +1,200 @@
+"""Probabilistic-sketch operators — the fixed-size summaries a 100 TB
+pipeline substitutes for corpus-sized state.
+
+Two classic sketches, each built from deterministic md5-derived hash
+functions so Spark and DuckDB compute bit-identical structures (the
+engine-portable bucket idiom used by hash_sample / dsir_importance):
+
+* ``bloom_dedup_prefilter`` — a Bloom membership filter over the history
+  corpus's exact-text keys, probed by the daily delta. The membership
+  structure is ≤ m rows (m = 4096 bits here) REGARDLESS of corpus size:
+  it broadcasts where the exact anti-join would shuffle the full history
+  key set. False positives are part of the semantics (flagged docs go to
+  the exact verify tail; clean docs skip it — the same
+  cheap-filter-then-verify shape as the LSH prefilters); false negatives
+  are impossible, which the pytest pins. Production note: Spark ships
+  native ``bloom_filter_agg``/``might_contain`` (a compact binary
+  aggregate) — this module keeps the bit set relational so the oracle
+  can reproduce it bit-for-bit; the plan shape (tiny broadcast structure
+  probed map-side) is identical.
+
+* ``heavy_hitters_cms`` — a count-min sketch (Cormode & Muthukrishnan
+  2005): d=4 hash rows × w=1024 counters summarize the full token
+  frequency distribution in ≤ 4096 rows; a token's estimate is the MIN
+  over its d counters, never below the true count (the CMS guarantee,
+  pytest-pinned). The demo query joins estimates back to true counts so
+  the oracle value-checks both; a production pipeline keeps only the
+  sketch and never materializes the true counts.
+
+The reference has no sketch machinery (TypeScript serving layer); these
+derive from the published papers + the Spark built-in analogues.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from janet_spark.queries_relational import t
+
+_BLOOM_BITS = 4096  # 16^3: three md5 hex chars index the bit space exactly
+_BLOOM_K = 3  # hash functions per key
+_CMS_D = 4  # count-min hash rows
+_CMS_W = 1024  # counters per row
+_CMS_TOP = 20
+
+
+def _hash_pos(seed_col, key_col) -> F.Column:
+    """0..4095 from the first 3 hex chars of md5(seed ':' key) — the
+    seed turns ONE md5 into a family of independent hash functions."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(seed_col.cast("string"), F.lit(":"), key_col)), 1, 3
+        ),
+        16,
+        10,
+    ).cast("int")
+
+
+def _sql_hash_pos(seed_sql: str, key_sql: str) -> str:
+    """The identical 3-hex-char position in DuckDB SQL (nibble-by-nibble
+    strpos decode, the ORACLE_HASH_SAMPLE idiom)."""
+    m = f"md5(cast({seed_sql} AS varchar) || ':' || {key_sql})"
+    nib = "strpos('0123456789abcdef', substr({m}, {i}, 1)) - 1"
+    return (
+        f"(({nib.format(m=m, i=1)}) * 256"
+        f" + ({nib.format(m=m, i=2)}) * 16"
+        f" + ({nib.format(m=m, i=3)}))"
+    )
+
+
+def bloom_dedup_prefilter_frame(history: DataFrame, delta: DataFrame) -> DataFrame:
+    """(doc_id, maybe_dup) for every delta doc: maybe_dup iff ALL K bloom
+    positions of md5(text) are set by the history. Scale shape: the bit
+    set is one distinct-agg over history positions (≤ m rows, broadcast);
+    the probe is a per-position broadcast left join + per-doc min — the
+    delta never joins the history itself."""
+    seeds = F.explode(F.array(*[F.lit(j) for j in range(_BLOOM_K)])).alias("j")
+    bits = (
+        history.select(F.md5("text").alias("key"))
+        .select("key", seeds)
+        .select(_hash_pos(F.col("j"), F.col("key")).alias("pos"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    probe = (
+        delta.select("doc_id", F.md5("text").alias("key"))
+        .select("doc_id", "key", seeds)
+        .select("doc_id", _hash_pos(F.col("j"), F.col("key")).alias("pos"))
+    )
+    return (
+        probe.join(F.broadcast(bits), "pos", "left")
+        .groupBy("doc_id")
+        .agg((F.min(F.coalesce(F.col("hit"), F.lit(0))) == 1).alias("maybe_dup"))
+        .select("doc_id", "maybe_dup")
+    )
+
+
+def q_bloom_dedup_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    history = docs.filter(F.col("doc_id") % 2 == 0)
+    delta = docs.filter(F.col("doc_id") % 2 == 1)
+    return bloom_dedup_prefilter_frame(history, delta).orderBy("doc_id")
+
+
+_BLOOM_POS = _sql_hash_pos("j", "key")
+
+ORACLE_BLOOM_DEDUP_PREFILTER = f"""
+WITH hist AS (
+  SELECT md5(text) AS key FROM documents WHERE doc_id % 2 = 0
+), bits AS (
+  SELECT DISTINCT {_BLOOM_POS} AS pos
+  FROM hist, unnest([0, 1, 2]) AS u(j)
+), probe AS (
+  SELECT doc_id, {_BLOOM_POS} AS pos
+  FROM (SELECT doc_id, md5(text) AS key FROM documents WHERE doc_id % 2 = 1),
+       unnest([0, 1, 2]) AS u(j)
+)
+SELECT probe.doc_id,
+       min(CASE WHEN bits.pos IS NULL THEN 0 ELSE 1 END) = 1 AS maybe_dup
+FROM probe LEFT JOIN bits ON probe.pos = bits.pos
+GROUP BY probe.doc_id ORDER BY doc_id
+"""
+
+
+def heavy_hitters_cms_frame(docs: DataFrame) -> DataFrame:
+    """Top-N tokens by count-min ESTIMATE, with the true count alongside.
+    Scale shape: the sketch is a (row, col) two-phase agg — ≤ d·w rows,
+    map-side combinable, broadcast back into the vocabulary-sized
+    estimate join; the top-N executes as TakeOrderedAndProject. The true
+    count joins in only so the oracle can value-check the estimate
+    against its lower bound — production keeps the sketch alone."""
+    occ = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.coalesce(F.col("text"), F.lit("")), " "),
+                lambda x: x != "",
+            )
+        ).alias("tok")
+    )
+    counts = occ.groupBy("tok").agg(F.count(F.lit(1)).alias("true_n"))
+    rows = F.explode(F.array(*[F.lit(r) for r in range(_CMS_D)])).alias("r")
+    cells = (
+        counts.select("tok", "true_n", rows)
+        .select(
+            "r",
+            (_hash_pos(F.col("r"), F.col("tok")) % _CMS_W).alias("col"),
+            "true_n",
+        )
+        .groupBy("r", "col")
+        .agg(F.sum("true_n").alias("counter"))
+    )
+    est = (
+        counts.select("tok", "true_n", rows)
+        .select(
+            "tok",
+            "true_n",
+            "r",
+            (_hash_pos(F.col("r"), F.col("tok")) % _CMS_W).alias("col"),
+        )
+        .join(F.broadcast(cells), ["r", "col"])
+        .groupBy("tok", "true_n")
+        .agg(F.min("counter").alias("est_n"))
+    )
+    return (
+        est.select("tok", "true_n", "est_n")
+        .orderBy(F.desc("est_n"), "tok")
+        .limit(_CMS_TOP)
+    )
+
+
+def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return heavy_hitters_cms_frame(t(spark, sf_dir, "documents"))
+
+
+_CMS_POS = f"({_sql_hash_pos('r', 'tok')} % {_CMS_W})"
+
+ORACLE_HEAVY_HITTERS_CMS = f"""
+WITH occ AS (
+  SELECT unnest(string_split(coalesce(text, ''), ' ')) AS tok FROM documents
+), counts AS (
+  SELECT tok, count(*) AS true_n FROM occ WHERE tok <> '' GROUP BY tok
+), keyed AS (
+  SELECT tok, true_n, r, {_CMS_POS} AS col
+  FROM counts, unnest([0, 1, 2, 3]) AS u(r)
+), cells AS (
+  SELECT r, col, sum(true_n) AS counter FROM keyed GROUP BY r, col
+), est AS (
+  SELECT keyed.tok, keyed.true_n, min(cells.counter) AS est_n
+  FROM keyed JOIN cells ON keyed.r = cells.r AND keyed.col = cells.col
+  GROUP BY keyed.tok, keyed.true_n
+)
+SELECT tok, true_n, cast(est_n AS bigint) AS est_n
+FROM est ORDER BY est_n DESC, tok LIMIT {_CMS_TOP}
+"""
+
+
+SKETCH_QUERIES = {
+    "bloom_dedup_prefilter": (q_bloom_dedup_prefilter, ORACLE_BLOOM_DEDUP_PREFILTER),
+    "heavy_hitters_cms": (q_heavy_hitters_cms, ORACLE_HEAVY_HITTERS_CMS),
+}

@@ -146,6 +146,8 @@ AUDITED = [
     # round-5 tail: DSIR importance weights + deterministic resample
     "dsir_importance",
     "dsir_select",
+    "bloom_dedup_prefilter",
+    "heavy_hitters_cms",
 ]
 
 

@@ -1113,3 +1113,37 @@ def test_write_generation_race_loser_discards_and_cleans(spark, tmp_path, monkey
         assert f.read() == "winner"  # the winner's generation survived whole
     debris = [e for e in os.listdir(sig_path) if e.startswith("_staging_")]
     assert debris == []
+
+
+def test_bloom_prefilter_never_false_negative(spark):
+    """The Bloom guarantee: every delta doc whose exact text IS in the
+    history must be flagged maybe_dup (false positives allowed, false
+    negatives impossible). Planted dups across a 300-doc corpus."""
+    from janet_spark.sketches import bloom_dedup_prefilter_frame
+
+    hist_rows = [(i, f"history text number {i}") for i in range(150)]
+    delta_rows = [(1000 + i, f"history text number {i * 3}") for i in range(50)] + [
+        (2000 + i, f"fresh delta text {i}") for i in range(100)
+    ]
+    hist = spark.createDataFrame(hist_rows, "doc_id long, text string")
+    delta = spark.createDataFrame(delta_rows, "doc_id long, text string")
+    got = {r.doc_id: r.maybe_dup for r in bloom_dedup_prefilter_frame(hist, delta).collect()}
+    for i in range(50):  # true dups: i*3 < 150 always in history
+        assert got[1000 + i] is True
+    fp = sum(1 for i in range(100) if got[2000 + i])
+    assert fp < 30  # 4096 bits / 150 keys * 3 hashes: FP rate stays low
+
+
+def test_cms_estimate_never_below_true_count(spark):
+    """The count-min guarantee: est >= true for every reported token, and
+    the unambiguous heavy hitter surfaces at rank 1 with an exact
+    estimate when its counters are collision-free."""
+    from janet_spark.sketches import heavy_hitters_cms_frame
+
+    rows = [(i, "alpha " * 50) for i in range(10)] + [
+        (100 + i, f"tail{i} beta") for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = heavy_hitters_cms_frame(docs).collect()
+    assert all(r.est_n >= r.true_n for r in got)
+    assert got[0].tok == "alpha" and got[0].true_n == 500
