@@ -33,6 +33,7 @@ _PRIORITY = [
     "conv_boilerplate_strip",
     "dsir_importance",
     "dsir_select",
+    "dsir_importance_incremental",
     "bloom_dedup_prefilter",
     "heavy_hitters_cms",
     "audio_frame_features",

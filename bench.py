@@ -171,6 +171,7 @@ def main() -> None:
         "conv_boilerplate_strip",
         "dsir_importance",
         "dsir_select",
+        "dsir_importance_incremental",
         "bloom_dedup_prefilter",
         "heavy_hitters_cms",
         "decontaminate",

@@ -198,6 +198,46 @@ def incremental_line_census_run(
     return _write_generation(line_census_of(delta_lines), census_path, run_id)
 
 
+DSIR_COUNTS_SCHEMA = "bucket int, ct long, cr long"
+
+
+def dsir_counts_of(occ: DataFrame) -> DataFrame:
+    """(bucket, ct, cr) over a (doc_id, lang, bucket) hashed-feature
+    occurrence frame — the DSIR classifier's sufficient statistics.
+    ADDITIVE across doc-id-partitioned deltas (each occurrence is counted
+    in exactly one delta), so the maintained classifier is the same
+    generation-sum contract as the line census."""
+    return occ.groupBy("bucket").agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("long")
+        .alias("ct"),
+        F.count(F.lit(1)).alias("cr"),
+    )
+
+
+def read_dsir_counts(spark: SparkSession, counts_path: str) -> DataFrame | None:
+    """Sum the per-generation target/raw bucket counts into the live
+    classifier table (≤ bucket-space rows regardless of corpus size)."""
+    gens = _live_generation_dirs(counts_path)
+    if not gens:
+        return None
+    return (
+        spark.read.schema(DSIR_COUNTS_SCHEMA)
+        .parquet(*gens)
+        .groupBy("bucket")
+        .agg(F.sum("ct").alias("ct"), F.sum("cr").alias("cr"))
+    )
+
+
+def incremental_dsir_counts_run(
+    delta_occ: DataFrame, counts_path: str, run_id: str
+) -> str:
+    """Daily DSIR classifier maintenance: count ONLY the delta's hashed
+    features and append one committed generation — scoring today's crawl
+    reads a ≤ bucket-space table instead of re-featurizing the corpus."""
+    return _write_generation(dsir_counts_of(delta_occ), counts_path, run_id)
+
+
 CENSUS_SCHEMA = "band_key long, bkt_n long, rep_doc long"
 
 

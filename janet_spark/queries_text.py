@@ -3560,31 +3560,31 @@ def dsir_importance_frame(docs: DataFrame) -> DataFrame:
     pattern's whole point — the importance model never grows with the
     corpus."""
     occ = _dsir_feature_occurrences(docs)
-    raw = occ.groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
-    tgt = (
-        occ.filter(F.col("lang") == "en")
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("ct"))
+    from janet_spark.dedup_incremental import dsir_counts_of
+
+    return _dsir_score(occ, _dsir_ratio_from_counts(dsir_counts_of(occ)))
+
+
+def _dsir_ratio_from_counts(counts: DataFrame) -> DataFrame:
+    """(bucket, lr) from the classifier's sufficient statistics — shared
+    by the standalone (counts built inline) and maintained (counts summed
+    from committed generations) forms, so the two can never diverge on
+    the estimator."""
+    tot = counts.agg(F.sum("cr").alias("r_tot"), F.sum("ct").alias("t_tot"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.log2(
+            (
+                (F.col("ct") + F.lit(1)) * (F.col("r_tot") + F.lit(_DSIR_BUCKETS))
+            ).cast("double")
+            / (
+                (F.col("cr") + F.lit(1)) * (F.col("t_tot") + F.lit(_DSIR_BUCKETS))
+            ).cast("double")
+        ).alias("lr"),
     )
-    tot = raw.agg(F.sum("cr").alias("r_tot")).crossJoin(
-        tgt.agg(F.sum("ct").alias("t_tot"))
-    )
-    ratio = (
-        raw.join(tgt, "bucket", "left")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "bucket",
-            F.log2(
-                (
-                    (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1))
-                    * (F.col("r_tot") + F.lit(_DSIR_BUCKETS))
-                ).cast("double")
-                / (
-                    (F.col("cr") + F.lit(1)) * (F.col("t_tot") + F.lit(_DSIR_BUCKETS))
-                ).cast("double")
-            ).alias("lr"),
-        )
-    )
+
+
+def _dsir_score(occ: DataFrame, ratio: DataFrame) -> DataFrame:
     return (
         occ.join(F.broadcast(ratio), "bucket")
         .groupBy("doc_id", "lang")
@@ -3599,6 +3599,46 @@ def dsir_importance_frame(docs: DataFrame) -> DataFrame:
 def q_dsir_importance(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     return dsir_importance_frame(docs).orderBy("doc_id")
+
+
+def _maintained_dsir_counts(spark, sf_dir) -> DataFrame:
+    """The standing (bucket, ct, cr) DSIR classifier for `sf_dir`'s
+    documents, bootstrapping on first touch with the same two-day split
+    every incremental query uses (history = even doc_ids as
+    gen=bootstrap, delta = odd as gen=delta-day2). Production appends one
+    generation per crawl day via `incremental_dsir_counts_run`; the read
+    sums generations into a ≤ bucket-space table, so the daily scorer
+    never re-featurizes the corpus."""
+    from janet_spark.dedup_incremental import (
+        incremental_dsir_counts_run,
+        read_dsir_counts,
+        state_dir_for_input,
+    )
+
+    counts_path = state_dir_for_input(sf_dir, "documents.parquet", "dsir_counts")
+    counts = read_dsir_counts(spark, counts_path)
+    if counts is None:
+        docs = t(spark, sf_dir, "documents")
+        occ_hist = _dsir_feature_occurrences(docs.filter(F.col("doc_id") % 2 == 0))
+        occ_delta = _dsir_feature_occurrences(docs.filter(F.col("doc_id") % 2 == 1))
+        incremental_dsir_counts_run(occ_hist, counts_path, "bootstrap")
+        incremental_dsir_counts_run(occ_delta, counts_path, "delta-day2")
+        counts = read_dsir_counts(spark, counts_path)
+    return counts
+
+
+def q_dsir_importance_incremental(spark, sf_dir):
+    """Maintained form of `q_dsir_importance`: score TODAY'S delta (odd
+    doc_ids) against the classifier summed from committed count
+    generations instead of re-featurizing the whole corpus per run —
+    the shape a daily crawl scorer actually has. The generation sum
+    equals the full-corpus counts (deltas partition occurrences by
+    doc_id), so delta scores are identical to the standalone query's —
+    one oracle serves both, restricted to the delta."""
+    docs = t(spark, sf_dir, "documents")
+    counts = _maintained_dsir_counts(spark, sf_dir)
+    occ = _dsir_feature_occurrences(docs.filter(F.col("doc_id") % 2 == 1))
+    return _dsir_score(occ, _dsir_ratio_from_counts(counts)).orderBy("doc_id")
 
 
 def q_dsir_select(spark, sf_dir):
@@ -3664,6 +3704,14 @@ SELECT doc_id, lang, n_feats, dsir_logw FROM w
 ORDER BY dsir_logw DESC, doc_id LIMIT {_DSIR_SELECT_K}
 """
 
+# the maintained form scores the delta with the full-corpus classifier, so
+# the standalone CTE restricted to delta docs IS its independent oracle
+ORACLE_DSIR_IMPORTANCE_INCREMENTAL = f"""
+{_DSIR_CTE}
+SELECT doc_id, lang, n_feats, dsir_logw FROM w
+WHERE doc_id % 2 = 1 ORDER BY doc_id
+"""
+
 
 TEXT_QUERIES = {
     "extract_turns": (q_extract_turns, ORACLE_EXTRACT_TURNS),
@@ -3689,6 +3737,10 @@ TEXT_QUERIES = {
     "decontaminate": (q_decontaminate, ORACLE_DECONTAMINATE),
     "lm_score": (q_lm_score, ORACLE_LM_SCORE),
     "dsir_importance": (q_dsir_importance, ORACLE_DSIR_IMPORTANCE),
+    "dsir_importance_incremental": (
+        q_dsir_importance_incremental,
+        ORACLE_DSIR_IMPORTANCE_INCREMENTAL,
+    ),
     "dsir_select": (q_dsir_select, ORACLE_DSIR_SELECT),
     "sequence_pack": (q_sequence_pack, ORACLE_SEQUENCE_PACK),
     "pack_examples": (q_pack_examples, _pack_examples_oracle()),

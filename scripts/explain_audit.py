@@ -146,6 +146,7 @@ AUDITED = [
     # round-5 tail: DSIR importance weights + deterministic resample
     "dsir_importance",
     "dsir_select",
+    "dsir_importance_incremental",
     "bloom_dedup_prefilter",
     "heavy_hitters_cms",
 ]

@@ -1147,3 +1147,46 @@ def test_cms_estimate_never_below_true_count(spark):
     got = heavy_hitters_cms_frame(docs).collect()
     assert all(r.est_n >= r.true_n for r in got)
     assert got[0].tok == "alpha" and got[0].true_n == 500
+
+
+def test_dsir_maintained_counts_equal_full_scan(spark, tmp_path):
+    """The summed count generations must equal the full-corpus classifier
+    (occurrences partition by doc_id across deltas), and the maintained
+    scorer must reproduce the standalone scores for the delta exactly."""
+    from janet_spark.dedup_incremental import (
+        dsir_counts_of,
+        incremental_dsir_counts_run,
+        read_dsir_counts,
+    )
+    from janet_spark.queries_relational import t
+    from janet_spark.queries_text import (
+        _dsir_feature_occurrences,
+        _dsir_ratio_from_counts,
+        _dsir_score,
+        dsir_importance_frame,
+    )
+
+    docs = t(spark, _SF, "documents")
+    path = str(tmp_path / "dsir_counts")
+    occ_h = _dsir_feature_occurrences(docs.filter(F.col("doc_id") % 2 == 0))
+    occ_d = _dsir_feature_occurrences(docs.filter(F.col("doc_id") % 2 == 1))
+    incremental_dsir_counts_run(occ_h, path, "bootstrap")
+    incremental_dsir_counts_run(occ_d, path, "delta-day2")
+    summed = read_dsir_counts(spark, path).orderBy("bucket").collect()
+    full = (
+        dsir_counts_of(_dsir_feature_occurrences(docs)).orderBy("bucket").collect()
+    )
+    assert [tuple(r) for r in summed] == [tuple(r) for r in full]
+
+    maintained = (
+        _dsir_score(occ_d, _dsir_ratio_from_counts(read_dsir_counts(spark, path)))
+        .orderBy("doc_id")
+        .collect()
+    )
+    standalone = (
+        dsir_importance_frame(docs)
+        .filter(F.col("doc_id") % 2 == 1)
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [tuple(r) for r in maintained] == [tuple(r) for r in standalone]
