@@ -36,6 +36,7 @@ _PRIORITY = [
     "dsir_importance_incremental",
     "bloom_dedup_prefilter",
     "heavy_hitters_cms",
+    "distinct_count_hll",
     "audio_frame_features",
     "ann_pq_topk",
     "ann_pq_rerank_topk",

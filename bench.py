@@ -174,6 +174,7 @@ def main() -> None:
         "dsir_importance_incremental",
         "bloom_dedup_prefilter",
         "heavy_hitters_cms",
+        "distinct_count_hll",
         "decontaminate",
         "lm_score",
         "sequence_pack",

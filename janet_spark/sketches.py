@@ -26,6 +26,18 @@ engine-portable bucket idiom used by hash_sample / dsir_importance):
   the oracle value-checks both; a production pipeline keeps only the
   sketch and never materializes the true counts.
 
+* ``distinct_count_hll`` — a HyperLogLog register table (Flajolet et al.
+  2007, the algorithm behind Spark's ``approx_count_distinct``): m=256
+  buckets per group, register = max leading-zero rank of a 32-bit
+  md5-derived value. Per-group distinct state is ≤ m rows regardless of
+  corpus size (vs count(DISTINCT)'s per-key shuffle), map-side
+  combinable, and mergeable across partitions/days by bucket-wise max —
+  the same additive-generation shape as the maintained censuses. The
+  estimator keeps doubles engine-portable: 2^-rank sums are exact in
+  IEEE double (term spread 33 bits < 53), so Spark and DuckDB agree
+  bit-for-bit before the final round(). The demo reports the exact
+  distinct count alongside so the oracle value-checks the estimate.
+
 The reference has no sketch machinery (TypeScript serving layer); these
 derive from the published papers + the Spark built-in analogues.
 """
@@ -194,7 +206,105 @@ FROM est ORDER BY est_n DESC, tok LIMIT {_CMS_TOP}
 """
 
 
+_HLL_M = 256  # 2^8 buckets: first 2 md5 hex chars; rsd = 1.04/sqrt(m) = 6.5%
+# bias constant alpha_m for m >= 128 (Flajolet et al. 2007 §4); computed
+# once and embedded as its repr so Spark and DuckDB parse the same double
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)
+
+
+def distinct_count_hll_frame(
+    docs: DataFrame, key: str = "text", group: str = "source"
+) -> DataFrame:
+    """(group, exact_distinct, hll_est, zero_buckets) per group.
+
+    Register build: bucket = first 2 hex chars of md5(key) (0..255),
+    v = next 8 hex chars as a 32-bit value, rank rho = leading zeros of
+    v + 1 (= 33 - bit_length, 33 when v = 0), register = max(rho) per
+    (group, bucket). Estimate = alpha·m² / (Σ_present 2^-reg + zeros),
+    switched to linear counting m·ln(m/zeros) in the small range
+    (raw ≤ 2.5m with empty buckets), rounded to 4 dp for oracle parity.
+    Scale shape: two map-side-combinable aggs; per-group state ≤ m rows.
+    The exact count(DISTINCT) column exists only so the demo/oracle can
+    value-check the estimate — production keeps the register table."""
+    keyed = docs.select(F.col(group).alias("grp"), F.md5(key).alias("h"))
+    reg = (
+        keyed.select(
+            "grp",
+            F.conv(F.substring("h", 1, 2), 16, 10).cast("int").alias("bucket"),
+            F.conv(F.substring("h", 3, 8), 16, 10).cast("bigint").alias("v"),
+        )
+        .withColumn(
+            "rho",
+            F.when(F.col("v") == 0, F.lit(33)).otherwise(
+                F.lit(33) - F.length(F.bin("v"))
+            ),
+        )
+        .groupBy("grp", "bucket")
+        .agg(F.max("rho").alias("mx"))
+    )
+    per_grp = reg.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("filled"),
+        F.sum(F.pow(F.lit(2.0), -F.col("mx"))).alias("sum_present"),
+    )
+    exact = keyed.groupBy("grp").agg(
+        F.countDistinct("h").alias("exact_distinct")
+    )
+    m = float(_HLL_M)
+    zeros = F.lit(m) - F.col("filled").cast("double")
+    raw = F.lit(_HLL_ALPHA) * F.lit(m * m) / (F.col("sum_present") + zeros)
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0), F.lit(m) * F.log(F.lit(m) / zeros)
+    ).otherwise(raw)
+    return (
+        per_grp.join(exact, "grp")
+        .select(
+            F.col("grp").alias(group),
+            "exact_distinct",
+            F.round(est, 4).alias("hll_est"),
+            (F.lit(_HLL_M) - F.col("filled")).cast("int").alias("zero_buckets"),
+        )
+        .orderBy(group)
+    )
+
+
+def q_distinct_count_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return distinct_count_hll_frame(t(spark, sf_dir, "documents"))
+
+
+ORACLE_DISTINCT_COUNT_HLL = f"""
+WITH keyed AS (
+  SELECT source AS grp, md5(text) AS h FROM documents
+), reg AS (
+  SELECT grp,
+         ('0x' || substr(h, 1, 2))::int AS bucket,
+         CASE WHEN ('0x' || substr(h, 3, 8))::bigint = 0 THEN 33
+              ELSE 33 - length(bin(('0x' || substr(h, 3, 8))::bigint)) END AS rho
+  FROM keyed
+), mx AS (
+  SELECT grp, bucket, max(rho) AS mx FROM reg GROUP BY grp, bucket
+), agg AS (
+  SELECT grp, count(*) AS filled, sum(power(2.0, -mx)) AS sum_present
+  FROM mx GROUP BY grp
+), ex AS (
+  SELECT grp, count(DISTINCT h) AS exact_distinct FROM keyed GROUP BY grp
+), est AS (
+  SELECT agg.grp, ex.exact_distinct,
+         CAST({_HLL_ALPHA!r} AS DOUBLE) * CAST({float(_HLL_M) * _HLL_M!r} AS DOUBLE)
+           / (sum_present + ({_HLL_M}.0 - filled)) AS raw,
+         {_HLL_M}.0 - filled AS zeros, filled
+  FROM agg JOIN ex ON agg.grp = ex.grp
+)
+SELECT grp AS source, exact_distinct,
+       round(CASE WHEN raw <= CAST({2.5 * _HLL_M!r} AS DOUBLE) AND zeros > 0
+                  THEN {_HLL_M}.0 * ln({_HLL_M}.0 / zeros)
+                  ELSE raw END, 4) AS hll_est,
+       ({_HLL_M} - filled)::int AS zero_buckets
+FROM est ORDER BY source
+"""
+
+
 SKETCH_QUERIES = {
     "bloom_dedup_prefilter": (q_bloom_dedup_prefilter, ORACLE_BLOOM_DEDUP_PREFILTER),
     "heavy_hitters_cms": (q_heavy_hitters_cms, ORACLE_HEAVY_HITTERS_CMS),
+    "distinct_count_hll": (q_distinct_count_hll, ORACLE_DISTINCT_COUNT_HLL),
 }

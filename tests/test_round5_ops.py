@@ -1149,6 +1149,30 @@ def test_cms_estimate_never_below_true_count(spark):
     assert got[0].tok == "alpha" and got[0].true_n == 500
 
 
+def test_hll_estimate_accuracy_and_duplicate_invariance(spark):
+    """HyperLogLog contract: (a) the estimate lands within a few rsd
+    (1.04/sqrt(256) = 6.5%) of the exact distinct count on both the
+    linear-counting range and the raw-estimator range; (b) the sketch is
+    a function of the distinct key SET — re-feeding every key 3x must
+    not move the estimate by one ulp (the property count(*) lacks)."""
+    from janet_spark.sketches import distinct_count_hll_frame
+
+    rows = [(i, f"small key {i}", "lc") for i in range(100)] + [
+        (10_000 + i, f"big key {i}", "raw") for i in range(5000)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r.source: r for r in distinct_count_hll_frame(docs).collect()}
+    assert got["lc"].exact_distinct == 100 and got["raw"].exact_distinct == 5000
+    for grp in ("lc", "raw"):
+        r = got[grp]
+        assert abs(r.hll_est - r.exact_distinct) / r.exact_distinct < 0.2
+    tripled = docs.union(docs).union(docs)
+    again = {r.source: r for r in distinct_count_hll_frame(tripled).collect()}
+    for grp in ("lc", "raw"):
+        assert again[grp].hll_est == got[grp].hll_est
+        assert again[grp].zero_buckets == got[grp].zero_buckets
+
+
 def test_dsir_maintained_counts_equal_full_scan(spark, tmp_path):
     """The summed count generations must equal the full-corpus classifier
     (occurrences partition by doc_id across deltas), and the maintained
