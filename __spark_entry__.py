@@ -37,6 +37,7 @@ _PRIORITY = [
     "bloom_dedup_prefilter",
     "heavy_hitters_cms",
     "distinct_count_hll",
+    "distinct_count_hll_incremental",
     "audio_frame_features",
     "ann_pq_topk",
     "ann_pq_rerank_topk",

@@ -175,6 +175,7 @@ def main() -> None:
         "bloom_dedup_prefilter",
         "heavy_hitters_cms",
         "distinct_count_hll",
+        "distinct_count_hll_incremental",
         "decontaminate",
         "lm_score",
         "sequence_pack",

@@ -212,23 +212,23 @@ _HLL_M = 256  # 2^8 buckets: first 2 md5 hex chars; rsd = 1.04/sqrt(m) = 6.5%
 _HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)
 
 
-def distinct_count_hll_frame(
+HLL_REG_SCHEMA = "grp string, bucket int, mx int"
+
+
+def hll_registers_frame(
     docs: DataFrame, key: str = "text", group: str = "source"
 ) -> DataFrame:
-    """(group, exact_distinct, hll_est, zero_buckets) per group.
-
-    Register build: bucket = first 2 hex chars of md5(key) (0..255),
-    v = next 8 hex chars as a 32-bit value, rank rho = leading zeros of
-    v + 1 (= 33 - bit_length, 33 when v = 0), register = max(rho) per
-    (group, bucket). Estimate = alpha·m² / (Σ_present 2^-reg + zeros),
-    switched to linear counting m·ln(m/zeros) in the small range
-    (raw ≤ 2.5m with empty buckets), rounded to 4 dp for oracle parity.
-    Scale shape: two map-side-combinable aggs; per-group state ≤ m rows.
-    The exact count(DISTINCT) column exists only so the demo/oracle can
-    value-check the estimate — production keeps the register table."""
-    keyed = docs.select(F.col(group).alias("grp"), F.md5(key).alias("h"))
-    reg = (
-        keyed.select(
+    """The HLL register table (grp, bucket, mx): bucket = first 2 hex
+    chars of md5(key) (0..255), v = next 8 hex chars as a 32-bit value,
+    rank rho = leading zeros of v + 1 (= 33 - bit_length, 33 when v = 0),
+    register mx = max(rho) per (group, bucket). One map-side-combinable
+    agg; <= m rows per group regardless of input size. Registers are a
+    pure function of the distinct key SET and merge by bucket-wise max
+    (associative/commutative/idempotent), which is what makes the
+    maintained daily form exact vs a full rebuild."""
+    return (
+        docs.select(F.col(group).alias("grp"), F.md5(key).alias("h"))
+        .select(
             "grp",
             F.conv(F.substring("h", 1, 2), 16, 10).cast("int").alias("bucket"),
             F.conv(F.substring("h", 3, 8), 16, 10).cast("bigint").alias("v"),
@@ -240,14 +240,20 @@ def distinct_count_hll_frame(
             ),
         )
         .groupBy("grp", "bucket")
-        .agg(F.max("rho").alias("mx"))
+        .agg(F.max("rho").cast("int").alias("mx"))
     )
-    per_grp = reg.groupBy("grp").agg(
+
+
+def hll_estimate_frame(registers: DataFrame) -> DataFrame:
+    """(grp, hll_est, zero_buckets) from a register table. Estimate =
+    alpha*m^2 / (sum_present 2^-mx + zeros), switched to linear counting
+    m*ln(m/zeros) in the small range (raw <= 2.5m with empty buckets),
+    rounded to 4 dp for oracle parity (the 2^-mx sum itself is EXACT in
+    IEEE double -- term spread 33 bits < 53 -- so both engines agree
+    before the round)."""
+    per_grp = registers.groupBy("grp").agg(
         F.count(F.lit(1)).alias("filled"),
         F.sum(F.pow(F.lit(2.0), -F.col("mx"))).alias("sum_present"),
-    )
-    exact = keyed.groupBy("grp").agg(
-        F.countDistinct("h").alias("exact_distinct")
     )
     m = float(_HLL_M)
     zeros = F.lit(m) - F.col("filled").cast("double")
@@ -255,15 +261,116 @@ def distinct_count_hll_frame(
     est = F.when(
         (raw <= F.lit(2.5 * m)) & (zeros > 0), F.lit(m) * F.log(F.lit(m) / zeros)
     ).otherwise(raw)
+    return per_grp.select(
+        "grp",
+        F.round(est, 4).alias("hll_est"),
+        (F.lit(_HLL_M) - F.col("filled")).cast("int").alias("zero_buckets"),
+    )
+
+
+def distinct_count_hll_frame(
+    docs: DataFrame, key: str = "text", group: str = "source"
+) -> DataFrame:
+    """(group, exact_distinct, hll_est, zero_buckets) per group. The
+    exact count(DISTINCT) column exists only so the demo/oracle can
+    value-check the estimate -- production keeps the register table."""
+    keyed = docs.select(F.col(group).alias("grp"), F.md5(key).alias("h"))
+    exact = keyed.groupBy("grp").agg(F.countDistinct("h").alias("exact_distinct"))
+    est = hll_estimate_frame(hll_registers_frame(docs, key, group))
     return (
-        per_grp.join(exact, "grp")
+        est.join(exact, "grp")
         .select(
             F.col("grp").alias(group),
             "exact_distinct",
-            F.round(est, 4).alias("hll_est"),
-            (F.lit(_HLL_M) - F.col("filled")).cast("int").alias("zero_buckets"),
+            "hll_est",
+            "zero_buckets",
         )
         .orderBy(group)
+    )
+
+
+def incremental_hll_run(
+    delta_docs: DataFrame,
+    reg_path: str,
+    run_id: str,
+    key: str = "text",
+    group: str = "source",
+) -> str:
+    """Daily HLL maintenance: sketch ONLY the delta's keys and append one
+    committed register generation (the additive-generation contract of
+    the censuses, but with max-merge instead of sum-merge on read). The
+    per-day write is <= m * groups rows however large the delta."""
+    from janet_spark.dedup_incremental import _write_generation
+
+    return _write_generation(
+        hll_registers_frame(delta_docs, key, group), reg_path, run_id
+    )
+
+
+def read_hll_registers(spark: SparkSession, reg_path: str) -> DataFrame | None:
+    """Max-merge committed register generations into the live table.
+    Exactness: registers are bucket-wise max of per-key ranks, max is
+    associative/idempotent, so any split of the corpus into deltas --
+    including replayed or overlapping deltas -- merges to exactly the
+    full-corpus register table (strictly stronger than the sum-merge
+    censuses, which need disjoint deltas)."""
+    from janet_spark.dedup_incremental import _live_generation_dirs
+
+    gens = _live_generation_dirs(reg_path)
+    if not gens:
+        return None
+    return (
+        spark.read.schema(HLL_REG_SCHEMA)
+        .parquet(*gens)
+        .groupBy("grp", "bucket")
+        .agg(F.max("mx").alias("mx"))
+    )
+
+
+def _maintained_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standing per-source register table for `sf_dir`'s documents,
+    bootstrapping on first touch with the standard two-day split (even
+    doc_ids = gen=bootstrap, odd = gen=delta-day2)."""
+    from janet_spark.dedup_incremental import state_dir_for_input
+
+    reg_path = state_dir_for_input(sf_dir, "documents.parquet", "hll_registers")
+    regs = read_hll_registers(spark, reg_path)
+    if regs is None:
+        docs = t(spark, sf_dir, "documents")
+        incremental_hll_run(
+            docs.filter(F.col("doc_id") % 2 == 0), reg_path, "bootstrap"
+        )
+        incremental_hll_run(
+            docs.filter(F.col("doc_id") % 2 == 1), reg_path, "delta-day2"
+        )
+        regs = read_hll_registers(spark, reg_path)
+    return regs
+
+
+def q_distinct_count_hll_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintained form of `distinct_count_hll`: the estimate reads the
+    max-merged register generations instead of re-sketching the corpus --
+    the shape a standing per-source cardinality dashboard has. Because
+    max-merge over any doc_id partition equals the full-corpus registers
+    exactly, the standalone oracle serves this query unchanged (the one
+    full-corpus scan left is the demo-only exact count(DISTINCT)
+    column)."""
+    docs = t(spark, sf_dir, "documents")
+    exact = (
+        docs.select(F.col("source").alias("grp"), F.md5("text").alias("h"))
+        .groupBy("grp")
+        .agg(F.countDistinct("h").alias("exact_distinct"))
+    )
+    return (
+        hll_estimate_frame(_maintained_hll_registers(spark, sf_dir))
+        .join(exact, "grp")
+        .select(
+            F.col("grp").alias("source"),
+            "exact_distinct",
+            "hll_est",
+            "zero_buckets",
+        )
+        .orderBy("source")
     )
 
 
@@ -307,4 +414,10 @@ SKETCH_QUERIES = {
     "bloom_dedup_prefilter": (q_bloom_dedup_prefilter, ORACLE_BLOOM_DEDUP_PREFILTER),
     "heavy_hitters_cms": (q_heavy_hitters_cms, ORACLE_HEAVY_HITTERS_CMS),
     "distinct_count_hll": (q_distinct_count_hll, ORACLE_DISTINCT_COUNT_HLL),
+    "distinct_count_hll_incremental": (
+        q_distinct_count_hll_incremental,
+        # max-merge over any doc_id partition == full-corpus registers
+        # exactly, so the standalone oracle serves the maintained form
+        ORACLE_DISTINCT_COUNT_HLL,
+    ),
 }

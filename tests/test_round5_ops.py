@@ -1173,6 +1173,33 @@ def test_hll_estimate_accuracy_and_duplicate_invariance(spark):
         assert again[grp].zero_buckets == got[grp].zero_buckets
 
 
+def test_hll_maintained_registers_equal_full_rebuild(spark, tmp_path):
+    """Max-merged register generations must equal the full-corpus
+    register table exactly — even when deltas OVERLAP (a replayed day),
+    the case sum-merge censuses cannot tolerate: max is idempotent."""
+    from janet_spark.sketches import (
+        hll_estimate_frame,
+        hll_registers_frame,
+        incremental_hll_run,
+        read_hll_registers,
+    )
+
+    rows = [(i, f"key {i}", f"s{i % 3}") for i in range(900)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    path = str(tmp_path / "hll_regs")
+    incremental_hll_run(docs.filter("doc_id < 400"), path, "day1")
+    # day2 REPLAYS docs 300-399 (overlap) alongside its fresh rows
+    incremental_hll_run(docs.filter("doc_id >= 300"), path, "day2")
+    maintained = read_hll_registers(spark, path)
+    full = hll_registers_frame(docs)
+    assert sorted(map(tuple, maintained.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+    est_m = sorted(map(tuple, hll_estimate_frame(maintained).collect()))
+    est_f = sorted(map(tuple, hll_estimate_frame(full).collect()))
+    assert est_m == est_f
+
+
 def test_dsir_maintained_counts_equal_full_scan(spark, tmp_path):
     """The summed count generations must equal the full-corpus classifier
     (occurrences partition by doc_id across deltas), and the maintained
