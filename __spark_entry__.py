@@ -38,6 +38,8 @@ _PRIORITY = [
     "heavy_hitters_cms",
     "distinct_count_hll",
     "distinct_count_hll_incremental",
+    "quantile_hist",
+    "quantile_hist_incremental",
     "audio_frame_features",
     "ann_pq_topk",
     "ann_pq_rerank_topk",

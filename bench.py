@@ -176,6 +176,8 @@ def main() -> None:
         "heavy_hitters_cms",
         "distinct_count_hll",
         "distinct_count_hll_incremental",
+        "quantile_hist",
+        "quantile_hist_incremental",
         "decontaminate",
         "lm_score",
         "sequence_pack",

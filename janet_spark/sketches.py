@@ -38,6 +38,20 @@ engine-portable bucket idiom used by hash_sample / dsir_importance):
   bit-for-bit before the final round(). The demo reports the exact
   distinct count alongside so the oracle value-checks the estimate.
 
+* ``quantile_hist`` — a mergeable fixed-width histogram for quantile
+  estimation (the bounded-range special case of HDR/DDSketch-style
+  bucketed quantiles, and the mergeable substitute for Spark's
+  ``percentile_approx`` t-digest): bucket = floor(value · 8), count per
+  (group, bucket). Width-1/8 buckets make every arithmetic step exactly
+  IEEE-defined (one correctly-rounded multiply + floor; estimates are
+  midpoint/8, an exact binary fraction), so Spark and DuckDB agree
+  bit-for-bit with no float-parity tricks — unlike log-bucketed
+  DDSketch, whose ln() boundaries are libm-dependent. Counts are
+  additive across disjoint deltas, giving the maintained daily form the
+  same committed-generation contract as the censuses. Absolute error
+  ≤ 1/16 by construction; for unbounded metrics production would switch
+  the bucket fn to log-gamma buckets and keep everything else.
+
 The reference has no sketch machinery (TypeScript serving layer); these
 derive from the published papers + the Spark built-in analogues.
 """
@@ -410,6 +424,201 @@ FROM est ORDER BY source
 """
 
 
+# ---------------------------------------------------------------- quantiles
+
+_QH_K = 8.0  # bucket width 1/8: floor(v*8) is ONE correctly-rounded IEEE
+# multiply + floor, so Spark and DuckDB bucket identically; estimates
+# (bucket+0.5)/8 are exact binary fractions — zero float-parity risk
+_QH_QS = [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]
+
+HIST_SCHEMA = "grp string, bucket int, n long"
+
+
+def hist_counts_frame(
+    events: DataFrame, value: str = "value", group: str = "event_type"
+) -> DataFrame:
+    """The histogram table (grp, bucket, n): bucket = floor(value * 8),
+    one map-side-combinable count agg. State is <= range * 8 rows per
+    group regardless of input size (the events metric is bounded; an
+    unbounded metric would swap in log-gamma buckets, DDSketch-style,
+    keeping the rest of the machinery). Counts are ADDITIVE across
+    disjoint deltas, which is what makes the maintained daily form exact
+    vs a full rebuild — the same sum-merge contract as the censuses."""
+    return (
+        events.select(
+            F.col(group).alias("grp"),
+            F.floor(F.col(value) * F.lit(_QH_K)).cast("int").alias("bucket"),
+        )
+        .groupBy("grp", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def hist_quantiles_frame(hist: DataFrame) -> DataFrame:
+    """(grp, n_events, p50_est, p90_est, p99_est) from a histogram table:
+    running cumulative count per group ordered by bucket, quantile q =
+    midpoint of the first bucket whose cumulative count reaches
+    ceil(q * n). Absolute error <= half a bucket width (1/16) by
+    construction. The window runs over <= range*8 rows per group — sketch
+    state, not data — so the sort inside it is never corpus-sized."""
+    from pyspark.sql.window import Window
+
+    w_cum = (
+        Window.partitionBy("grp")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.select(
+        "grp",
+        "bucket",
+        F.sum("n").over(w_cum).alias("cum"),
+        F.sum("n").over(Window.partitionBy("grp")).alias("total"),
+    )
+    aggs = [F.max("total").alias("n_events")]
+    for q, name in _QH_QS:
+        hit = F.when(
+            F.col("cum") >= F.ceil(F.lit(q) * F.col("total")), F.col("bucket")
+        )
+        aggs.append(
+            ((F.min(hit) + F.lit(0.5)) / F.lit(_QH_K)).alias(f"{name}_est")
+        )
+    return cum.groupBy("grp").agg(*aggs)
+
+
+def incremental_hist_run(
+    delta_events: DataFrame,
+    hist_path: str,
+    run_id: str,
+    value: str = "value",
+    group: str = "event_type",
+) -> str:
+    """Daily histogram maintenance: bucket-count ONLY the delta and append
+    one committed generation. Per-day write is <= range*8 * groups rows
+    however large the delta. Contract: deltas must be DISJOINT (each event
+    counted in exactly one generation) — counts sum-merge on read, like
+    the censuses and unlike the replay-tolerant max-merge HLL registers."""
+    from janet_spark.dedup_incremental import _write_generation
+
+    return _write_generation(
+        hist_counts_frame(delta_events, value, group), hist_path, run_id
+    )
+
+
+def read_hist_counts(spark: SparkSession, hist_path: str) -> DataFrame | None:
+    """Sum-merge committed histogram generations into the live table."""
+    from janet_spark.dedup_incremental import _live_generation_dirs
+
+    gens = _live_generation_dirs(hist_path)
+    if not gens:
+        return None
+    return (
+        spark.read.schema(HIST_SCHEMA)
+        .parquet(*gens)
+        .groupBy("grp", "bucket")
+        .agg(F.sum("n").alias("n"))
+    )
+
+
+def _maintained_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standing per-type histogram for `sf_dir`'s events, bootstrapping on
+    first touch with the standard two-day split (even event_ids =
+    gen=bootstrap, odd = gen=delta-day2 — disjoint, per the contract)."""
+    from janet_spark.dedup_incremental import state_dir_for_input
+
+    hist_path = state_dir_for_input(sf_dir, "events.parquet", "quantile_hist")
+    hist = read_hist_counts(spark, hist_path)
+    if hist is None:
+        events = t(spark, sf_dir, "events")
+        incremental_hist_run(
+            events.filter(F.col("event_id") % 2 == 0), hist_path, "bootstrap"
+        )
+        incremental_hist_run(
+            events.filter(F.col("event_id") % 2 == 1), hist_path, "delta-day2"
+        )
+        hist = read_hist_counts(spark, hist_path)
+    return hist
+
+
+def _exact_percentiles(events: DataFrame) -> DataFrame:
+    """Exact interpolated percentiles per type — demo-only columns so the
+    oracle can value-check the sketch estimates (the `value_percentiles`
+    parity: Spark `percentile` == DuckDB `quantile_cont`)."""
+    return events.groupBy(F.col("event_type").alias("grp")).agg(
+        *[
+            F.round(F.expr(f"percentile(value, {q})"), 4).alias(name)
+            for q, name in _QH_QS
+        ]
+    )
+
+
+def _hist_report(est: DataFrame, exact: DataFrame) -> DataFrame:
+    return est.join(exact, "grp").select(
+        F.col("grp").alias("event_type"),
+        "n_events",
+        "p50_est",
+        "p90_est",
+        "p99_est",
+        "p50",
+        "p90",
+        "p99",
+    ).orderBy("event_type")
+
+
+def q_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n_events, p50/p90/p99 est + exact) — the histogram
+    estimate next to the true interpolated percentile. Production keeps
+    only the histogram table; the exact columns are the value-check."""
+    events = t(spark, sf_dir, "events")
+    return _hist_report(
+        hist_quantiles_frame(hist_counts_frame(events)), _exact_percentiles(events)
+    )
+
+
+def q_quantile_hist_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintained form of `quantile_hist`: estimates read the sum-merged
+    histogram generations instead of re-bucketing the corpus — the shape
+    a standing latency/value-percentile dashboard has. Sum-merge over the
+    disjoint event_id split equals the full-corpus histogram exactly, so
+    the standalone oracle serves this query unchanged (the full-corpus
+    scan left is the demo-only exact-percentile value check)."""
+    events = t(spark, sf_dir, "events")
+    return _hist_report(
+        hist_quantiles_frame(_maintained_hist(spark, sf_dir)),
+        _exact_percentiles(events),
+    )
+
+
+ORACLE_QUANTILE_HIST = """
+WITH h AS (
+  SELECT event_type AS grp,
+         CAST(floor(value * 8.0) AS INT) AS bucket,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), c AS (
+  SELECT grp, bucket,
+         sum(n) OVER (PARTITION BY grp ORDER BY bucket) AS cum,
+         sum(n) OVER (PARTITION BY grp) AS total
+  FROM h
+), est AS (
+  SELECT grp,
+         CAST(max(total) AS BIGINT) AS n_events,
+         (min(CASE WHEN cum >= ceil(0.50 * total) THEN bucket END) + 0.5) / 8.0 AS p50_est,
+         (min(CASE WHEN cum >= ceil(0.90 * total) THEN bucket END) + 0.5) / 8.0 AS p90_est,
+         (min(CASE WHEN cum >= ceil(0.99 * total) THEN bucket END) + 0.5) / 8.0 AS p99_est
+  FROM c GROUP BY grp
+), ex AS (
+  SELECT event_type AS grp,
+         round(quantile_cont(value, 0.50), 4) AS p50,
+         round(quantile_cont(value, 0.90), 4) AS p90,
+         round(quantile_cont(value, 0.99), 4) AS p99
+  FROM events GROUP BY 1
+)
+SELECT est.grp AS event_type, n_events, p50_est, p90_est, p99_est, p50, p90, p99
+FROM est JOIN ex ON est.grp = ex.grp
+ORDER BY event_type
+"""
+
+
 SKETCH_QUERIES = {
     "bloom_dedup_prefilter": (q_bloom_dedup_prefilter, ORACLE_BLOOM_DEDUP_PREFILTER),
     "heavy_hitters_cms": (q_heavy_hitters_cms, ORACLE_HEAVY_HITTERS_CMS),
@@ -419,5 +628,12 @@ SKETCH_QUERIES = {
         # max-merge over any doc_id partition == full-corpus registers
         # exactly, so the standalone oracle serves the maintained form
         ORACLE_DISTINCT_COUNT_HLL,
+    ),
+    "quantile_hist": (q_quantile_hist, ORACLE_QUANTILE_HIST),
+    "quantile_hist_incremental": (
+        q_quantile_hist_incremental,
+        # sum-merge over the disjoint event_id split == full-corpus
+        # histogram exactly, so the standalone oracle serves this form
+        ORACLE_QUANTILE_HIST,
     ),
 }

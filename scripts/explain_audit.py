@@ -149,6 +149,10 @@ AUDITED = [
     "dsir_importance_incremental",
     "bloom_dedup_prefilter",
     "heavy_hitters_cms",
+    "distinct_count_hll",
+    "distinct_count_hll_incremental",
+    "quantile_hist",
+    "quantile_hist_incremental",
 ]
 
 

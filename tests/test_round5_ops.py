@@ -1200,6 +1200,55 @@ def test_hll_maintained_registers_equal_full_rebuild(spark, tmp_path):
     assert est_m == est_f
 
 
+def test_quantile_hist_half_bucket_accuracy(spark):
+    """Histogram-quantile contract: the estimate is the midpoint of the
+    bucket holding the ceil(q·n)-th order statistic, so it sits within
+    half a bucket width (1/16) of that order statistic — checked against
+    numpy's sorted array at every registered q on a skewed sample."""
+    import math
+
+    from janet_spark.sketches import hist_counts_frame, hist_quantiles_frame
+
+    vals = [round(0.01 + (i * i) % 97 + i / 7.0, 3) for i in range(500)]
+    rows = [(i, "m", v) for i, v in enumerate(vals)]
+    events = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double"
+    )
+    got = hist_quantiles_frame(hist_counts_frame(events)).collect()[0]
+    assert got.n_events == 500
+    srt = sorted(vals)
+    for q, name in [(0.5, "p50_est"), (0.9, "p90_est"), (0.99, "p99_est")]:
+        order_stat = srt[math.ceil(q * 500) - 1]
+        assert abs(getattr(got, name) - order_stat) <= 1 / 16 + 1e-12, (q, name)
+
+
+def test_quantile_hist_maintained_equals_full_rebuild(spark, tmp_path):
+    """Sum-merged histogram generations over a disjoint event split must
+    equal the full-corpus histogram exactly, and the estimates with it."""
+    from janet_spark.sketches import (
+        hist_counts_frame,
+        hist_quantiles_frame,
+        incremental_hist_run,
+        read_hist_counts,
+    )
+
+    rows = [(i, f"t{i % 2}", float((i * 13) % 211) / 4.0) for i in range(600)]
+    events = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double"
+    )
+    path = str(tmp_path / "qhist")
+    incremental_hist_run(events.filter("event_id % 3 = 0"), path, "day1")
+    incremental_hist_run(events.filter("event_id % 3 != 0"), path, "day2")
+    maintained = read_hist_counts(spark, path)
+    full = hist_counts_frame(events)
+    assert sorted(map(tuple, maintained.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+    est_m = sorted(map(tuple, hist_quantiles_frame(maintained).collect()))
+    est_f = sorted(map(tuple, hist_quantiles_frame(full).collect()))
+    assert est_m == est_f
+
+
 def test_dsir_maintained_counts_equal_full_scan(spark, tmp_path):
     """The summed count generations must equal the full-corpus classifier
     (occurrences partition by doc_id across deltas), and the maintained
