@@ -40,6 +40,8 @@ _PRIORITY = [
     "distinct_count_hll_incremental",
     "quantile_hist",
     "quantile_hist_incremental",
+    "funnel_conversion",
+    "retention_cohorts",
     "audio_frame_features",
     "ann_pq_topk",
     "ann_pq_rerank_topk",

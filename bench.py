@@ -178,6 +178,8 @@ def main() -> None:
         "distinct_count_hll_incremental",
         "quantile_hist",
         "quantile_hist_incremental",
+        "funnel_conversion",
+        "retention_cohorts",
         "decontaminate",
         "lm_score",
         "sequence_pack",

@@ -357,6 +357,146 @@ FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq
 """
 
 
+# --- funnel / retention (event-analytics staples over the events table) -----
+
+
+def q_funnel_conversion(spark, sf_dir):
+    """Ordered-step funnel signup → click → purchase: a user advances a
+    stage only with an event STRICTLY AFTER their previous-stage time
+    (min-ts per stage, the classic windowed-funnel semantics). Scale
+    shape: each stage is one map-side-combinable min-agg keyed by
+    user_id plus one equi-join on user_id (same shuffle key end-to-end,
+    so AQE coalesces; no stage touches more than the matching event-type
+    slice); the result is 3 rows, and the conversion denominator comes
+    from a 3-row window, never a driver-side count."""
+    ev = t(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def stage(df, idx, name):
+        return df.agg(F.count(F.lit(1)).alias("users")).select(
+            F.lit(idx).alias("stage_idx"), F.lit(name).alias("stage"), "users"
+        )
+
+    u = (
+        stage(s1, 1, "signup")
+        .union(stage(s2, 2, "click_after_signup"))
+        .union(stage(s3, 3, "purchase_after_click"))
+    )
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    base = F.max(F.when(F.col("stage_idx") == 1, F.col("users"))).over(w)
+    return u.select(
+        "stage_idx",
+        "stage",
+        "users",
+        F.round(F.col("users") / base, 4).alias("conversion_pct"),
+    ).orderBy("stage_idx")
+
+
+ORACLE_FUNNEL_CONVERSION = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY 1
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1
+), u AS (
+  SELECT 1 AS stage_idx, 'signup' AS stage, CAST(count(*) AS BIGINT) AS users FROM s1
+  UNION ALL
+  SELECT 2, 'click_after_signup', CAST(count(*) AS BIGINT) FROM s2
+  UNION ALL
+  SELECT 3, 'purchase_after_click', CAST(count(*) AS BIGINT) FROM s3
+)
+SELECT stage_idx, stage, users,
+       round(users / CAST(max(CASE WHEN stage_idx = 1 THEN users END)
+                          OVER () AS DOUBLE), 4) AS conversion_pct
+FROM u ORDER BY stage_idx
+"""
+
+
+def q_retention_cohorts(spark, sf_dir):
+    """Weekly cohort retention matrix: cohort = ISO week of a user's
+    first event; a (cohort, offset) cell counts distinct users active
+    `offset` weeks later; pct is against the cohort's size. Scale shape:
+    one min-agg and one distinct-agg keyed by user_id (shared shuffle
+    key with the join between them), then a cells-sized (weeks², not
+    events) agg — date_trunc('week') is Monday-anchored in both engines
+    so the cells align exactly."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", "ts").alias("wk")
+    )
+    first = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    active = (
+        ev.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.datediff(F.col("wk"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    size = first.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        active.groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+        .join(size, "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "active_users",
+            "cohort_size",
+            F.round(F.col("active_users") / F.col("cohort_size"), 4).alias(
+                "retention_pct"
+            ),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+ORACLE_RETENTION_COHORTS = """
+WITH e AS (
+  SELECT user_id, date_trunc('week', ts) AS wk FROM events
+), f AS (
+  SELECT user_id, min(wk) AS cohort_week FROM e GROUP BY 1
+), a AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+         CAST(date_diff('day', f.cohort_week, e.wk) / 7 AS INT) AS week_offset
+  FROM e JOIN f USING (user_id)
+), s AS (
+  SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size FROM f GROUP BY 1
+)
+SELECT a.cohort_week, week_offset,
+       CAST(count(*) AS BIGINT) AS active_users, s.cohort_size,
+       round(count(*) / CAST(s.cohort_size AS DOUBLE), 4) AS retention_pct
+FROM a JOIN s USING (cohort_week)
+GROUP BY a.cohort_week, week_offset, s.cohort_size
+ORDER BY cohort_week, week_offset
+"""
+
+
 # --- T12 tolerant JSON field extraction over events.props -------------------
 
 
@@ -492,6 +632,8 @@ RELATIONAL_QUERIES = {
     "revenue_by_region": (q_revenue_by_region, ORACLE_REVENUE_BY_REGION),
     "tumbling_hourly_events": (q_tumbling_hourly_events, ORACLE_TUMBLING_HOURLY_EVENTS),
     "sessionize_events": (q_sessionize_events, ORACLE_SESSIONIZE_EVENTS),
+    "funnel_conversion": (q_funnel_conversion, ORACLE_FUNNEL_CONVERSION),
+    "retention_cohorts": (q_retention_cohorts, ORACLE_RETENTION_COHORTS),
     "json_props_histogram": (q_json_props_histogram, ORACLE_JSON_PROPS_HISTOGRAM),
     "sanitized_filenames": (q_sanitized_filenames, ORACLE_SANITIZED_FILENAMES),
     "canonical_rename_sql": (q_canonical_rename_sql, ORACLE_CANONICAL_RENAME_SQL),

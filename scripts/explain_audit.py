@@ -153,6 +153,8 @@ AUDITED = [
     "distinct_count_hll_incremental",
     "quantile_hist",
     "quantile_hist_incremental",
+    "funnel_conversion",
+    "retention_cohorts",
 ]
 
 

@@ -1249,6 +1249,94 @@ def test_quantile_hist_maintained_equals_full_rebuild(spark, tmp_path):
     assert est_m == est_f
 
 
+def test_funnel_strictly_after_semantics(spark, tmp_path):
+    """Funnel stages require an event STRICTLY AFTER the previous stage:
+    a click before (or at the same instant as) signup must not advance,
+    and a purchase without an intermediate click must not reach stage 3
+    — the degenerate everyone-converts testdata can't pin any of this."""
+    from datetime import datetime as DT
+
+    from janet_spark.queries_relational import q_funnel_conversion
+
+    T = lambda m, s=0: DT(2024, 1, 1, 0, m, s)
+    rows = [
+        # u1: full funnel in order
+        (1, T(0), 1, "signup", 1.0, "{}"),
+        (2, T(1), 1, "click", 1.0, "{}"),
+        (3, T(2), 1, "purchase", 1.0, "{}"),
+        # u2: click BEFORE signup, purchase after — stalls at stage 1
+        (4, T(0), 2, "click", 1.0, "{}"),
+        (5, T(1), 2, "signup", 1.0, "{}"),
+        (6, T(2), 2, "purchase", 1.0, "{}"),
+        # u3: click at the SAME instant as signup — strictly-after fails
+        (7, T(5), 3, "signup", 1.0, "{}"),
+        (8, T(5), 3, "click", 1.0, "{}"),
+        # u4: signup then click, purchase BEFORE the click — stage 2 only
+        (9, T(0), 4, "signup", 1.0, "{}"),
+        (10, T(1), 4, "purchase", 1.0, "{}"),
+        (11, T(2), 4, "click", 1.0, "{}"),
+        # u5: never signs up — outside the funnel entirely
+        (12, T(0), 5, "click", 1.0, "{}"),
+        (13, T(1), 5, "purchase", 1.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    sf = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(sf, exist_ok=True)
+    ev.write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    got = {r.stage: r for r in q_funnel_conversion(spark, sf).collect()}
+    assert got["signup"].users == 4  # u1-u4
+    assert got["click_after_signup"].users == 2  # u1, u4
+    assert got["purchase_after_click"].users == 1  # u1 only
+    assert got["purchase_after_click"].conversion_pct == 0.25
+
+
+def test_retention_cohorts_two_cohorts_with_dropout(spark, tmp_path):
+    """Two weekly cohorts with a dropout: cohort = week of FIRST event,
+    offsets count from that week, pct is against the cohort size."""
+    from datetime import datetime as DT
+
+    from janet_spark.queries_relational import q_retention_cohorts
+
+    rows = [
+        # cohort A (week of Mon 2024-01-01): u1 active wk0+wk1, u2 wk0 only
+        (1, DT(2024, 1, 2), 1, "view", 1.0, "{}"),
+        (2, DT(2024, 1, 9), 1, "view", 1.0, "{}"),
+        (3, DT(2024, 1, 3), 2, "view", 1.0, "{}"),
+        # cohort B (week of Mon 2024-01-08): u3 active wk0+wk2
+        (4, DT(2024, 1, 10), 3, "view", 1.0, "{}"),
+        (5, DT(2024, 1, 24), 3, "view", 1.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    sf = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(sf, exist_ok=True)
+    ev.write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    got = {
+        (str(r.cohort_week)[:10], r.week_offset): r
+        for r in q_retention_cohorts(spark, sf).collect()
+    }
+    a0 = got[("2024-01-01", 0)]
+    assert a0.active_users == 2 and a0.cohort_size == 2
+    a1 = got[("2024-01-01", 1)]
+    assert a1.active_users == 1 and a1.retention_pct == 0.5
+    b0 = got[("2024-01-08", 0)]
+    assert b0.active_users == 1 and b0.cohort_size == 1
+    assert ("2024-01-08", 1) not in got  # u3 skipped week 1
+    b2 = got[("2024-01-08", 2)]
+    assert b2.retention_pct == 1.0
+
+
 def test_dsir_maintained_counts_equal_full_scan(spark, tmp_path):
     """The summed count generations must equal the full-corpus classifier
     (occurrences partition by doc_id across deltas), and the maintained
