@@ -479,3 +479,49 @@ def curate_turns_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def hll_register_stream(
+    spark: SparkSession,
+    input_dir: str,
+    reg_path: str,
+    checkpoint_dir: str,
+    key: str = "text",
+    group: str = "source",
+) -> StreamingQuery:
+    """Streaming cardinality maintenance: each micro-batch of documents
+    commits ONE HyperLogLog register generation (<= 256 rows per group,
+    however large the batch); `sketches.read_hll_registers` max-merges
+    the generations into the live per-source distinct-count dashboard at
+    read time.
+
+    Why foreachBatch + the generation store rather than a streaming agg:
+    an unwindowed groupBy over an append stream needs complete/update
+    output mode and an external sink anyway; here the sink IS the
+    mergeable sketch state, shared bit-for-bit with the batch operator
+    (`distinct_count_hll`), so batch and stream cannot drift. Exactness
+    under replay: foreachBatch is at-least-once — a replayed batch
+    re-commits gen=batch-<id>, which `_write_generation` REPLACES
+    (idempotent per gen_id), and even a duplicate commit under a new id
+    would merge away because registers max-merge (max is idempotent) —
+    the property the sum-merge censuses lack and the reason HLL is the
+    sketch you maintain from a stream."""
+    from janet_spark.sketches import incremental_hll_run
+
+    stream = (
+        spark.readStream.schema(DOCS_DDL)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(input_dir)
+    )
+
+    def commit_registers(batch_df, batch_id: int) -> None:
+        incremental_hll_run(
+            batch_df, reg_path, f"batch-{batch_id:012d}", key=key, group=group
+        )
+
+    return (
+        stream.writeStream.foreachBatch(commit_registers)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -472,3 +472,52 @@ def test_curate_turns_stream_gate_and_decontamination(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.read.parquet(out).select("conv_id", "turn_idx").collect()
     assert {(r["conv_id"], r["turn_idx"]) for r in got} == {("c1", 0), ("c2", 0)}
+
+
+def test_hll_register_stream_matches_batch_sketch(spark, tmp_path):
+    """Registers accumulated over two drained micro-batch passes must
+    max-merge to EXACTLY the batch operator's registers over all
+    documents — and stay exact when a batch's generation is re-committed
+    (the at-least-once replay case max-merge exists to absorb)."""
+    from janet_spark.sketches import (
+        hll_estimate_frame,
+        hll_registers_frame,
+        incremental_hll_run,
+        read_hll_registers,
+    )
+    from janet_spark.streaming import hll_register_stream
+
+    landing = str(tmp_path / "docs")
+    regs = str(tmp_path / "regs")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_docs(rows):
+        pdf = pd.DataFrame(
+            rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+        )
+        spark.createDataFrame(
+            pdf,
+            schema="doc_id long, text string, lang string, source string, n_chars long",
+        ).coalesce(1).write.mode("append").parquet(landing)
+
+    write_docs([(i, f"stream key {i}", "en", f"s{i % 2}", 12) for i in range(200)])
+    q = hll_register_stream(spark, landing, regs, ckpt)
+    q.awaitTermination(120)
+    write_docs(
+        [(i, f"stream key {i}", "en", f"s{i % 2}", 12) for i in range(150, 350)]
+    )
+    q = hll_register_stream(spark, landing, regs, ckpt)
+    q.awaitTermination(120)
+
+    merged = read_hll_registers(spark, regs)
+    full = hll_registers_frame(spark.read.parquet(landing))
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))
+
+    # simulate an at-least-once replay: re-commit batch 0's delta again
+    incremental_hll_run(
+        spark.read.parquet(landing).filter("doc_id < 200"), regs, "batch-replayed"
+    )
+    replayed = read_hll_registers(spark, regs)
+    est_a = sorted(map(tuple, hll_estimate_frame(merged).collect()))
+    est_b = sorted(map(tuple, hll_estimate_frame(replayed).collect()))
+    assert est_a == est_b
