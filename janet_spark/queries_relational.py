@@ -402,11 +402,11 @@ def q_funnel_conversion(spark, sf_dir):
     )
     w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     base = F.max(F.when(F.col("stage_idx") == 1, F.col("users"))).over(w)
+    # empty-funnel guard: Spark gives IEEE Infinity for double x/0 where
+    # DuckDB gives NULL — pin the zero-signup case to NULL in both
+    pct = F.when(base > 0, F.round(F.col("users") / base, 4))
     return u.select(
-        "stage_idx",
-        "stage",
-        "users",
-        F.round(F.col("users") / base, 4).alias("conversion_pct"),
+        "stage_idx", "stage", "users", pct.alias("conversion_pct")
     ).orderBy("stage_idx")
 
 
@@ -427,8 +427,10 @@ WITH s1 AS (
   SELECT 3, 'purchase_after_click', CAST(count(*) AS BIGINT) FROM s3
 )
 SELECT stage_idx, stage, users,
-       round(users / CAST(max(CASE WHEN stage_idx = 1 THEN users END)
-                          OVER () AS DOUBLE), 4) AS conversion_pct
+       CASE WHEN max(CASE WHEN stage_idx = 1 THEN users END) OVER () > 0
+            THEN round(users / CAST(max(CASE WHEN stage_idx = 1 THEN users END)
+                                    OVER () AS DOUBLE), 4)
+       END AS conversion_pct
 FROM u ORDER BY stage_idx
 """
 

@@ -445,7 +445,11 @@ def hist_counts_frame(
     disjoint deltas, which is what makes the maintained daily form exact
     vs a full rebuild — the same sum-merge contract as the censuses."""
     return (
-        events.select(
+        # NULL metrics are excluded, not bucketed: a NULL bucket would sit
+        # at a different end of the cumulative window in Spark (nulls
+        # first) vs DuckDB (nulls last), skewing every running count
+        events.filter(F.col(value).isNotNull())
+        .select(
             F.col(group).alias("grp"),
             F.floor(F.col(value) * F.lit(_QH_K)).cast("int").alias("bucket"),
         )
@@ -593,7 +597,7 @@ WITH h AS (
   SELECT event_type AS grp,
          CAST(floor(value * 8.0) AS INT) AS bucket,
          CAST(count(*) AS BIGINT) AS n
-  FROM events GROUP BY 1, 2
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
 ), c AS (
   SELECT grp, bucket,
          sum(n) OVER (PARTITION BY grp ORDER BY bucket) AS cum,
