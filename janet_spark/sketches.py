@@ -239,9 +239,19 @@ def hll_registers_frame(
     agg; <= m rows per group regardless of input size. Registers are a
     pure function of the distinct key SET and merge by bucket-wise max
     (associative/commutative/idempotent), which is what makes the
-    maintained daily form exact vs a full rebuild."""
+    maintained daily form exact vs a full rebuild.
+
+    NULL keys are excluded (md5(NULL) = NULL would otherwise land a
+    phantom NULL-bucket row that inflates `filled` without contributing
+    to the 2^-mx sum). Range: the 32-bit hash value caps accuracy near
+    ~1e8 distinct per group — this module keeps 32 bits because the
+    2^-mx sum stays exact in IEEE double (33-bit rank spread + 8-bit
+    sum growth < 53); past that range production reaches for Spark's
+    native approx_count_distinct (64-bit HLL++ with the large-range
+    correction) and forfeits the two-engine bit-parity demo."""
     return (
-        docs.select(F.col(group).alias("grp"), F.md5(key).alias("h"))
+        docs.filter(F.col(key).isNotNull())
+        .select(F.col(group).alias("grp"), F.md5(key).alias("h"))
         .select(
             "grp",
             F.conv(F.substring("h", 1, 2), 16, 10).cast("int").alias("bucket"),
@@ -258,27 +268,54 @@ def hll_registers_frame(
     )
 
 
+# Linear-counting lookup: zeros is an INTEGER in 1..m-1, so the m·ln(m/z)
+# values are precomputed ONCE here and embedded as exact doubles in both
+# engines (Spark literal map / DuckDB VALUES) — the estimator has no
+# runtime ln() left, closing the libm-divergence door the module's own
+# DDSketch comparison warns about.
+import math as _math
+
+_HLL_LC = {z: float(_HLL_M) * _math.log(float(_HLL_M) / z) for z in range(1, _HLL_M)}
+
+
 def hll_estimate_frame(registers: DataFrame) -> DataFrame:
     """(grp, hll_est, zero_buckets) from a register table. Estimate =
     alpha*m^2 / (sum_present 2^-mx + zeros), switched to linear counting
     m*ln(m/zeros) in the small range (raw <= 2.5m with empty buckets),
-    rounded to 4 dp for oracle parity (the 2^-mx sum itself is EXACT in
-    IEEE double -- term spread 33 bits < 53 -- so both engines agree
-    before the round)."""
+    rounded to 4 dp for oracle parity. Every double here is engine-exact:
+    the 2^-mx sum is exact in IEEE double (term spread 33 bits + 8 bits
+    of sum growth < 53), and the LC values come from the precomputed
+    _HLL_LC table both engines embed literally."""
     per_grp = registers.groupBy("grp").agg(
         F.count(F.lit(1)).alias("filled"),
         F.sum(F.pow(F.lit(2.0), -F.col("mx"))).alias("sum_present"),
     )
     m = float(_HLL_M)
-    zeros = F.lit(m) - F.col("filled").cast("double")
+    zeros_i = (F.lit(_HLL_M) - F.col("filled")).cast("int")
+    zeros = zeros_i.cast("double")
     raw = F.lit(_HLL_ALPHA) * F.lit(m * m) / (F.col("sum_present") + zeros)
-    est = F.when(
-        (raw <= F.lit(2.5 * m)) & (zeros > 0), F.lit(m) * F.log(F.lit(m) / zeros)
-    ).otherwise(raw)
+    lc = F.element_at(
+        F.create_map(
+            *[F.lit(x) for z, v in sorted(_HLL_LC.items()) for x in (z, v)]
+        ),
+        zeros_i,
+    )
+    est = F.when((raw <= F.lit(2.5 * m)) & (zeros > 0), lc).otherwise(raw)
     return per_grp.select(
         "grp",
         F.round(est, 4).alias("hll_est"),
-        (F.lit(_HLL_M) - F.col("filled")).cast("int").alias("zero_buckets"),
+        zeros_i.alias("zero_buckets"),
+    )
+
+
+def _hll_exact(docs: DataFrame, key: str, group: str) -> DataFrame:
+    """Exact distinct count per group — the demo/oracle value check both
+    query forms share (count(DISTINCT) ignores NULL keys in both engines,
+    matching the register build's NULL exclusion)."""
+    return (
+        docs.select(F.col(group).alias("grp"), F.md5(key).alias("h"))
+        .groupBy("grp")
+        .agg(F.countDistinct("h").alias("exact_distinct"))
     )
 
 
@@ -288,11 +325,9 @@ def distinct_count_hll_frame(
     """(group, exact_distinct, hll_est, zero_buckets) per group. The
     exact count(DISTINCT) column exists only so the demo/oracle can
     value-check the estimate -- production keeps the register table."""
-    keyed = docs.select(F.col(group).alias("grp"), F.md5(key).alias("h"))
-    exact = keyed.groupBy("grp").agg(F.countDistinct("h").alias("exact_distinct"))
     est = hll_estimate_frame(hll_registers_frame(docs, key, group))
     return (
-        est.join(exact, "grp")
+        est.join(_hll_exact(docs, key, group), "grp")
         .select(
             F.col("grp").alias(group),
             "exact_distinct",
@@ -370,14 +405,9 @@ def q_distinct_count_hll_incremental(spark: SparkSession, sf_dir: str) -> DataFr
     full-corpus scan left is the demo-only exact count(DISTINCT)
     column)."""
     docs = t(spark, sf_dir, "documents")
-    exact = (
-        docs.select(F.col("source").alias("grp"), F.md5("text").alias("h"))
-        .groupBy("grp")
-        .agg(F.countDistinct("h").alias("exact_distinct"))
-    )
     return (
         hll_estimate_frame(_maintained_hll_registers(spark, sf_dir))
-        .join(exact, "grp")
+        .join(_hll_exact(docs, "text", "source"), "grp")
         .select(
             F.col("grp").alias("source"),
             "exact_distinct",
@@ -392,9 +422,11 @@ def q_distinct_count_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distinct_count_hll_frame(t(spark, sf_dir, "documents"))
 
 
+_HLL_LC_VALUES = ", ".join(f"({z}, {v!r})" for z, v in sorted(_HLL_LC.items()))
+
 ORACLE_DISTINCT_COUNT_HLL = f"""
 WITH keyed AS (
-  SELECT source AS grp, md5(text) AS h FROM documents
+  SELECT source AS grp, md5(text) AS h FROM documents WHERE text IS NOT NULL
 ), reg AS (
   SELECT grp,
          ('0x' || substr(h, 1, 2))::int AS bucket,
@@ -408,6 +440,8 @@ WITH keyed AS (
   FROM mx GROUP BY grp
 ), ex AS (
   SELECT grp, count(DISTINCT h) AS exact_distinct FROM keyed GROUP BY grp
+), lc AS (
+  SELECT * FROM (VALUES {_HLL_LC_VALUES}) AS v(zeros_i, lc_est)
 ), est AS (
   SELECT agg.grp, ex.exact_distinct,
          CAST({_HLL_ALPHA!r} AS DOUBLE) * CAST({float(_HLL_M) * _HLL_M!r} AS DOUBLE)
@@ -417,10 +451,11 @@ WITH keyed AS (
 )
 SELECT grp AS source, exact_distinct,
        round(CASE WHEN raw <= CAST({2.5 * _HLL_M!r} AS DOUBLE) AND zeros > 0
-                  THEN {_HLL_M}.0 * ln({_HLL_M}.0 / zeros)
+                  THEN lc.lc_est
                   ELSE raw END, 4) AS hll_est,
        ({_HLL_M} - filled)::int AS zero_buckets
-FROM est ORDER BY source
+FROM est LEFT JOIN lc ON lc.zeros_i = ({_HLL_M} - est.filled)::int
+ORDER BY source
 """
 
 

@@ -1171,6 +1171,20 @@ def test_hll_estimate_accuracy_and_duplicate_invariance(spark):
     for grp in ("lc", "raw"):
         assert again[grp].hll_est == got[grp].hll_est
         assert again[grp].zero_buckets == got[grp].zero_buckets
+    # NULL keys are EXCLUDED, not bucketed: a NULL text must not create a
+    # phantom register row (it would inflate `filled` without adding to
+    # the 2^-mx sum and skew both estimate and zero_buckets)
+    with_nulls = docs.union(
+        spark.createDataFrame(
+            [(90_000, None, "lc"), (90_001, None, "raw")],
+            "doc_id long, text string, source string",
+        )
+    )
+    nulled = {r.source: r for r in distinct_count_hll_frame(with_nulls).collect()}
+    for grp in ("lc", "raw"):
+        assert nulled[grp].hll_est == got[grp].hll_est
+        assert nulled[grp].zero_buckets == got[grp].zero_buckets
+        assert nulled[grp].exact_distinct == got[grp].exact_distinct
 
 
 def test_hll_maintained_registers_equal_full_rebuild(spark, tmp_path):
