@@ -11,9 +11,11 @@ directions so the engine's multimodal image path is a REAL operator:
   exercised on any image ≥5 rows tall), so decoding our own synthetic
   corpus proves the unfilter implementations, not just filter 0.
 - `decode_png(data)` — full chunk walk, multi-IDAT reassembly, inflate,
-  and vectorized reversal of the None/Sub/Up/Average/Paeth filters for
-  8-bit greyscale/RGB/RGBA (color types 0/2/6 — what an OCR ingest sees;
-  interlace and exotic depths are rejected loudly, not mis-decoded).
+  and reversal of the None/Sub/Up/Average/Paeth filters for 8-bit
+  greyscale/RGB/RGBA (None/Up/Sub whole-line vectorized, Average/Paeth a
+  scalar-int walk — see the Scale shape note below) (color types 0/2/6 —
+  what an OCR ingest sees; interlace and exotic depths are rejected
+  loudly, not mis-decoded).
 
 Reference parity: the reference probes image dimensions from header bytes
 before its Vision call (apps/ocr/src/lib/ocr-utils.ts:93-105) and

@@ -3609,22 +3609,28 @@ def _maintained_dsir_counts(spark, sf_dir) -> DataFrame:
     generation per crawl day via `incremental_dsir_counts_run`; the read
     sums generations into a ≤ bucket-space table, so the daily scorer
     never re-featurizes the corpus."""
+    import os
+
     from janet_spark.dedup_incremental import (
+        _live_generation_dirs,
         incremental_dsir_counts_run,
         read_dsir_counts,
         state_dir_for_input,
     )
 
     counts_path = state_dir_for_input(sf_dir, "documents.parquet", "dsir_counts")
-    counts = read_dsir_counts(spark, counts_path)
-    if counts is None:
-        docs = t(spark, sf_dir, "documents")
+    # each generation checked individually (the ann_ivf_topk_indexed_delta
+    # pattern): a crash between the two bootstrap commits must not leave a
+    # half-classifier that a bare is-None check would read as complete
+    live = {os.path.basename(d) for d in _live_generation_dirs(counts_path)}
+    docs = t(spark, sf_dir, "documents")
+    if "gen=bootstrap" not in live:
         occ_hist = _dsir_feature_occurrences(docs.filter(F.col("doc_id") % 2 == 0))
-        occ_delta = _dsir_feature_occurrences(docs.filter(F.col("doc_id") % 2 == 1))
         incremental_dsir_counts_run(occ_hist, counts_path, "bootstrap")
+    if "gen=delta-day2" not in live:
+        occ_delta = _dsir_feature_occurrences(docs.filter(F.col("doc_id") % 2 == 1))
         incremental_dsir_counts_run(occ_delta, counts_path, "delta-day2")
-        counts = read_dsir_counts(spark, counts_path)
-    return counts
+    return read_dsir_counts(spark, counts_path)
 
 
 def q_dsir_importance_incremental(spark, sf_dir):

@@ -63,7 +63,10 @@ from pyspark.sql import functions as F
 
 from janet_spark.queries_relational import t
 
-_BLOOM_BITS = 4096  # 16^3: three md5 hex chars index the bit space exactly
+_BLOOM_BITS = 16**3  # three md5 hex chars index the bit space exactly —
+# _hash_pos's 3-char substring IS this constant; the assert keeps a
+# future resize honest (a different m needs a different position derivation)
+assert _BLOOM_BITS == 4096
 _BLOOM_K = 3  # hash functions per key
 _CMS_D = 4  # count-min hash rows
 _CMS_W = 1024  # counters per row
@@ -101,15 +104,20 @@ def bloom_dedup_prefilter_frame(history: DataFrame, delta: DataFrame) -> DataFra
     the probe is a per-position broadcast left join + per-doc min — the
     delta never joins the history itself."""
     seeds = F.explode(F.array(*[F.lit(j) for j in range(_BLOOM_K)])).alias("j")
+    # coalesce so a NULL text hashes like the sibling text operators do:
+    # md5(NULL) would NULL-propagate through every position, the probe's
+    # join would never match, and a NULL-text duplicate pair would come
+    # back maybe_dup=false — the false negative the contract forbids
+    key = F.md5(F.coalesce(F.col("text"), F.lit("")))
     bits = (
-        history.select(F.md5("text").alias("key"))
+        history.select(key.alias("key"))
         .select("key", seeds)
         .select(_hash_pos(F.col("j"), F.col("key")).alias("pos"))
         .distinct()
         .withColumn("hit", F.lit(1))
     )
     probe = (
-        delta.select("doc_id", F.md5("text").alias("key"))
+        delta.select("doc_id", key.alias("key"))
         .select("doc_id", "key", seeds)
         .select("doc_id", _hash_pos(F.col("j"), F.col("key")).alias("pos"))
     )
@@ -130,16 +138,19 @@ def q_bloom_dedup_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BLOOM_POS = _sql_hash_pos("j", "key")
 
+_BLOOM_SEEDS = ", ".join(str(j) for j in range(_BLOOM_K))
+
 ORACLE_BLOOM_DEDUP_PREFILTER = f"""
 WITH hist AS (
-  SELECT md5(text) AS key FROM documents WHERE doc_id % 2 = 0
+  SELECT md5(coalesce(text, '')) AS key FROM documents WHERE doc_id % 2 = 0
 ), bits AS (
   SELECT DISTINCT {_BLOOM_POS} AS pos
-  FROM hist, unnest([0, 1, 2]) AS u(j)
+  FROM hist, unnest([{_BLOOM_SEEDS}]) AS u(j)
 ), probe AS (
   SELECT doc_id, {_BLOOM_POS} AS pos
-  FROM (SELECT doc_id, md5(text) AS key FROM documents WHERE doc_id % 2 = 1),
-       unnest([0, 1, 2]) AS u(j)
+  FROM (SELECT doc_id, md5(coalesce(text, '')) AS key
+        FROM documents WHERE doc_id % 2 = 1),
+       unnest([{_BLOOM_SEEDS}]) AS u(j)
 )
 SELECT probe.doc_id,
        min(CASE WHEN bits.pos IS NULL THEN 0 ELSE 1 END) = 1 AS maybe_dup
@@ -165,25 +176,18 @@ def heavy_hitters_cms_frame(docs: DataFrame) -> DataFrame:
     )
     counts = occ.groupBy("tok").agg(F.count(F.lit(1)).alias("true_n"))
     rows = F.explode(F.array(*[F.lit(r) for r in range(_CMS_D)])).alias("r")
-    cells = (
-        counts.select("tok", "true_n", rows)
-        .select(
-            "r",
-            (_hash_pos(F.col("r"), F.col("tok")) % _CMS_W).alias("col"),
-            "true_n",
-        )
-        .groupBy("r", "col")
-        .agg(F.sum("true_n").alias("counter"))
+    # keyed is built ONCE (the oracle's single CTE shape): identical
+    # subtrees under cells and est let ReusedExchange pick up the
+    # tokenize+count shuffle instead of re-running the corpus-sized agg
+    keyed = counts.select("tok", "true_n", rows).select(
+        "tok",
+        "true_n",
+        "r",
+        (_hash_pos(F.col("r"), F.col("tok")) % _CMS_W).alias("col"),
     )
+    cells = keyed.groupBy("r", "col").agg(F.sum("true_n").alias("counter"))
     est = (
-        counts.select("tok", "true_n", rows)
-        .select(
-            "tok",
-            "true_n",
-            "r",
-            (_hash_pos(F.col("r"), F.col("tok")) % _CMS_W).alias("col"),
-        )
-        .join(F.broadcast(cells), ["r", "col"])
+        keyed.join(F.broadcast(cells), ["r", "col"])
         .groupBy("tok", "true_n")
         .agg(F.min("counter").alias("est_n"))
     )
@@ -199,6 +203,7 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CMS_POS = f"({_sql_hash_pos('r', 'tok')} % {_CMS_W})"
+_CMS_ROWS = ", ".join(str(r) for r in range(_CMS_D))
 
 ORACLE_HEAVY_HITTERS_CMS = f"""
 WITH occ AS (
@@ -207,7 +212,7 @@ WITH occ AS (
   SELECT tok, count(*) AS true_n FROM occ WHERE tok <> '' GROUP BY tok
 ), keyed AS (
   SELECT tok, true_n, r, {_CMS_POS} AS col
-  FROM counts, unnest([0, 1, 2, 3]) AS u(r)
+  FROM counts, unnest([{_CMS_ROWS}]) AS u(r)
 ), cells AS (
   SELECT r, col, sum(true_n) AS counter FROM keyed GROUP BY r, col
 ), est AS (
@@ -379,21 +384,28 @@ def read_hll_registers(spark: SparkSession, reg_path: str) -> DataFrame | None:
 def _maintained_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Standing per-source register table for `sf_dir`'s documents,
     bootstrapping on first touch with the standard two-day split (even
-    doc_ids = gen=bootstrap, odd = gen=delta-day2)."""
-    from janet_spark.dedup_incremental import state_dir_for_input
+    doc_ids = gen=bootstrap, odd = gen=delta-day2). Each generation is
+    checked individually so a crash between the two bootstrap commits
+    self-heals instead of reading a half-corpus sketch as complete."""
+    import os
+
+    from janet_spark.dedup_incremental import (
+        _live_generation_dirs,
+        state_dir_for_input,
+    )
 
     reg_path = state_dir_for_input(sf_dir, "documents.parquet", "hll_registers")
-    regs = read_hll_registers(spark, reg_path)
-    if regs is None:
-        docs = t(spark, sf_dir, "documents")
+    live = {os.path.basename(d) for d in _live_generation_dirs(reg_path)}
+    docs = t(spark, sf_dir, "documents")
+    if "gen=bootstrap" not in live:
         incremental_hll_run(
             docs.filter(F.col("doc_id") % 2 == 0), reg_path, "bootstrap"
         )
+    if "gen=delta-day2" not in live:
         incremental_hll_run(
             docs.filter(F.col("doc_id") % 2 == 1), reg_path, "delta-day2"
         )
-        regs = read_hll_registers(spark, reg_path)
-    return regs
+    return read_hll_registers(spark, reg_path)
 
 
 def q_distinct_count_hll_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -561,21 +573,28 @@ def read_hist_counts(spark: SparkSession, hist_path: str) -> DataFrame | None:
 def _maintained_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Standing per-type histogram for `sf_dir`'s events, bootstrapping on
     first touch with the standard two-day split (even event_ids =
-    gen=bootstrap, odd = gen=delta-day2 — disjoint, per the contract)."""
-    from janet_spark.dedup_incremental import state_dir_for_input
+    gen=bootstrap, odd = gen=delta-day2 — disjoint, per the contract).
+    Generations checked individually (crash between the two bootstrap
+    commits self-heals; see _maintained_hll_registers)."""
+    import os
+
+    from janet_spark.dedup_incremental import (
+        _live_generation_dirs,
+        state_dir_for_input,
+    )
 
     hist_path = state_dir_for_input(sf_dir, "events.parquet", "quantile_hist")
-    hist = read_hist_counts(spark, hist_path)
-    if hist is None:
-        events = t(spark, sf_dir, "events")
+    live = {os.path.basename(d) for d in _live_generation_dirs(hist_path)}
+    events = t(spark, sf_dir, "events")
+    if "gen=bootstrap" not in live:
         incremental_hist_run(
             events.filter(F.col("event_id") % 2 == 0), hist_path, "bootstrap"
         )
+    if "gen=delta-day2" not in live:
         incremental_hist_run(
             events.filter(F.col("event_id") % 2 == 1), hist_path, "delta-day2"
         )
-        hist = read_hist_counts(spark, hist_path)
-    return hist
+    return read_hist_counts(spark, hist_path)
 
 
 def _exact_percentiles(events: DataFrame) -> DataFrame:

@@ -1351,6 +1351,43 @@ def test_retention_cohorts_two_cohorts_with_dropout(spark, tmp_path):
     assert b2.retention_pct == 1.0
 
 
+def test_maintained_bootstrap_self_heals_partial_commit(spark, tmp_path):
+    """A crash between the two bootstrap generation commits must not be
+    read as a complete bootstrap: the constructor checks each generation
+    individually and backfills the missing one (the
+    ann_ivf_topk_indexed_delta pattern, applied to the HLL/hist/DSIR
+    two-generation bootstrappers)."""
+    import os
+
+    from janet_spark.dedup_incremental import state_dir_for_input
+    from janet_spark.sketches import (
+        _maintained_hll_registers,
+        hll_registers_frame,
+        incremental_hll_run,
+    )
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    rows = [(i, f"heal key {i}", "en", f"s{i % 2}", 10) for i in range(300)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    docs.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+
+    # simulate the crash: ONLY gen=bootstrap (even doc_ids) committed
+    reg_path = state_dir_for_input(sf, "documents.parquet", "hll_registers")
+    incremental_hll_run(
+        spark.read.parquet(f"{sf}/documents.parquet").filter("doc_id % 2 = 0"),
+        reg_path,
+        "bootstrap",
+    )
+    healed = _maintained_hll_registers(spark, sf)
+    full = hll_registers_frame(spark.read.parquet(f"{sf}/documents.parquet"))
+    assert sorted(map(tuple, healed.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+
 def test_dsir_maintained_counts_equal_full_scan(spark, tmp_path):
     """The summed count generations must equal the full-corpus classifier
     (occurrences partition by doc_id across deltas), and the maintained
