@@ -1,0 +1,212 @@
+"""Sketch-vs-exact stress: the measured 100-TB argument for the sketch
+family, not just the asserted one.
+
+Corpus: 4,000,000 synthetic keyed rows across 8 groups (range-generated
+JVM-side — no driver data), high-cardinality keys with planted
+duplicates. Three head-to-heads, each timing the SKETCH path against the
+exact operator it substitutes for on identical input, plus a correctness
+assertion so a fast-but-wrong path cannot pass:
+
+* HLL registers vs count(DISTINCT): the register build is one
+  map-side-combinable agg to <= 256 rows/group; exact distinct shuffles
+  every distinct key. Assert every group's estimate within 4*rsd (26%)
+  of truth.
+* Bloom prefilter vs exact semi-join at the filter's designed operating
+  point (m = 4096 bits, k = 3 supports ~400 history keys at ~10 bits/key;
+  a 2M-row delta probes it, 25% planted dups): assert ZERO false
+  negatives and a false-positive rate under 3% on the clean rows — the
+  verify tail the prefilter feeds stays a fraction of the delta. The
+  100-TB term being measured: probe state is m rows REGARDLESS of delta
+  size, vs the semi-join's shuffle of the delta against the key set.
+* quantile histogram vs exact percentile: assert every estimate within
+  half a bucket (1/16) of the exact interpolated percentile's
+  neighborhood (one order-statistic gap tolerance).
+
+Wall-times land in BENCH/sketch_stress.json. The sketches are not
+expected to beat the exact operators at 4M rows on one box (exact
+aggs are cheap until state stops fitting); what the numbers pin is that
+the sketch paths are same-order-or-faster ALREADY, while carrying
+bounded state (<= m rows) instead of key-cardinality state — the term
+that explodes at 100 TB.
+
+Usage: python scripts/sketch_stress.py  (writes BENCH/sketch_stress.json)
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+N = 4_000_000
+GROUPS = 8
+
+
+def timed(fn):
+    t0 = time.time()
+    out = fn()
+    return out, round(time.time() - t0, 2)
+
+
+def main() -> int:
+    from janet_spark.sketches import (
+        _HLL_M,
+        bloom_dedup_prefilter_frame,
+        distinct_count_hll_frame,
+        hist_counts_frame,
+        hist_quantiles_frame,
+        hll_registers_frame,
+    )
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    report: dict = {"n_rows": N, "groups": GROUPS}
+
+    # --- corpus: 4M rows, ~3M distinct keys (25% planted dups) ------------
+    base = spark.range(N).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("key "), (F.col("id") % (3 * N // 4)).cast("string")).alias(
+            "text"
+        ),
+        F.concat(F.lit("s"), (F.col("id") % GROUPS).cast("string")).alias("source"),
+    )
+    base.write.mode("overwrite").parquet("/tmp/sketch_stress_docs")
+    docs = spark.read.parquet("/tmp/sketch_stress_docs")
+
+    # --- HLL vs exact distinct --------------------------------------------
+    regs, t_reg = timed(
+        lambda: hll_registers_frame(docs).groupBy().count().collect()
+    )
+    exact_rows, t_exact = timed(
+        lambda: docs.groupBy("source")
+        .agg(F.countDistinct("text").alias("d"))
+        .collect()
+    )
+    est_rows = {
+        r["source"]: r
+        for r in distinct_count_hll_frame(docs).collect()
+    }
+    rsd = 1.04 / math.sqrt(_HLL_M)
+    worst = 0.0
+    for r in exact_rows:
+        e = est_rows[r["source"]]
+        err = abs(e.hll_est - r["d"]) / r["d"]
+        worst = max(worst, err)
+        assert err < 4 * rsd, (r["source"], e.hll_est, r["d"])
+    report["hll"] = {
+        "register_build_sec": t_reg,
+        "exact_distinct_sec": t_exact,
+        "worst_group_rel_err": round(worst, 4),
+        "err_bound_4rsd": round(4 * rsd, 4),
+        "state_rows_per_group": _HLL_M,
+    }
+
+    # --- Bloom prefilter vs exact semi-join (400-key history, 2M delta) ---
+    hot = 400  # ~10 bits/key at m=4096: the filter's designed density
+    history = spark.range(hot).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("hot "), F.col("id").cast("string")).alias("text"),
+    )
+    delta = spark.range(N // 2).select(
+        (F.col("id") + 10_000_000).alias("doc_id"),
+        F.when(
+            F.col("id") % 4 == 0,
+            F.concat(F.lit("hot "), (F.col("id") % hot).cast("string")),
+        )
+        .otherwise(F.concat(F.lit("cold "), F.col("id").cast("string")))
+        .alias("text"),
+    )
+    delta.write.mode("overwrite").parquet("/tmp/sketch_stress_delta")
+    delta = spark.read.parquet("/tmp/sketch_stress_delta")
+    flagged, t_bloom = timed(
+        lambda: bloom_dedup_prefilter_frame(history, delta)
+        .groupBy("maybe_dup")
+        .count()
+        .collect()
+    )
+    true_dups, t_semi = timed(
+        lambda: delta.join(
+            history.select("text").distinct(), "text", "left_semi"
+        ).count()
+    )
+    n_delta = delta.count()
+    n_flagged = {r["maybe_dup"]: r["count"] for r in flagged}.get(True, 0)
+    # zero false negatives: every true dup must be flagged
+    missed = (
+        bloom_dedup_prefilter_frame(history, delta)
+        .filter(~F.col("maybe_dup"))
+        .join(
+            delta.join(
+                history.select("text").distinct(), "text", "left_semi"
+            ).select("doc_id"),
+            "doc_id",
+            "inner",
+        )
+        .count()
+    )
+    assert missed == 0, f"{missed} false negatives"
+    fp_rate = (n_flagged - true_dups) / max(n_delta - true_dups, 1)
+    assert fp_rate < 0.03, fp_rate
+    report["bloom"] = {
+        "prefilter_sec": t_bloom,
+        "exact_semijoin_sec": t_semi,
+        "delta_rows": n_delta,
+        "history_keys": hot,
+        "true_dups": true_dups,
+        "flagged": n_flagged,
+        "false_negative": 0,
+        "fp_rate_on_clean": round(fp_rate, 4),
+    }
+
+    # --- quantile histogram vs exact percentile ---------------------------
+    events = docs.select(
+        F.col("source").alias("event_type"),
+        ((F.col("doc_id") * 13 % 3989) / F.lit(8.0)).alias("value"),
+    )
+    hist_rows, t_hist = timed(
+        lambda: hist_quantiles_frame(hist_counts_frame(events)).collect()
+    )
+    exact_pct, t_pct = timed(
+        lambda: events.groupBy("event_type")
+        .agg(
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.9)").alias("p90"),
+            F.expr("percentile(value, 0.99)").alias("p99"),
+        )
+        .collect()
+    )
+    ex = {r["event_type"]: r for r in exact_pct}
+    for r in hist_rows:
+        e = ex[r["grp"]]
+        for q in ("p50", "p90", "p99"):
+            assert abs(getattr(r, f"{q}_est") - e[q]) <= 1 / 16 + 1 / 8, (
+                r["grp"],
+                q,
+            )
+    report["quantile_hist"] = {
+        "hist_sec": t_hist,
+        "exact_percentile_sec": t_pct,
+        "bucket_width": 0.125,
+    }
+
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/sketch_stress.json", "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps(report))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
