@@ -3621,15 +3621,23 @@ def _maintained_dsir_counts(spark, sf_dir) -> DataFrame:
     counts_path = state_dir_for_input(sf_dir, "documents.parquet", "dsir_counts")
     # each generation checked individually (the ann_ivf_topk_indexed_delta
     # pattern): a crash between the two bootstrap commits must not leave a
-    # half-classifier that a bare is-None check would read as complete
+    # half-classifier that a bare is-None check would read as complete.
+    # But backfill ONLY while the state is pure-bootstrap-shaped: after a
+    # compaction the halves live under gen=compacted-* and re-writing
+    # them would double the sum-merged counts.
     live = {os.path.basename(d) for d in _live_generation_dirs(counts_path)}
-    docs = t(spark, sf_dir, "documents")
-    if "gen=bootstrap" not in live:
-        occ_hist = _dsir_feature_occurrences(docs.filter(F.col("doc_id") % 2 == 0))
-        incremental_dsir_counts_run(occ_hist, counts_path, "bootstrap")
-    if "gen=delta-day2" not in live:
-        occ_delta = _dsir_feature_occurrences(docs.filter(F.col("doc_id") % 2 == 1))
-        incremental_dsir_counts_run(occ_delta, counts_path, "delta-day2")
+    if live <= {"gen=bootstrap", "gen=delta-day2"}:
+        docs = t(spark, sf_dir, "documents")
+        if "gen=bootstrap" not in live:
+            occ_hist = _dsir_feature_occurrences(
+                docs.filter(F.col("doc_id") % 2 == 0)
+            )
+            incremental_dsir_counts_run(occ_hist, counts_path, "bootstrap")
+        if "gen=delta-day2" not in live:
+            occ_delta = _dsir_feature_occurrences(
+                docs.filter(F.col("doc_id") % 2 == 1)
+            )
+            incremental_dsir_counts_run(occ_delta, counts_path, "delta-day2")
     return read_dsir_counts(spark, counts_path)
 
 

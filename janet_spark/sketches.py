@@ -63,46 +63,58 @@ from pyspark.sql import functions as F
 
 from janet_spark.queries_relational import t
 
-_BLOOM_BITS = 16**3  # three md5 hex chars index the bit space exactly —
-# _hash_pos's 3-char substring IS this constant; the assert keeps a
-# future resize honest (a different m needs a different position derivation)
-assert _BLOOM_BITS == 4096
+_BLOOM_HEX = 5  # hex chars per position: m = 16^5 = 1,048,576 bits —
+# at k=3 and ~10 bits/key that supports ~10^5 history keys; a fixed
+# 4096-bit filter saturates ~6x over capacity at sf0.1 already. The
+# bits RELATION stays small either way: it stores only SET positions
+# (≤ k·n rows), never m rows, so a bigger m costs nothing but hash width.
+_BLOOM_BITS = 16**_BLOOM_HEX
 _BLOOM_K = 3  # hash functions per key
 _CMS_D = 4  # count-min hash rows
 _CMS_W = 1024  # counters per row
 _CMS_TOP = 20
 
 
-def _hash_pos(seed_col, key_col) -> F.Column:
-    """0..4095 from the first 3 hex chars of md5(seed ':' key) — the
-    seed turns ONE md5 into a family of independent hash functions."""
+def _hash_pos(seed_col, key_col, n_hex: int = 3) -> F.Column:
+    """0..16^n_hex-1 from the first n_hex hex chars of md5(seed ':' key)
+    — the seed turns ONE md5 into a family of independent hash
+    functions."""
     return F.conv(
         F.substring(
-            F.md5(F.concat(seed_col.cast("string"), F.lit(":"), key_col)), 1, 3
+            F.md5(F.concat(seed_col.cast("string"), F.lit(":"), key_col)),
+            1,
+            n_hex,
         ),
         16,
         10,
     ).cast("int")
 
 
-def _sql_hash_pos(seed_sql: str, key_sql: str) -> str:
-    """The identical 3-hex-char position in DuckDB SQL (nibble-by-nibble
+def _sql_hash_pos(seed_sql: str, key_sql: str, n_hex: int = 3) -> str:
+    """The identical n_hex-char position in DuckDB SQL (nibble-by-nibble
     strpos decode, the ORACLE_HASH_SAMPLE idiom)."""
     m = f"md5(cast({seed_sql} AS varchar) || ':' || {key_sql})"
     nib = "strpos('0123456789abcdef', substr({m}, {i}, 1)) - 1"
     return (
-        f"(({nib.format(m=m, i=1)}) * 256"
-        f" + ({nib.format(m=m, i=2)}) * 16"
-        f" + ({nib.format(m=m, i=3)}))"
+        "("
+        + " + ".join(
+            f"({nib.format(m=m, i=i + 1)}) * {16 ** (n_hex - 1 - i)}"
+            for i in range(n_hex)
+        )
+        + ")"
     )
 
 
-def bloom_dedup_prefilter_frame(history: DataFrame, delta: DataFrame) -> DataFrame:
+def bloom_dedup_prefilter_frame(
+    history: DataFrame, delta: DataFrame, n_hex: int = _BLOOM_HEX
+) -> DataFrame:
     """(doc_id, maybe_dup) for every delta doc: maybe_dup iff ALL K bloom
     positions of md5(text) are set by the history. Scale shape: the bit
-    set is one distinct-agg over history positions (≤ m rows, broadcast);
-    the probe is a per-position broadcast left join + per-doc min — the
-    delta never joins the history itself."""
+    set is one distinct-agg over history SET positions (≤ k·n rows,
+    broadcast — m itself is only an address space); the probe is a
+    per-position broadcast left join + per-doc min — the delta never
+    joins the history itself. `n_hex` sizes m = 16^n_hex; keep
+    ~10 bits/key of expected history cardinality."""
     seeds = F.explode(F.array(*[F.lit(j) for j in range(_BLOOM_K)])).alias("j")
     # coalesce so a NULL text hashes like the sibling text operators do:
     # md5(NULL) would NULL-propagate through every position, the probe's
@@ -112,14 +124,14 @@ def bloom_dedup_prefilter_frame(history: DataFrame, delta: DataFrame) -> DataFra
     bits = (
         history.select(key.alias("key"))
         .select("key", seeds)
-        .select(_hash_pos(F.col("j"), F.col("key")).alias("pos"))
+        .select(_hash_pos(F.col("j"), F.col("key"), n_hex).alias("pos"))
         .distinct()
         .withColumn("hit", F.lit(1))
     )
     probe = (
         delta.select("doc_id", key.alias("key"))
         .select("doc_id", "key", seeds)
-        .select("doc_id", _hash_pos(F.col("j"), F.col("key")).alias("pos"))
+        .select("doc_id", _hash_pos(F.col("j"), F.col("key"), n_hex).alias("pos"))
     )
     return (
         probe.join(F.broadcast(bits), "pos", "left")
@@ -136,7 +148,7 @@ def q_bloom_dedup_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_dedup_prefilter_frame(history, delta).orderBy("doc_id")
 
 
-_BLOOM_POS = _sql_hash_pos("j", "key")
+_BLOOM_POS = _sql_hash_pos("j", "key", _BLOOM_HEX)
 
 _BLOOM_SEEDS = ", ".join(str(j) for j in range(_BLOOM_K))
 
@@ -324,15 +336,11 @@ def _hll_exact(docs: DataFrame, key: str, group: str) -> DataFrame:
     )
 
 
-def distinct_count_hll_frame(
-    docs: DataFrame, key: str = "text", group: str = "source"
-) -> DataFrame:
-    """(group, exact_distinct, hll_est, zero_buckets) per group. The
-    exact count(DISTINCT) column exists only so the demo/oracle can
-    value-check the estimate -- production keeps the register table."""
-    est = hll_estimate_frame(hll_registers_frame(docs, key, group))
+def _hll_report(est: DataFrame, exact: DataFrame, group: str) -> DataFrame:
+    """Shared report shape of the standalone and maintained HLL queries
+    (the _hist_report pattern): estimate next to its exact value check."""
     return (
-        est.join(_hll_exact(docs, key, group), "grp")
+        est.join(exact, "grp")
         .select(
             F.col("grp").alias(group),
             "exact_distinct",
@@ -340,6 +348,19 @@ def distinct_count_hll_frame(
             "zero_buckets",
         )
         .orderBy(group)
+    )
+
+
+def distinct_count_hll_frame(
+    docs: DataFrame, key: str = "text", group: str = "source"
+) -> DataFrame:
+    """(group, exact_distinct, hll_est, zero_buckets) per group. The
+    exact count(DISTINCT) column exists only so the demo/oracle can
+    value-check the estimate -- production keeps the register table."""
+    return _hll_report(
+        hll_estimate_frame(hll_registers_frame(docs, key, group)),
+        _hll_exact(docs, key, group),
+        group,
     )
 
 
@@ -396,15 +417,21 @@ def _maintained_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     reg_path = state_dir_for_input(sf_dir, "documents.parquet", "hll_registers")
     live = {os.path.basename(d) for d in _live_generation_dirs(reg_path)}
-    docs = t(spark, sf_dir, "documents")
-    if "gen=bootstrap" not in live:
-        incremental_hll_run(
-            docs.filter(F.col("doc_id") % 2 == 0), reg_path, "bootstrap"
-        )
-    if "gen=delta-day2" not in live:
-        incremental_hll_run(
-            docs.filter(F.col("doc_id") % 2 == 1), reg_path, "delta-day2"
-        )
+    # backfill ONLY while the state is still pure-bootstrap-shaped: once a
+    # generation with any other name exists (a compaction or a production
+    # run), the bootstrap halves may have been absorbed under a new name
+    # and re-writing them would re-introduce their rows (harmless for
+    # max-merge, a double-count for the sum-merge siblings — one rule)
+    if live <= {"gen=bootstrap", "gen=delta-day2"}:
+        docs = t(spark, sf_dir, "documents")
+        if "gen=bootstrap" not in live:
+            incremental_hll_run(
+                docs.filter(F.col("doc_id") % 2 == 0), reg_path, "bootstrap"
+            )
+        if "gen=delta-day2" not in live:
+            incremental_hll_run(
+                docs.filter(F.col("doc_id") % 2 == 1), reg_path, "delta-day2"
+            )
     return read_hll_registers(spark, reg_path)
 
 
@@ -417,16 +444,10 @@ def q_distinct_count_hll_incremental(spark: SparkSession, sf_dir: str) -> DataFr
     full-corpus scan left is the demo-only exact count(DISTINCT)
     column)."""
     docs = t(spark, sf_dir, "documents")
-    return (
-        hll_estimate_frame(_maintained_hll_registers(spark, sf_dir))
-        .join(_hll_exact(docs, "text", "source"), "grp")
-        .select(
-            F.col("grp").alias("source"),
-            "exact_distinct",
-            "hll_est",
-            "zero_buckets",
-        )
-        .orderBy("source")
+    return _hll_report(
+        hll_estimate_frame(_maintained_hll_registers(spark, sf_dir)),
+        _hll_exact(docs, "text", "source"),
+        "source",
     )
 
 
@@ -585,15 +606,19 @@ def _maintained_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     hist_path = state_dir_for_input(sf_dir, "events.parquet", "quantile_hist")
     live = {os.path.basename(d) for d in _live_generation_dirs(hist_path)}
-    events = t(spark, sf_dir, "events")
-    if "gen=bootstrap" not in live:
-        incremental_hist_run(
-            events.filter(F.col("event_id") % 2 == 0), hist_path, "bootstrap"
-        )
-    if "gen=delta-day2" not in live:
-        incremental_hist_run(
-            events.filter(F.col("event_id") % 2 == 1), hist_path, "delta-day2"
-        )
+    # backfill only while pure-bootstrap-shaped: after a compaction the
+    # halves live under gen=compacted-* and re-writing them would DOUBLE
+    # the sum-merged counts (see _maintained_hll_registers)
+    if live <= {"gen=bootstrap", "gen=delta-day2"}:
+        events = t(spark, sf_dir, "events")
+        if "gen=bootstrap" not in live:
+            incremental_hist_run(
+                events.filter(F.col("event_id") % 2 == 0), hist_path, "bootstrap"
+            )
+        if "gen=delta-day2" not in live:
+            incremental_hist_run(
+                events.filter(F.col("event_id") % 2 == 1), hist_path, "delta-day2"
+            )
     return read_hist_counts(spark, hist_path)
 
 

@@ -12,12 +12,13 @@ assertion so a fast-but-wrong path cannot pass:
   every distinct key. Assert every group's estimate within 4*rsd (26%)
   of truth.
 * Bloom prefilter vs exact semi-join at the filter's designed operating
-  point (m = 4096 bits, k = 3 supports ~400 history keys at ~10 bits/key;
-  a 2M-row delta probes it, 25% planted dups): assert ZERO false
-  negatives and a false-positive rate under 3% on the clean rows — the
-  verify tail the prefilter feeds stays a fraction of the delta. The
-  100-TB term being measured: probe state is m rows REGARDLESS of delta
-  size, vs the semi-join's shuffle of the delta against the key set.
+  point (m = 16^5 = 1,048,576 bits, k = 3 supports ~10^5 history keys at
+  ~10 bits/key; a 2M-row delta probes a 100k-key history, 25% planted
+  dups): assert ZERO false negatives and a false-positive rate under 3%
+  on the clean rows — the verify tail the prefilter feeds stays a
+  fraction of the delta. The 100-TB term being measured: probe state is
+  the SET-bit relation (≤ k·n rows) regardless of delta size, vs the
+  semi-join's shuffle of the delta against the key set.
 * quantile histogram vs exact percentile: assert every estimate within
   half a bucket (1/16) of the exact interpolated percentile's
   neighborhood (one order-statistic gap tolerance).
@@ -113,8 +114,8 @@ def main() -> int:
         "state_rows_per_group": _HLL_M,
     }
 
-    # --- Bloom prefilter vs exact semi-join (400-key history, 2M delta) ---
-    hot = 400  # ~10 bits/key at m=4096: the filter's designed density
+    # --- Bloom prefilter vs exact semi-join (100k-key history, 2M delta) --
+    hot = 100_000  # ~10 bits/key at m=16^5: the filter's designed density
     history = spark.range(hot).select(
         F.col("id").alias("doc_id"),
         F.concat(F.lit("hot "), F.col("id").cast("string")).alias("text"),

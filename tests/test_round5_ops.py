@@ -1388,6 +1388,45 @@ def test_maintained_bootstrap_self_heals_partial_commit(spark, tmp_path):
     )
 
 
+def test_maintained_hist_survives_compaction_without_rebootstrap(spark, tmp_path):
+    """After compact_generations absorbs the bootstrap halves under
+    gen=compacted-*, the maintained constructor must NOT re-write them:
+    for a sum-merged table that would double every count. The backfill
+    is gated on the state still being pure-bootstrap-shaped."""
+    import os
+
+    from janet_spark.dedup_incremental import (
+        compact_generations,
+        state_dir_for_input,
+    )
+    from janet_spark.sketches import (
+        HIST_SCHEMA,
+        _maintained_hist,
+        hist_counts_frame,
+    )
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    rows = [(i, f"t{i % 2}", float((i * 7) % 101) / 2.0) for i in range(400)]
+    events = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double"
+    )
+    events.write.mode("overwrite").parquet(f"{sf}/events.parquet")
+
+    before = sorted(map(tuple, _maintained_hist(spark, sf).collect()))
+    hist_path = state_dir_for_input(sf, "events.parquet", "quantile_hist")
+    compact_generations(spark, hist_path, HIST_SCHEMA, keep_latest=0)
+    after = sorted(map(tuple, _maintained_hist(spark, sf).collect()))
+    full = sorted(
+        map(
+            tuple,
+            hist_counts_frame(spark.read.parquet(f"{sf}/events.parquet")).collect(),
+        )
+    )
+    assert before == full
+    assert after == full  # NOT doubled
+
+
 def test_dsir_maintained_counts_equal_full_scan(spark, tmp_path):
     """The summed count generations must equal the full-corpus classifier
     (occurrences partition by doc_id across deltas), and the maintained
