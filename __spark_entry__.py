@@ -41,7 +41,9 @@ _PRIORITY = [
     "quantile_hist",
     "quantile_hist_incremental",
     "funnel_conversion",
+    "funnel_windowed",
     "retention_cohorts",
+    "retention_cohorts_incremental",
     "audio_frame_features",
     "ann_pq_topk",
     "ann_pq_rerank_topk",

@@ -179,7 +179,9 @@ def main() -> None:
         "quantile_hist",
         "quantile_hist_incremental",
         "funnel_conversion",
+        "funnel_windowed",
         "retention_cohorts",
+        "retention_cohorts_incremental",
         "decontaminate",
         "lm_score",
         "sequence_pack",

@@ -435,6 +435,80 @@ FROM u ORDER BY stage_idx
 """
 
 
+def q_funnel_windowed(spark, sf_dir):
+    """The production funnel: a stage counts only when its event falls
+    strictly after the previous stage AND within the attribution window
+    (7 days here) — unwindowed funnels credit conversions forever, which
+    no growth team accepts. Same plan shape as `funnel_conversion`
+    (user-keyed min-aggs + equi-joins, 3-row result); the window is one
+    extra JVM timestamp predicate pushed into each stage filter."""
+    ev = t(spark, sf_dir, "events")
+    win = F.expr("INTERVAL 7 DAYS")
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + win))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + win))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def stage(df, idx, name):
+        return df.agg(F.count(F.lit(1)).alias("users")).select(
+            F.lit(idx).alias("stage_idx"), F.lit(name).alias("stage"), "users"
+        )
+
+    u = (
+        stage(s1, 1, "signup")
+        .union(stage(s2, 2, "click_7d"))
+        .union(stage(s3, 3, "purchase_7d"))
+    )
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    base = F.max(F.when(F.col("stage_idx") == 1, F.col("users"))).over(w)
+    pct = F.when(base > 0, F.round(F.col("users") / base, 4))
+    return u.select(
+        "stage_idx", "stage", "users", pct.alias("conversion_pct")
+    ).orderBy("stage_idx")
+
+
+ORACLE_FUNNEL_WINDOWED = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY 1
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+    AND e.ts <= s1.t1 + INTERVAL 7 DAY GROUP BY 1
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+    AND e.ts <= s2.t2 + INTERVAL 7 DAY GROUP BY 1
+), u AS (
+  SELECT 1 AS stage_idx, 'signup' AS stage, CAST(count(*) AS BIGINT) AS users FROM s1
+  UNION ALL
+  SELECT 2, 'click_7d', CAST(count(*) AS BIGINT) FROM s2
+  UNION ALL
+  SELECT 3, 'purchase_7d', CAST(count(*) AS BIGINT) FROM s3
+)
+SELECT stage_idx, stage, users,
+       CASE WHEN max(CASE WHEN stage_idx = 1 THEN users END) OVER () > 0
+            THEN round(users / CAST(max(CASE WHEN stage_idx = 1 THEN users END)
+                                    OVER () AS DOUBLE), 4)
+       END AS conversion_pct
+FROM u ORDER BY stage_idx
+"""
+
+
 def q_retention_cohorts(spark, sf_dir):
     """Weekly cohort retention matrix: cohort = ISO week of a user's
     first event; a (cohort, offset) cell counts distinct users active
@@ -443,39 +517,8 @@ def q_retention_cohorts(spark, sf_dir):
     key with the join between them), then a cells-sized (weeks², not
     events) agg — date_trunc('week') is Monday-anchored in both engines
     so the cells align exactly."""
-    ev = t(spark, sf_dir, "events").select(
-        "user_id", F.date_trunc("week", "ts").alias("wk")
-    )
-    first = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
-    active = (
-        ev.join(first, "user_id")
-        .select(
-            "user_id",
-            "cohort_week",
-            (F.datediff(F.col("wk"), F.col("cohort_week")) / 7)
-            .cast("int")
-            .alias("week_offset"),
-        )
-        .distinct()
-    )
-    size = first.groupBy("cohort_week").agg(
-        F.count(F.lit(1)).alias("cohort_size")
-    )
-    return (
-        active.groupBy("cohort_week", "week_offset")
-        .agg(F.count(F.lit(1)).alias("active_users"))
-        .join(size, "cohort_week")
-        .select(
-            "cohort_week",
-            "week_offset",
-            "active_users",
-            "cohort_size",
-            F.round(F.col("active_users") / F.col("cohort_size"), 4).alias(
-                "retention_pct"
-            ),
-        )
-        .orderBy("cohort_week", "week_offset")
-    )
+    first, activity = _retention_week_frames(t(spark, sf_dir, "events"))
+    return _retention_matrix(first, activity)
 
 
 ORACLE_RETENTION_COHORTS = """
@@ -497,6 +540,142 @@ FROM a JOIN s USING (cohort_week)
 GROUP BY a.cohort_week, week_offset, s.cohort_size
 ORDER BY cohort_week, week_offset
 """
+
+
+# --- maintained retention state (min-merge + distinct-union generations) ----
+
+RETENTION_FIRST_SCHEMA = "user_id long, cohort_week timestamp"
+RETENTION_ACTIVITY_SCHEMA = "user_id long, wk timestamp"
+
+
+def _retention_week_frames(events):
+    """(first, activity) delta frames: per-user min first-event week and
+    the distinct (user, active-week) pairs — the two sufficient
+    statistics of the retention matrix."""
+    ev = events.select("user_id", F.date_trunc("week", "ts").alias("wk"))
+    first = ev.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    activity = ev.distinct()
+    return first, activity
+
+
+def incremental_retention_run(
+    delta_events, first_path: str, activity_path: str, run_id: str
+) -> None:
+    """Daily retention maintenance: append one generation to each state
+    table from ONLY the delta. Both merges are idempotent — first-event
+    is MIN-merged (min(min per delta) = global min over ANY cover of the
+    events, including replayed/overlapping deltas) and activity is
+    union-DISTINCT — so this run is replay-tolerant like the HLL
+    registers, unlike the sum-merge censuses."""
+    from janet_spark.dedup_incremental import _write_generation
+
+    first, activity = _retention_week_frames(delta_events)
+    _write_generation(first, first_path, run_id)
+    _write_generation(activity, activity_path, run_id)
+
+
+def read_retention_state(spark, first_path: str, activity_path: str):
+    """(first, activity) live tables merged from committed generations,
+    or (None, None) when either table has no generation yet."""
+    from janet_spark.dedup_incremental import _live_generation_dirs
+
+    fg = _live_generation_dirs(first_path)
+    ag = _live_generation_dirs(activity_path)
+    if not fg or not ag:
+        return None, None
+    first = (
+        spark.read.schema(RETENTION_FIRST_SCHEMA)
+        .parquet(*fg)
+        .groupBy("user_id")
+        .agg(F.min("cohort_week").alias("cohort_week"))
+    )
+    activity = (
+        spark.read.schema(RETENTION_ACTIVITY_SCHEMA).parquet(*ag).distinct()
+    )
+    return first, activity
+
+
+def _maintained_retention(spark, sf_dir):
+    """Standing retention state for `sf_dir`'s events, bootstrapping with
+    the standard two-day split. Min-merge/distinct-union are idempotent,
+    so (unlike the sum-merge tables) a re-committed half is harmless —
+    the pure-bootstrap gate is kept anyway for one rule across all
+    maintained constructors."""
+    import os
+
+    from janet_spark.dedup_incremental import (
+        _live_generation_dirs,
+        state_dir_for_input,
+    )
+
+    first_path = state_dir_for_input(sf_dir, "events.parquet", "retention_first")
+    activity_path = state_dir_for_input(
+        sf_dir, "events.parquet", "retention_activity"
+    )
+    live = {os.path.basename(d) for d in _live_generation_dirs(first_path)} & {
+        os.path.basename(d) for d in _live_generation_dirs(activity_path)
+    }
+    if live <= {"gen=bootstrap", "gen=delta-day2"}:
+        events = t(spark, sf_dir, "events")
+        if "gen=bootstrap" not in live:
+            incremental_retention_run(
+                events.filter(F.col("event_id") % 2 == 0),
+                first_path,
+                activity_path,
+                "bootstrap",
+            )
+        if "gen=delta-day2" not in live:
+            incremental_retention_run(
+                events.filter(F.col("event_id") % 2 == 1),
+                first_path,
+                activity_path,
+                "delta-day2",
+            )
+    return read_retention_state(spark, first_path, activity_path)
+
+
+def _retention_matrix(first, activity):
+    """The cohort matrix from the two state tables — shared by the
+    standalone and maintained query forms so they cannot diverge."""
+    active = (
+        activity.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.datediff(F.col("wk"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    size = first.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return (
+        active.groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+        .join(size, "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "active_users",
+            "cohort_size",
+            F.round(F.col("active_users") / F.col("cohort_size"), 4).alias(
+                "retention_pct"
+            ),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+def q_retention_cohorts_incremental(spark, sf_dir):
+    """Maintained form of `retention_cohorts`: the matrix reads the
+    min-merged first-event table and the distinct-union activity table
+    instead of re-scanning the event log — the shape a standing weekly
+    dashboard has (per-day write is user-grain, not event-grain). Both
+    merges are idempotent, so the merged state over ANY event cover —
+    including replayed deltas — equals the full-scan statistics exactly,
+    and the standalone oracle serves this query unchanged."""
+    first, activity = _maintained_retention(spark, sf_dir)
+    return _retention_matrix(first, activity)
 
 
 # --- T12 tolerant JSON field extraction over events.props -------------------
@@ -635,7 +814,14 @@ RELATIONAL_QUERIES = {
     "tumbling_hourly_events": (q_tumbling_hourly_events, ORACLE_TUMBLING_HOURLY_EVENTS),
     "sessionize_events": (q_sessionize_events, ORACLE_SESSIONIZE_EVENTS),
     "funnel_conversion": (q_funnel_conversion, ORACLE_FUNNEL_CONVERSION),
+    "funnel_windowed": (q_funnel_windowed, ORACLE_FUNNEL_WINDOWED),
     "retention_cohorts": (q_retention_cohorts, ORACLE_RETENTION_COHORTS),
+    "retention_cohorts_incremental": (
+        q_retention_cohorts_incremental,
+        # min-merge + distinct-union over any event cover == the
+        # full-scan statistics exactly, so the standalone oracle serves
+        ORACLE_RETENTION_COHORTS,
+    ),
     "json_props_histogram": (q_json_props_histogram, ORACLE_JSON_PROPS_HISTOGRAM),
     "sanitized_filenames": (q_sanitized_filenames, ORACLE_SANITIZED_FILENAMES),
     "canonical_rename_sql": (q_canonical_rename_sql, ORACLE_CANONICAL_RENAME_SQL),

@@ -154,7 +154,9 @@ AUDITED = [
     "quantile_hist",
     "quantile_hist_incremental",
     "funnel_conversion",
+    "funnel_windowed",
     "retention_cohorts",
+    "retention_cohorts_incremental",
 ]
 
 

@@ -1310,6 +1310,83 @@ def test_funnel_strictly_after_semantics(spark, tmp_path):
     assert got["purchase_after_click"].conversion_pct == 0.25
 
 
+def test_funnel_windowed_drops_late_conversions(spark, tmp_path):
+    """The 7-day attribution window: a click 8 days after signup (or a
+    purchase 8 days after the click) does not advance the funnel, while
+    the same sequence inside the window does."""
+    import os
+    from datetime import datetime as DT
+
+    from janet_spark.queries_relational import q_funnel_windowed
+
+    rows = [
+        # u1: signup d1, click d3, purchase d8 (5 days after click) — full
+        (1, DT(2024, 1, 1), 1, "signup", 1.0, "{}"),
+        (2, DT(2024, 1, 3), 1, "click", 1.0, "{}"),
+        (3, DT(2024, 1, 8), 1, "purchase", 1.0, "{}"),
+        # u2: signup d1, click d9 (8 days later) — outside the window
+        (4, DT(2024, 1, 1), 2, "signup", 1.0, "{}"),
+        (5, DT(2024, 1, 9), 2, "click", 1.0, "{}"),
+        # u3: signup d1, click d2, purchase d11 (9 days after click)
+        (6, DT(2024, 1, 1), 3, "signup", 1.0, "{}"),
+        (7, DT(2024, 1, 2), 3, "click", 1.0, "{}"),
+        (8, DT(2024, 1, 11), 3, "purchase", 1.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    ev.write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    got = {r.stage: r for r in q_funnel_windowed(spark, sf).collect()}
+    assert got["signup"].users == 3
+    assert got["click_7d"].users == 2  # u1, u3 — u2's click is 8 days out
+    assert got["purchase_7d"].users == 1  # u1 only — u3's purchase 9 days out
+
+
+def test_maintained_retention_replay_tolerant(spark, tmp_path):
+    """Min-merged first-event + distinct-union activity over OVERLAPPING
+    deltas (a replayed day) must equal the full-scan statistics exactly —
+    the idempotent-merge contract the sum-merge censuses lack."""
+    import os
+    from datetime import datetime as DT, timedelta
+
+    from janet_spark.dedup_incremental import state_dir_for_input
+    from janet_spark.queries_relational import (
+        _retention_matrix,
+        _retention_week_frames,
+        incremental_retention_run,
+        read_retention_state,
+    )
+
+    rows = [
+        (i, DT(2024, 1, 1) + timedelta(days=(i * 3) % 28), i % 40, "view", 1.0, "{}")
+        for i in range(400)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    ev.write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    events = spark.read.parquet(f"{sf}/events.parquet")
+
+    fp = state_dir_for_input(sf, "events.parquet", "retention_first")
+    ap = state_dir_for_input(sf, "events.parquet", "retention_activity")
+    # day2 REPLAYS event_ids 100-199 alongside its fresh rows
+    incremental_retention_run(events.filter("event_id < 200"), fp, ap, "day1")
+    incremental_retention_run(events.filter("event_id >= 100"), fp, ap, "day2")
+    first_m, act_m = read_retention_state(spark, fp, ap)
+    first_f, act_f = _retention_week_frames(events)
+    got = sorted(map(tuple, _retention_matrix(first_m, act_m).collect()))
+    want = sorted(map(tuple, _retention_matrix(first_f, act_f).collect()))
+    assert got == want
+
+
 def test_retention_cohorts_two_cohorts_with_dropout(spark, tmp_path):
     """Two weekly cohorts with a dropout: cohort = week of FIRST event,
     offsets count from that week, pct is against the cohort size."""
