@@ -612,19 +612,25 @@ def _maintained_retention(spark, sf_dir):
     activity_path = state_dir_for_input(
         sf_dir, "events.parquet", "retention_activity"
     )
-    live = {os.path.basename(d) for d in _live_generation_dirs(first_path)} & {
-        os.path.basename(d) for d in _live_generation_dirs(activity_path)
-    }
-    if live <= {"gen=bootstrap", "gen=delta-day2"}:
+    live_f = {os.path.basename(d) for d in _live_generation_dirs(first_path)}
+    live_a = {os.path.basename(d) for d in _live_generation_dirs(activity_path)}
+    # the pure-bootstrap gate looks at the UNION of both tables' names —
+    # after a compaction the per-table compacted-<id> names never match,
+    # so an intersection would read two compacted tables as empty state
+    # and re-bootstrap; presence of a half requires it in BOTH tables
+    # (a crash between the two table writes of one run re-commits it,
+    # which _write_generation replaces idempotently)
+    if (live_f | live_a) <= {"gen=bootstrap", "gen=delta-day2"}:
+        both = live_f & live_a
         events = t(spark, sf_dir, "events")
-        if "gen=bootstrap" not in live:
+        if "gen=bootstrap" not in both:
             incremental_retention_run(
                 events.filter(F.col("event_id") % 2 == 0),
                 first_path,
                 activity_path,
                 "bootstrap",
             )
-        if "gen=delta-day2" not in live:
+        if "gen=delta-day2" not in both:
             incremental_retention_run(
                 events.filter(F.col("event_id") % 2 == 1),
                 first_path,

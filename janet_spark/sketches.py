@@ -7,7 +7,9 @@ engine-portable bucket idiom used by hash_sample / dsir_importance):
 
 * ``bloom_dedup_prefilter`` — a Bloom membership filter over the history
   corpus's exact-text keys, probed by the daily delta. The membership
-  structure is ≤ m rows (m = 4096 bits here) REGARDLESS of corpus size:
+  structure is the SET-bit relation — ≤ k·n rows inside an m = 16^5 =
+  1,048,576-bit address space (`n_hex`-parameterized, ~10 bits/key
+  design density) — and stays broadcastable REGARDLESS of corpus size:
   it broadcasts where the exact anti-join would shuffle the full history
   key set. False positives are part of the semantics (flagged docs go to
   the exact verify tail; clean docs skip it — the same

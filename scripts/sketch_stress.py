@@ -131,33 +131,30 @@ def main() -> int:
     )
     delta.write.mode("overwrite").parquet("/tmp/sketch_stress_delta")
     delta = spark.read.parquet("/tmp/sketch_stress_delta")
+    # persist both expensive frames: the timing pass and the
+    # false-negative check below reuse them instead of re-running the
+    # 2M-row probe and semi-join from scratch
+    prefiltered = bloom_dedup_prefilter_frame(history, delta).persist()
+    dup_ids = (
+        delta.join(history.select("text").distinct(), "text", "left_semi")
+        .select("doc_id")
+        .persist()
+    )
     flagged, t_bloom = timed(
-        lambda: bloom_dedup_prefilter_frame(history, delta)
-        .groupBy("maybe_dup")
-        .count()
-        .collect()
+        lambda: prefiltered.groupBy("maybe_dup").count().collect()
     )
-    true_dups, t_semi = timed(
-        lambda: delta.join(
-            history.select("text").distinct(), "text", "left_semi"
-        ).count()
-    )
+    true_dups, t_semi = timed(dup_ids.count)
     n_delta = delta.count()
     n_flagged = {r["maybe_dup"]: r["count"] for r in flagged}.get(True, 0)
     # zero false negatives: every true dup must be flagged
     missed = (
-        bloom_dedup_prefilter_frame(history, delta)
-        .filter(~F.col("maybe_dup"))
-        .join(
-            delta.join(
-                history.select("text").distinct(), "text", "left_semi"
-            ).select("doc_id"),
-            "doc_id",
-            "inner",
-        )
+        prefiltered.filter(~F.col("maybe_dup"))
+        .join(dup_ids, "doc_id", "inner")
         .count()
     )
     assert missed == 0, f"{missed} false negatives"
+    prefiltered.unpersist()
+    dup_ids.unpersist()
     fp_rate = (n_flagged - true_dups) / max(n_delta - true_dups, 1)
     assert fp_rate < 0.03, fp_rate
     report["bloom"] = {

@@ -1131,7 +1131,8 @@ def test_bloom_prefilter_never_false_negative(spark):
     for i in range(50):  # true dups: i*3 < 150 always in history
         assert got[1000 + i] is True
     fp = sum(1 for i in range(100) if got[2000 + i])
-    assert fp < 30  # 4096 bits / 150 keys * 3 hashes: FP rate stays low
+    assert fp < 30  # m=16^5 bits / 150 keys * 3 hashes: FP rate ~0 here;
+    # the loose bound keeps the pin valid for any reasonable m resize
 
 
 def test_cms_estimate_never_below_true_count(spark):
@@ -1385,6 +1386,49 @@ def test_maintained_retention_replay_tolerant(spark, tmp_path):
     got = sorted(map(tuple, _retention_matrix(first_m, act_m).collect()))
     want = sorted(map(tuple, _retention_matrix(first_f, act_f).collect()))
     assert got == want
+
+
+def test_maintained_retention_no_rebootstrap_after_compaction(spark, tmp_path):
+    """After BOTH retention tables are compacted (per-table compacted-<id>
+    names never match each other), the constructor must not re-bootstrap:
+    the pure-bootstrap gate looks at the UNION of the two tables' names,
+    so two compacted tables read as maintained state, not empty state."""
+    import os
+    from datetime import datetime as DT, timedelta
+
+    from janet_spark.dedup_incremental import (
+        _live_generation_dirs,
+        compact_generations,
+        state_dir_for_input,
+    )
+    from janet_spark.queries_relational import (
+        RETENTION_ACTIVITY_SCHEMA,
+        RETENTION_FIRST_SCHEMA,
+        _maintained_retention,
+    )
+
+    rows = [
+        (i, DT(2024, 1, 1) + timedelta(days=i % 21), i % 30, "view", 1.0, "{}")
+        for i in range(200)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    ev.write.mode("overwrite").parquet(f"{sf}/events.parquet")
+
+    _maintained_retention(spark, sf)  # bootstrap
+    fp = state_dir_for_input(sf, "events.parquet", "retention_first")
+    ap = state_dir_for_input(sf, "events.parquet", "retention_activity")
+    compact_generations(spark, fp, RETENTION_FIRST_SCHEMA, keep_latest=0)
+    compact_generations(spark, ap, RETENTION_ACTIVITY_SCHEMA, keep_latest=0)
+    before = (set(_live_generation_dirs(fp)), set(_live_generation_dirs(ap)))
+    _maintained_retention(spark, sf)
+    after = (set(_live_generation_dirs(fp)), set(_live_generation_dirs(ap)))
+    assert after == before  # no re-bootstrap generations appeared
 
 
 def test_retention_cohorts_two_cohorts_with_dropout(spark, tmp_path):
