@@ -44,6 +44,8 @@ _PRIORITY = [
     "funnel_windowed",
     "retention_cohorts",
     "retention_cohorts_incremental",
+    "event_transitions",
+    "funnel_latency",
     "audio_frame_features",
     "ann_pq_topk",
     "ann_pq_rerank_topk",

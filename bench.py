@@ -182,6 +182,8 @@ def main() -> None:
         "funnel_windowed",
         "retention_cohorts",
         "retention_cohorts_incremental",
+        "event_transitions",
+        "funnel_latency",
         "decontaminate",
         "lm_score",
         "sequence_pack",

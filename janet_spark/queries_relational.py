@@ -542,6 +542,104 @@ ORDER BY cohort_week, week_offset
 """
 
 
+def q_event_transitions(spark, sf_dir):
+    """Per-user event-type transition matrix (the Markov view of product
+    analytics): consecutive events per user ordered by (ts, event_id)
+    form (from_type, to_type) pairs; prob is row-normalized per
+    from_type. Scale shape: one shuffle by user_id for the lag window
+    (per-user sequences, never a global sort), then a types²-sized pair
+    agg — the matrix is 25 rows however large the log."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.lag("event_type", 1).over(w).alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = Window.partitionBy("from_type")
+    return (
+        pairs.select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(F.col("n") / F.sum("n").over(tot), 4).alias("prob"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+ORACLE_EVENT_TRANSITIONS = """
+WITH p AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS from_type,
+         event_type AS to_type
+  FROM events
+), c AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+  FROM p WHERE from_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       round(n / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 4) AS prob
+FROM c ORDER BY from_type, to_type
+"""
+
+
+def q_funnel_latency(spark, sf_dir):
+    """Time-to-convert for the signup → purchase funnel: per converted
+    user, hours between first signup and first strictly-later purchase;
+    reported as count + exact interpolated median/p90 (the
+    `value_percentiles` Spark-percentile == DuckDB-quantile_cont parity;
+    the epoch trick from `sessionize_events` keeps microseconds). One
+    row out; per-user state is two timestamps."""
+    ev = t(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id", "t1")
+        .agg(F.min("ts").alias("t2"))
+        .select(
+            (
+                (
+                    F.expr("cast(cast(t2 as timestamp_ltz) as double)")
+                    - F.expr("cast(cast(t1 as timestamp_ltz) as double)")
+                )
+                / 3600.0
+            ).alias("hours")
+        )
+    )
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.expr("percentile(hours, 0.5)"), 4).alias("median_hours"),
+        F.round(F.expr("percentile(hours, 0.9)"), 4).alias("p90_hours"),
+    )
+
+
+ORACLE_FUNNEL_LATENCY = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'signup' GROUP BY 1
+), conv AS (
+  SELECT (epoch(min(e.ts)) - epoch(s1.t1)) / 3600.0 AS hours
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s1.t1
+  GROUP BY e.user_id, s1.t1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_converted,
+       round(quantile_cont(hours, 0.5), 4) AS median_hours,
+       round(quantile_cont(hours, 0.9), 4) AS p90_hours
+FROM conv
+"""
+
+
 # --- maintained retention state (min-merge + distinct-union generations) ----
 
 RETENTION_FIRST_SCHEMA = "user_id long, cohort_week timestamp"
@@ -828,6 +926,8 @@ RELATIONAL_QUERIES = {
         # full-scan statistics exactly, so the standalone oracle serves
         ORACLE_RETENTION_COHORTS,
     ),
+    "event_transitions": (q_event_transitions, ORACLE_EVENT_TRANSITIONS),
+    "funnel_latency": (q_funnel_latency, ORACLE_FUNNEL_LATENCY),
     "json_props_histogram": (q_json_props_histogram, ORACLE_JSON_PROPS_HISTOGRAM),
     "sanitized_filenames": (q_sanitized_filenames, ORACLE_SANITIZED_FILENAMES),
     "canonical_rename_sql": (q_canonical_rename_sql, ORACLE_CANONICAL_RENAME_SQL),

@@ -157,6 +157,8 @@ AUDITED = [
     "funnel_windowed",
     "retention_cohorts",
     "retention_cohorts_incremental",
+    "event_transitions",
+    "funnel_latency",
 ]
 
 

@@ -1431,6 +1431,59 @@ def test_maintained_retention_no_rebootstrap_after_compaction(spark, tmp_path):
     assert after == before  # no re-bootstrap generations appeared
 
 
+def test_event_transitions_and_funnel_latency(spark, tmp_path):
+    """Transition pairs are PER-USER consecutive (no cross-user pair at
+    the partition boundary), probs row-normalize per from_type, and
+    funnel latency measures first-signup → first-strictly-later-purchase
+    in exact hours."""
+    import os
+    from datetime import datetime as DT
+
+    from janet_spark.queries_relational import (
+        q_event_transitions,
+        q_funnel_latency,
+    )
+
+    T = lambda h: DT(2024, 1, 1, h)
+    rows = [
+        # u1: view -> click -> purchase (2 transitions)
+        (1, T(0), 1, "view", 1.0, "{}"),
+        (2, T(1), 1, "click", 1.0, "{}"),
+        (3, T(2), 1, "purchase", 1.0, "{}"),
+        # u2: view -> view (1 transition); u1.purchase->u2.view must NOT pair
+        (4, T(3), 2, "view", 1.0, "{}"),
+        (5, T(4), 2, "view", 1.0, "{}"),
+        # u3: signup at h0, purchase at h6 -> 6.0 hours
+        (6, T(0), 3, "signup", 1.0, "{}"),
+        (7, T(6), 3, "purchase", 1.0, "{}"),
+        # u4: signup at h0, purchase at h12 -> 12.0 hours
+        (8, T(0), 4, "signup", 1.0, "{}"),
+        (9, T(12), 4, "purchase", 1.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf, exist_ok=True)
+    ev.write.mode("overwrite").parquet(f"{sf}/events.parquet")
+
+    trans = {
+        (r.from_type, r.to_type): r for r in q_event_transitions(spark, sf).collect()
+    }
+    assert ("purchase", "view") not in trans  # no cross-user boundary pair
+    assert trans[("view", "click")].n == 1
+    assert trans[("view", "view")].n == 1
+    assert trans[("view", "click")].prob == 0.5  # view row: click + view
+    assert trans[("signup", "purchase")].prob == 1.0
+
+    lat = q_funnel_latency(spark, sf).collect()[0]
+    assert lat.n_converted == 2
+    assert lat.median_hours == 9.0  # interpolated between 6 and 12
+    assert lat.p90_hours == 11.4
+
+
 def test_retention_cohorts_two_cohorts_with_dropout(spark, tmp_path):
     """Two weekly cohorts with a dropout: cohort = week of FIRST event,
     offsets count from that week, pct is against the cohort size."""
